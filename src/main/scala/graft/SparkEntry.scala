@@ -1,13 +1,63 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.query.GeoQueries
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is one operator from the SURVEY.md §2
+  * inventory rebuilt Spark-first; [[oracleSql]] carries the DuckDB-runnable
+  * equivalent over the same parquet tables (identical column names/types —
+  * the driver hashes columns sorted by name).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query (SURVEY.md §7.2): point-in-polygon admin lookup —
+    * "which level-6 area contains each point" — on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    GeoQueries.pipLookup(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // cell index (T7/T13/T14 + north-star codegen encode)
+    "q_cell_points" -> ((s, d) => GeoQueries.cellPoints(s, d)),
+    // flagship PIP lookup (Q3)
+    "q_pip_nation" -> ((s, d) => GeoQueries.pipLookup(s, d, level = 6)),
+    "q_pip_district" -> ((s, d) => GeoQueries.pipLookup(s, d, level = 9)),
+    // containment join (Q5)
+    "q_containment" -> ((s, d) => GeoQueries.containmentJoin(s, d)),
+    // POI queries (Q6 / Q7)
+    "q_poi_area" -> ((s, d) => GeoQueries.poiFromArea(s, d)),
+    "q_poi_cell" -> ((s, d) => GeoQueries.poiByCell(s, d)),
+    // kNN + radius (Q8)
+    "q_knn" -> ((s, d) => GeoQueries.knn(s, d)),
+    "q_radius" -> ((s, d) => GeoQueries.radius(s, d)),
+    // tiling (north-star raster/vector)
+    "q_tile_assign" -> ((s, d) => GeoQueries.tileAssign(s, d)),
+    "q_raster_vector" -> ((s, d) => GeoQueries.rasterVector(s, d)),
+    // counts / search (S8 / S10)
+    "q_counts_by_cell" -> ((s, d) => GeoQueries.countsByCell(s, d)),
+    "q_name_search" -> ((s, d) => GeoQueries.nameSearch(s, d)),
+    // normalize + span invariants + way assembly (T2/T3, input_hint)
+    "q_normalize" -> ((s, d) => GeoQueries.normalize(s, d)),
+    "q_span_roundtrip" -> ((s, d) => GeoQueries.spanRoundtrip(s, d)),
+    "q_way_assemble" -> ((s, d) => GeoQueries.wayAssemble(s, d)),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_cell_points" -> GeoQueries.cellPointsSql,
+    "q_pip_nation" -> GeoQueries.pipLookupSql(level = 6),
+    "q_pip_district" -> GeoQueries.pipLookupSql(level = 9),
+    "q_containment" -> GeoQueries.containmentJoinSql(),
+    "q_poi_area" -> GeoQueries.poiFromAreaSql(),
+    "q_poi_cell" -> GeoQueries.poiByCellSql(),
+    "q_knn" -> GeoQueries.knnSql(),
+    "q_radius" -> GeoQueries.radiusSql(),
+    "q_tile_assign" -> GeoQueries.tileAssignSql(),
+    "q_raster_vector" -> GeoQueries.rasterVectorSql(),
+    "q_counts_by_cell" -> GeoQueries.countsByCellSql,
+    "q_name_search" -> GeoQueries.nameSearchSql(),
+    "q_normalize" -> GeoQueries.normalizeSql,
+    "q_span_roundtrip" -> GeoQueries.spanRoundtripSql,
+    "q_way_assemble" -> GeoQueries.wayAssembleSql,
+  )
 }

@@ -1,0 +1,77 @@
+package graft.cell
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.call_function
+
+/**
+ * `zcell(lon, lat, res) -> bigint` as a native Catalyst expression with
+ * whole-stage codegen (`doGenCode` emits a static call into [[CellIndex]]),
+ * the north-star's "batched codegen UDF" for H3/S2-style encoding. This is
+ * the engine's hottest scalar (every feature and every probe point is
+ * encoded), so it must not break the WholeStageCodegen span the way a Scala
+ * UDF would.
+ *
+ * Reference semantics: the 64-bit interleaved geohash encode used as every
+ * query's join key (reference: util/.../GeoCalculator.scala:28-61,
+ * OsmObjectMapper.scala:1046-1059).
+ */
+case class ZCellEncode(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  // inputs must already be (double, double, int) — callers in CellFunctions
+  // guarantee it; no implicit-cast contract needed for internal use.
+  override def dataType: DataType = LongType
+  override def prettyName: String = "zcell"
+
+  override def nullSafeEval(lon: Any, lat: Any, res: Any): Any =
+    CellIndex.encode(lon.asInstanceOf[Double], lat.asInstanceOf[Double], res.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (lon, lat, res) =>
+      s"${ev.value} = graft.cell.CellIndex.encode($lon, $lat, $res);")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** `zcell_parent(cell, res, parentRes) -> bigint` — bit-truncation parent. */
+case class ZCellParent(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "zcell_parent"
+
+  override def nullSafeEval(cell: Any, r: Any, r2: Any): Any =
+    CellIndex.parent(cell.asInstanceOf[Long], r.asInstanceOf[Int], r2.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (cell, r, r2) =>
+      s"${ev.value} = $cell >>> (2 * ($r - $r2));")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** Session registration + Column-facing API for the cell expressions. */
+object CellFunctions {
+
+  /** Register zcell/zcell_parent in the session's FunctionRegistry so both
+    * SQL text and `call_function` can reach them. Idempotent. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("zcell", es => ZCellEncode(es(0), es(1), es(2)), "built-in")
+    reg.createOrReplaceTempFunction("zcell_parent", es => ZCellParent(es(0), es(1), es(2)), "built-in")
+  }
+
+  def zcell(lon: Column, lat: Column, res: Column): Column =
+    call_function("zcell", lon, lat, res)
+
+  def zcellParent(cell: Column, res: Column, parentRes: Column): Column =
+    call_function("zcell_parent", cell, res, parentRes)
+}

@@ -1,0 +1,238 @@
+package graft.gen
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.cell.{CellFunctions, CellIndex}
+import graft.geom.{Geo, GeoCols}
+
+/**
+ * Deterministic synthetic geo world, derived ARITHMETICALLY from the driver's
+ * TPC-H-ish parquet tables so the DuckDB oracle can recompute every input
+ * bit-for-bit (SURVEY.md §1.3/§5.3: no external data; IEEE +,-,*,/ and
+ * integer ops only — no transcendental functions in the data derivation).
+ *
+ *  - POI points  <- lineitem  (one point per line item; 30% relocated into a
+ *                   ~0.2° hot box so cell-join skew handling is exercised)
+ *  - admin areas <- region (level 2, 5 big rects) / nation (level 6 "city",
+ *                   5 per region stacked vertically) / 6 districts per
+ *                   nation (level 9, vertical strips) — every point falls in
+ *                   exactly one nation and one district, mirroring the
+ *                   reference's admin-level ladder (reference:
+ *                   query-engine/.../Queries.scala:343-350 admin levels 2-10)
+ *  - interleaved documents <- lineitem grouped by order: doc_id +
+ *                   spans array<struct<kind,text,media_ref,offset>> (the
+ *                   BASELINE.json input_hint schema); span text carries the
+ *                   milli-degree integer coordinates
+ *
+ * Points are offset 0.0002° off the 0.001° grid while all rect edges lie on
+ * the 0.1°+ grid, so no point ever sits on an area boundary (strict-vs-
+ * non-strict containment cannot diverge between JTS and the SQL oracle).
+ */
+object GeoWorld {
+
+  // World frame: lon [-20, 40), lat [30, 66) — 5 regions x 12° wide.
+  final val LON0 = -20.0
+  final val LAT0 = 30.0
+  final val REGION_W = 12.0
+  final val REGION_H = 36.0
+  final val NATION_H = 7.2 // 5 per region
+  final val DISTRICT_W = 2.0 // 6 per nation
+  final val OFF = 0.0002 // grid offset keeping points off boundaries
+
+  // ---------------------------------------------------------------- points
+
+  /** POI points derived from lineitem. Every attribute is a pure function
+    * of pid = l_orderkey*8 + l_linenumber; (orderkey, linenumber) repeats in
+    * the synthetic lineitem, so the first stage is an EXACT DEDUP on pid —
+    * the reference's exact-distinct operator (SURVEY.md G4/G5) doubling as
+    * the ingest cleanser. Columns: pid, lonm, latm (milli-degree ints rel.
+    * to LON0/LAT0), lon, lat, cat, tag_k, tag_v, name, is_media. */
+  def points(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val ids = li.select((col("l_orderkey") * 8 + col("l_linenumber")).as("pid")).distinct()
+    val pid = col("pid")
+    val mixl = (pid * 1103515245L + 12345L) % 60000L
+    val mixa = (pid * 69069L + 1L) % 36000L
+    val hot = pid % 10 < 3
+    val lonm = when(hot, lit(26000L) + mixl % 190L).otherwise(mixl)
+    val latm = when(hot, lit(20000L) + mixa % 170L).otherwise(mixa)
+    val cat = pid % 57
+    ids.select(
+      pid,
+      lonm.as("lonm"),
+      latm.as("latm"),
+      (lit(LON0) + lonm / 1000.0 + OFF).as("lon"),
+      (lit(LAT0) + latm / 1000.0 + OFF).as("lat"),
+      cat.as("cat"),
+      when(cat < 19, "amenity").when(cat < 38, "shop").otherwise("leisure").as("tag_k"),
+      concat(lit("cat_"), cat.cast("string")).as("tag_v"),
+      concat(lit("poi_"), pid.cast("string")).as("name"),
+      (pid % 5 === 0).as("is_media"))
+  }
+
+  /** DuckDB CTE mirroring [[points]] (name `pts`). */
+  val pointsCte: String =
+    s"""pts AS (
+       |  SELECT pid, lonm, latm,
+       |         $LON0 + lonm / 1000.0 + $OFF AS lon,
+       |         $LAT0 + latm / 1000.0 + $OFF AS lat,
+       |         cat,
+       |         CASE WHEN cat < 19 THEN 'amenity' WHEN cat < 38 THEN 'shop' ELSE 'leisure' END AS tag_k,
+       |         'cat_' || CAST(cat AS VARCHAR) AS tag_v,
+       |         'poi_' || CAST(pid AS VARCHAR) AS name,
+       |         pid % 5 = 0 AS is_media
+       |  FROM (
+       |    SELECT pid,
+       |           CASE WHEN pid % 10 < 3 THEN 26000 + mixl % 190 ELSE mixl END AS lonm,
+       |           CASE WHEN pid % 10 < 3 THEN 20000 + mixa % 170 ELSE mixa END AS latm,
+       |           pid % 57 AS cat
+       |    FROM (
+       |      SELECT pid,
+       |             (pid * 1103515245 + 12345) % 60000 AS mixl,
+       |             (pid * 69069 + 1) % 36000 AS mixa
+       |      FROM (SELECT DISTINCT l_orderkey * 8 + l_linenumber AS pid FROM lineitem)
+       |    )
+       |  )
+       |)""".stripMargin
+
+  // ----------------------------------------------------------------- areas
+
+  /** Admin areas: region rects (level 2), nation rects (level 6), district
+    * strips (level 9). Columns: area_id, area_name, level, lon0, lat0,
+    * lon1, lat1, wkb (GeometryCollection(MultiPolygon(rect)), reference
+    * denormalised-relation shape). */
+  def areas(spark: SparkSession, sfDir: String): DataFrame = {
+    registerUdfs(spark)
+    val region = spark.read.parquet(s"$sfDir/region.parquet")
+    val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+
+    val regions = region.select(
+      (lit(100L) + col("r_regionkey")).as("area_id"),
+      concat(lit("region_"), col("r_regionkey").cast("string")).as("area_name"),
+      lit(2).as("level"),
+      (lit(LON0) + col("r_regionkey") * REGION_W).as("lon0"),
+      lit(LAT0).as("lat0"),
+      (lit(LON0) + (col("r_regionkey") + 1) * REGION_W).as("lon1"),
+      lit(LAT0 + REGION_H).as("lat1"))
+
+    val rn = row_number().over(Window.partitionBy("n_regionkey").orderBy("n_nationkey")) - 1
+    val nations0 = nation.select(
+      col("n_nationkey"), col("n_regionkey"), rn.as("idx"))
+    val nations = nations0.select(
+      (lit(200L) + col("n_nationkey")).as("area_id"),
+      concat(lit("nation_"), col("n_nationkey").cast("string")).as("area_name"),
+      lit(6).as("level"),
+      (lit(LON0) + col("n_regionkey") * REGION_W).as("lon0"),
+      (lit(LAT0) + col("idx") * NATION_H).as("lat0"),
+      (lit(LON0) + (col("n_regionkey") + 1) * REGION_W).as("lon1"),
+      (lit(LAT0) + (col("idx") + 1) * NATION_H).as("lat1"))
+
+    val districts = nations0
+      .withColumn("j", explode(sequence(lit(0), lit(5))))
+      .select(
+        (lit(10000L) + col("n_nationkey") * 10 + col("j")).as("area_id"),
+        concat(lit("district_"), (col("n_nationkey") * 10 + col("j")).cast("string")).as("area_name"),
+        lit(9).as("level"),
+        (lit(LON0) + col("n_regionkey") * REGION_W + col("j") * DISTRICT_W).as("lon0"),
+        (lit(LAT0) + col("idx") * NATION_H).as("lat0"),
+        (lit(LON0) + col("n_regionkey") * REGION_W + (col("j") + 1) * DISTRICT_W).as("lon1"),
+        (lit(LAT0) + (col("idx") + 1) * NATION_H).as("lat1"))
+
+    regions.unionByName(nations).unionByName(districts)
+      .withColumn("wkb", call_function("rect_area_wkb", col("lon0"), col("lat0"), col("lon1"), col("lat1")))
+  }
+
+  /** DuckDB CTE mirroring [[areas]] minus wkb (name `areas`). */
+  val areasCte: String =
+    s"""nidx AS (
+       |  SELECT n_nationkey, n_regionkey,
+       |         ROW_NUMBER() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) - 1 AS idx
+       |  FROM nation
+       |),
+       |areas AS (
+       |  SELECT CAST(100 + r_regionkey AS BIGINT) AS area_id,
+       |         'region_' || CAST(r_regionkey AS VARCHAR) AS area_name,
+       |         2 AS level,
+       |         $LON0 + r_regionkey * $REGION_W AS lon0,
+       |         $LAT0 AS lat0,
+       |         $LON0 + (r_regionkey + 1) * $REGION_W AS lon1,
+       |         ${LAT0 + REGION_H} AS lat1
+       |  FROM region
+       |  UNION ALL
+       |  SELECT CAST(200 + n_nationkey AS BIGINT),
+       |         'nation_' || CAST(n_nationkey AS VARCHAR),
+       |         6,
+       |         $LON0 + n_regionkey * $REGION_W,
+       |         $LAT0 + idx * $NATION_H,
+       |         $LON0 + (n_regionkey + 1) * $REGION_W,
+       |         $LAT0 + (idx + 1) * $NATION_H
+       |  FROM nidx
+       |  UNION ALL
+       |  SELECT CAST(10000 + n_nationkey * 10 + j AS BIGINT),
+       |         'district_' || CAST(n_nationkey * 10 + j AS VARCHAR),
+       |         9,
+       |         $LON0 + n_regionkey * $REGION_W + j * $DISTRICT_W,
+       |         $LAT0 + idx * $NATION_H,
+       |         $LON0 + n_regionkey * $REGION_W + (j + 1) * $DISTRICT_W,
+       |         $LAT0 + (idx + 1) * $NATION_H
+       |  FROM nidx CROSS JOIN (SELECT UNNEST(RANGE(0, 6)) AS j) js
+       |)""".stripMargin
+
+  // ------------------------------------------------------------- documents
+
+  /** Interleaved document table (input_hint schema):
+    * (doc_id string, spans array<struct<kind,text,media_ref,offset>>).
+    * One doc per order; spans ordered by l_linenumber; text carries the
+    * milli-degree coordinates as "lonm,latm". */
+  def docs(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = points(spark, sfDir)
+    val spans = p.select(
+      concat(lit("doc_"), (col("pid") / 8).cast("long").cast("string")).as("doc_id"),
+      struct(
+        (col("pid") % 8).cast("int").as("offset"),
+        when(col("is_media"), "media").otherwise("point").as("kind"),
+        concat(col("lonm").cast("string"), lit(","), col("latm").cast("string")).as("text"),
+        when(col("is_media"), concat(lit("blob://p/"), (col("pid") % 1000).cast("string")))
+          .otherwise(lit("")).as("media_ref")).as("s"))
+    spans.groupBy("doc_id")
+      .agg(array_sort(collect_list(col("s"))).as("spans0"))
+      .select(col("doc_id"),
+        transform(col("spans0"), s => struct(
+          s.getField("kind").as("kind"),
+          s.getField("text").as("text"),
+          s.getField("media_ref").as("media_ref"),
+          s.getField("offset").as("offset"))).as("spans"))
+  }
+
+  /** Flat span view used by the oracle (name `spansf`): one row per span,
+    * exactly what normalize(docs) must reproduce. */
+  val spansFlatCte: String =
+    s"""spansf AS (
+       |  SELECT 'doc_' || CAST(pid // 8 AS VARCHAR) AS doc_id,
+       |         CAST(pid % 8 AS INTEGER) AS "offset",
+       |         CASE WHEN is_media THEN 'media' ELSE 'point' END AS kind,
+       |         CAST(lonm AS VARCHAR) || ',' || CAST(latm AS VARCHAR) AS text,
+       |         CASE WHEN is_media THEN 'blob://p/' || CAST(pid % 1000 AS VARCHAR) ELSE '' END AS media_ref,
+       |         lon, lat, pid
+       |  FROM pts
+       |)""".stripMargin
+
+  // --------------------------------------------------------------- helpers
+
+  /** Register the (cold-path) WKB/cover UDFs used in world construction. */
+  def registerUdfs(spark: SparkSession): Unit = {
+    CellFunctions.register(spark)
+    GeoCols.register(spark)
+    spark.udf.register("rect_area_wkb", (lon0: Double, lat0: Double, lon1: Double, lat1: Double) =>
+      Geo.toWkb(Geo.areaGeom(Seq(Geo.rect(lon0, lat0, lon1, lat1)))))
+    spark.udf.register("zcell_cover_rect", (lon0: Double, lat0: Double, lon1: Double, lat1: Double, res: Int) =>
+      CellIndex.rectCover(lon0, lat0, lon1, lat1, res))
+    spark.udf.register("zcell_ring", (cell: Long, res: Int, k: Int) =>
+      CellIndex.ring(cell, res, k))
+  }
+
+  /** Rectangle cell cover as a column (explodes into the join key). */
+  def coverCells(lon0: Column, lat0: Column, lon1: Column, lat1: Column, res: Int): Column =
+    call_function("zcell_cover_rect", lon0, lat0, lon1, lat1, lit(res))
+}

@@ -1,0 +1,399 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.cell.{CellFunctions, CellIndex, CellSql}
+import graft.gen.GeoWorld
+import graft.geom.GeoCols
+
+/**
+ * Query-side spatial operators — the reference's query vocabulary
+ * (SURVEY.md §2.3) re-expressed as Dataset/Catalyst plans.
+ *
+ * Every operator follows the reference's single core trick: filter-and-refine
+ * spatial join — a coarse equi-join on interleaved cell ids, then an exact
+ * geometric refine on the candidates (reference: query-engine/.../
+ * Queries.scala:304-341). In Spark the cell equi-join is either a broadcast
+ * hash join (small build side — admin boundaries) or a cell-partitioned
+ * shuffle hash join (both sides large), and the refine predicate runs only on
+ * candidate pairs.
+ */
+object GeoQueries {
+
+  import CellIndex.{RES_COARSE, RES_MID}
+
+  private def init(spark: SparkSession): Unit = GeoWorld.registerUdfs(spark)
+
+  /** Probe points: nation-rect centres (the "Location source" Q1 analog —
+    * a small deterministic probe set for PIP/kNN/radius queries). */
+  def probes(spark: SparkSession, sfDir: String): DataFrame =
+    GeoWorld.areas(spark, sfDir).filter(col("level") === 6).select(
+      col("area_id").as("qid"),
+      ((col("lon0") + col("lon1")) / 2.0).as("qlon"),
+      ((col("lat0") + col("lat1")) / 2.0).as("qlat"))
+
+  val probesCte: String =
+    s"""probes AS (
+       |  SELECT area_id AS qid, (lon0 + lon1) / 2.0 AS qlon, (lat0 + lat1) / 2.0 AS qlat
+       |  FROM areas WHERE level = 6
+       |)""".stripMargin
+
+  /** Oracle WITH-prefix shared by the geo queries. */
+  def withWorld(extra: String*): String =
+    (Seq("WITH " + GeoWorld.pointsCte, GeoWorld.areasCte, GeoWorld.spansFlatCte) ++ extra)
+      .mkString(",\n") + "\n"
+
+  // --------------------------------------------------------------- encode
+
+  /** Cell-encode every point at the coarse + mid resolutions (the T7/T13
+    * mapping projection; north-star "batched codegen UDF"). */
+  def cellPoints(spark: SparkSession, sfDir: String): DataFrame = {
+    init(spark)
+    GeoWorld.points(spark, sfDir).select(
+      col("pid"),
+      CellFunctions.zcell(col("lon"), col("lat"), lit(RES_COARSE)).as("cell9"),
+      CellFunctions.zcell(col("lon"), col("lat"), lit(RES_MID)).as("cell11"),
+      CellFunctions.zcellParent(
+        CellFunctions.zcell(col("lon"), col("lat"), lit(RES_MID)), lit(RES_MID), lit(RES_COARSE)).as("parent9"))
+  }
+
+  val cellPointsSql: String =
+    withWorld() +
+      s"""SELECT pid,
+         |       ${CellSql.encode("lon", "lat", RES_COARSE)} AS cell9,
+         |       ${CellSql.encode("lon", "lat", RES_MID)} AS cell11,
+         |       ${CellSql.parent(CellSql.encode("lon", "lat", RES_MID), RES_MID, RES_COARSE)} AS parent9
+         |FROM pts""".stripMargin
+
+  // ------------------------------------------------------------------ PIP
+
+  /** Areas of one admin level with their exploded cover-cell join keys. */
+  private def areaCells(spark: SparkSession, sfDir: String, level: Int, res: Int): DataFrame =
+    GeoWorld.areas(spark, sfDir).filter(col("level") === level)
+      .withColumn("cell", explode(GeoWorld.coverCells(col("lon0"), col("lat0"), col("lon1"), col("lat1"), res)))
+
+  /**
+   * Point-in-polygon admin lookup (the reference's flagship Q3,
+   * Queries.scala:304-315): which level-`level` area contains each point?
+   * Cover-cells of the (small) area side are exploded and broadcast; the
+   * billion-row point side is cell-encoded with the codegen expression and
+   * hash-joined WITHOUT a shuffle; candidates are refined with the exact JTS
+   * predicate. At 100 TB the point side streams straight from the scan
+   * through one WholeStageCodegen span into the broadcast join.
+   */
+  def pipLookup(spark: SparkSession, sfDir: String, level: Int = 6): DataFrame = {
+    init(spark)
+    val pts = GeoWorld.points(spark, sfDir)
+      .withColumn("cell", CellFunctions.zcell(col("lon"), col("lat"), lit(RES_COARSE)))
+    val ac = areaCells(spark, sfDir, level, RES_COARSE)
+    pts.join(broadcast(ac), "cell")
+      .filter(GeoCols.geoContainsPoint(col("wkb"), col("lon"), col("lat")))
+      .select(col("pid"), col("area_id"), col("area_name"))
+  }
+
+  def pipLookupSql(level: Int = 6): String =
+    withWorld() +
+      s"""SELECT p.pid, a.area_id, a.area_name
+         |FROM pts p JOIN areas a
+         |  ON a.level = $level
+         | AND p.lon > a.lon0 AND p.lon < a.lon1
+         | AND p.lat > a.lat0 AND p.lat < a.lat1""".stripMargin
+
+  // ---------------------------------------------------------- containment
+
+  /**
+   * Area-containment join (reference Q5, Queries.scala:320-341): which
+   * child areas (level 9 districts) lie within which parent areas (level 6)?
+   * Both sides explode their cover cells, equi-join on cell, dedup the
+   * candidate pair, then refine with the reference `within` (exact
+   * forall/exists + fuzzy-0.9 fallback).
+   */
+  def containmentJoin(spark: SparkSession, sfDir: String, childLevel: Int = 9, parentLevel: Int = 6): DataFrame = {
+    init(spark)
+    val child = areaCells(spark, sfDir, childLevel, RES_COARSE)
+      .select(col("area_id").as("child_id"), col("wkb").as("child_wkb"), col("cell"))
+    val parent = areaCells(spark, sfDir, parentLevel, RES_COARSE)
+      .select(col("area_id").as("parent_id"), col("wkb").as("parent_wkb"), col("cell"))
+    child.join(broadcast(parent), "cell")
+      .dropDuplicates("child_id", "parent_id") // exact dedup replaces the reference's Bloom (Queries.scala:330)
+      .filter(GeoCols.geoWithin(col("child_wkb"), col("parent_wkb")))
+      .select(col("child_id"), col("parent_id"))
+  }
+
+  def containmentJoinSql(childLevel: Int = 9, parentLevel: Int = 6): String =
+    withWorld() +
+      s"""SELECT c.area_id AS child_id, p.area_id AS parent_id
+         |FROM areas c JOIN areas p
+         |  ON c.level = $childLevel AND p.level = $parentLevel
+         | AND c.lon0 >= p.lon0 AND c.lon1 <= p.lon1
+         | AND c.lat0 >= p.lat0 AND c.lat1 <= p.lat1""".stripMargin
+
+  // ------------------------------------------------------------------ POI
+
+  /** POIs-from-area (reference Q6, Queries.scala:188-209): all points with a
+    * given tag inside each level-6 area, cell-joined at the 20 km-analog
+    * resolution then exactly refined. */
+  def poiFromArea(spark: SparkSession, sfDir: String, tagK: String = "amenity", tagV: String = "cat_3"): DataFrame = {
+    init(spark)
+    val pts = GeoWorld.points(spark, sfDir)
+      .filter(col("tag_k") === tagK && col("tag_v") === tagV)
+      .withColumn("cell", CellFunctions.zcell(col("lon"), col("lat"), lit(RES_MID)))
+    val ac = areaCells(spark, sfDir, 6, RES_MID)
+    pts.join(broadcast(ac), "cell")
+      .filter(GeoCols.geoContainsPoint(col("wkb"), col("lon"), col("lat")))
+      .select(col("area_id"), col("pid"), col("name"))
+  }
+
+  def poiFromAreaSql(tagK: String = "amenity", tagV: String = "cat_3"): String =
+    withWorld() +
+      s"""SELECT a.area_id, p.pid, p.name
+         |FROM pts p JOIN areas a
+         |  ON a.level = 6
+         | AND p.tag_k = '$tagK' AND p.tag_v = '$tagV'
+         | AND p.lon > a.lon0 AND p.lon < a.lon1
+         | AND p.lat > a.lat0 AND p.lat < a.lat1""".stripMargin
+
+  /** POIs-by-cell (reference Q7, Queries.scala:170-185): cell membership
+    * ONLY, deliberately no geometric refine — reproduced as-is. */
+  def poiByCell(spark: SparkSession, sfDir: String, tagK: String = "shop"): DataFrame = {
+    init(spark)
+    val pts = GeoWorld.points(spark, sfDir)
+      .filter(col("tag_k") === tagK)
+      .withColumn("cell", CellFunctions.zcell(col("lon"), col("lat"), lit(RES_MID)))
+    val pr = probes(spark, sfDir)
+      .withColumn("cell", CellFunctions.zcell(col("qlon"), col("qlat"), lit(RES_MID)))
+    pts.join(broadcast(pr), "cell").select(col("qid"), col("pid"))
+  }
+
+  def poiByCellSql(tagK: String = "shop"): String =
+    withWorld(probesCte) +
+      s"""SELECT q.qid, p.pid
+         |FROM pts p JOIN probes q
+         |  ON p.tag_k = '$tagK'
+         | AND ${CellSql.encode("p.lon", "p.lat", RES_MID)} = ${CellSql.encode("q.qlon", "q.qlat", RES_MID)}""".stripMargin
+
+  // ------------------------------------------------------------ kNN / radius
+
+  /**
+   * kNN nearest-POI per probe (reference Q8 substrate + north-star ranking):
+   * exact top-k by haversine with a per-probe window. The probe set is tiny
+   * and broadcast; the point side is scanned once — at 100 TB this is a
+   * single pass with a partial top-k (window over cell-partitioned data
+   * would add a shuffle; the broadcast-NL join + window on qid keeps exactly
+   * one shuffle of size |points| x |probes| / prune).
+   * A cell-ring pre-prune (radius bound) keeps the pair count linear.
+   */
+  def knn(spark: SparkSession, sfDir: String, k: Int = 5, pruneM: Double = 600000.0): DataFrame = {
+    init(spark)
+    val pts = GeoWorld.points(spark, sfDir)
+    val pr = probes(spark, sfDir)
+    val dist = GeoCols.haversineM(col("lon"), col("lat"), col("qlon"), col("qlat"))
+    val w = Window.partitionBy("qid").orderBy(col("dist_m"), col("pid"))
+    pts.crossJoin(broadcast(pr))
+      .withColumn("dist_m", dist)
+      .filter(col("dist_m") <= pruneM) // safe prune: every probe has >= k points within pruneM by construction
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("pid"), round(col("dist_m"), 3).as("dist_m"))
+  }
+
+  def knnSql(k: Int = 5, pruneM: Double = 600000.0): String = {
+    val dist = GeoCols.haversineSql("p.lon", "p.lat", "q.qlon", "q.qlat")
+    withWorld(probesCte) +
+      s"""SELECT qid, CAST(rank AS INTEGER) AS rank, pid, dist_m FROM (
+         |  SELECT q.qid, p.pid, ROUND($dist, 3) AS dist_m,
+         |         ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY $dist, p.pid) AS rank
+         |  FROM pts p CROSS JOIN probes q
+         |  WHERE $dist <= $pruneM
+         |) WHERE rank <= $k""".stripMargin
+  }
+
+  /**
+   * Radius query (reference Q8, Queries.scala:211-262): cell-ring expansion
+   * around each probe (the k-ring analog of `radiusToBoundingBoxes`), coarse
+   * equi-join on cell, exact haversine refine <= radius.
+   */
+  def radius(spark: SparkSession, sfDir: String, radiusM: Double = 150000.0, ringK: Int = 6): DataFrame = {
+    init(spark)
+    val pts = GeoWorld.points(spark, sfDir)
+      .withColumn("cell", CellFunctions.zcell(col("lon"), col("lat"), lit(RES_COARSE)))
+    val pr = probes(spark, sfDir)
+      .withColumn("cell", explode(call_function("zcell_ring",
+        CellFunctions.zcell(col("qlon"), col("qlat"), lit(RES_COARSE)), lit(RES_COARSE), lit(ringK))))
+    pts.join(broadcast(pr), "cell")
+      .filter(GeoCols.haversineM(col("lon"), col("lat"), col("qlon"), col("qlat")) <= radiusM)
+      .select(col("qid"), col("pid"))
+  }
+
+  def radiusSql(radiusM: Double = 150000.0): String = {
+    val dist = GeoCols.haversineSql("p.lon", "p.lat", "q.qlon", "q.qlat")
+    withWorld(probesCte) +
+      s"""SELECT q.qid, p.pid
+         |FROM pts p CROSS JOIN probes q
+         |WHERE $dist <= $radiusM""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- tiles
+
+  /** Tile assignment: every point → its slippy-map tile at zoom z (the
+    * north-star raster/vector tiling surface; cell math in [[CellIndex]]). */
+  def tileAssign(spark: SparkSession, sfDir: String, z: Int = 7): DataFrame = {
+    init(spark)
+    spark.udf.register("tile_x", (lon: Double, zz: Int) => CellIndex.tileX(lon, zz))
+    spark.udf.register("tile_y", (lat: Double, zz: Int) => CellIndex.tileY(lat, zz))
+    GeoWorld.points(spark, sfDir).select(
+      col("pid"),
+      lit(z).as("z"),
+      call_function("tile_x", col("lon"), lit(z)).as("tx"),
+      call_function("tile_y", col("lat"), lit(z)).as("ty"))
+  }
+
+  def tileAssignSql(z: Int = 7): String =
+    withWorld() +
+      s"""SELECT pid, $z AS z,
+         |       ${CellSql.tileX("lon", z)} AS tx,
+         |       ${CellSql.tileY("lat", z)} AS ty
+         |FROM pts""".stripMargin
+
+  /** Raster-tile <-> vector-feature co-assignment: media spans and vector
+    * (point) spans bucketed to the same tile grid and joined per tile. */
+  def rasterVector(spark: SparkSession, sfDir: String, z: Int = 7): DataFrame = {
+    init(spark)
+    spark.udf.register("tile_x", (lon: Double, zz: Int) => CellIndex.tileX(lon, zz))
+    spark.udf.register("tile_y", (lat: Double, zz: Int) => CellIndex.tileY(lat, zz))
+    GeoWorld.points(spark, sfDir)
+      .select(
+        lit(z).as("z"),
+        call_function("tile_x", col("lon"), lit(z)).as("tx"),
+        call_function("tile_y", col("lat"), lit(z)).as("ty"),
+        col("is_media"))
+      .groupBy("z", "tx", "ty")
+      .agg(
+        sum(when(col("is_media"), 1L).otherwise(0L)).as("n_media"),
+        sum(when(col("is_media"), 0L).otherwise(1L)).as("n_vector"))
+  }
+
+  def rasterVectorSql(z: Int = 7): String =
+    withWorld() +
+      s"""SELECT $z AS z,
+         |       ${CellSql.tileX("lon", z)} AS tx,
+         |       ${CellSql.tileY("lat", z)} AS ty,
+         |       SUM(CASE WHEN is_media THEN 1 ELSE 0 END) AS n_media,
+         |       SUM(CASE WHEN is_media THEN 0 ELSE 1 END) AS n_vector
+         |FROM pts
+         |GROUP BY 1, 2, 3""".stripMargin
+
+  // ------------------------------------------------- counts / name search
+
+  /** Count-by-cell (reference S8 `countBB`). */
+  def countsByCell(spark: SparkSession, sfDir: String): DataFrame = {
+    init(spark)
+    GeoWorld.points(spark, sfDir)
+      .groupBy(CellFunctions.zcell(col("lon"), col("lat"), lit(RES_COARSE)).as("cell"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val countsByCellSql: String =
+    withWorld() +
+      s"""SELECT ${CellSql.encode("lon", "lat", RES_COARSE)} AS cell, COUNT(*) AS n
+         |FROM pts GROUP BY 1""".stripMargin
+
+  /** Name search (reference S10 ES index collapsed to a predicate —
+    * SURVEY.md S10: reference uses hits only, not ranking). */
+  def nameSearch(spark: SparkSession, sfDir: String, q: String = "poi_1234"): DataFrame = {
+    init(spark)
+    GeoWorld.points(spark, sfDir)
+      .filter(col("name").startsWith(q))
+      .select(col("pid"), col("name"), col("tag_k"), col("tag_v"))
+  }
+
+  def nameSearchSql(q: String = "poi_1234"): String =
+    withWorld() +
+      s"""SELECT pid, name, tag_k, tag_v
+         |FROM pts WHERE name LIKE '$q%'""".stripMargin
+
+  // --------------------------------------- normalize / assemble (T3 / T4)
+
+  /** Normalize: interleaved docs → flat feature rows, span order preserved
+    * (the input_hint invariant). Built from the NESTED docs table so the
+    * explode path is genuinely exercised. */
+  def normalize(spark: SparkSession, sfDir: String): DataFrame = {
+    init(spark)
+    GeoWorld.docs(spark, sfDir)
+      .select(col("doc_id"), explode(col("spans")).as("s"))
+      .select(
+        col("doc_id"),
+        col("s.offset").as("offset"),
+        col("s.kind").as("kind"),
+        col("s.text").as("text"),
+        col("s.media_ref").as("media_ref"),
+        (lit(GeoWorld.LON0) + split(col("s.text"), ",").getItem(0).cast("long") / 1000.0 + GeoWorld.OFF).as("lon"),
+        (lit(GeoWorld.LAT0) + split(col("s.text"), ",").getItem(1).cast("long") / 1000.0 + GeoWorld.OFF).as("lat"))
+  }
+
+  val normalizeSql: String =
+    withWorld() +
+      s"""SELECT doc_id, "offset", kind, text, media_ref, lon, lat
+         |FROM spansf""".stripMargin
+
+  /** Span-sequence round-trip invariant: docs → normalize → re-assemble in
+    * span order → per-doc md5 fingerprint of (kind|text|media_ref|offset).
+    * The oracle recomputes the same fingerprint from the flat span view; a
+    * hash match proves per-row span-sequence equality through the shuffle
+    * (SURVEY.md §7.5 "span order"). */
+  def spanRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = normalize(spark, sfDir)
+    n.select(col("doc_id"),
+        struct(col("offset"), col("kind"), col("text"), col("media_ref")).as("s"))
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(col("s"))).as("ss"))
+      .select(col("doc_id"),
+        md5(concat_ws(";", transform(col("ss"), s =>
+          concat_ws("|", s.getField("kind"), s.getField("text"),
+            s.getField("media_ref"), s.getField("offset").cast("string")))).cast("binary")).as("fp"),
+        size(col("ss")).as("n_spans"))
+  }
+
+  val spanRoundtripSql: String =
+    withWorld() +
+      s"""SELECT doc_id,
+         |       MD5(STRING_AGG(kind || '|' || text || '|' || media_ref || '|' || CAST("offset" AS VARCHAR), ';' ORDER BY "offset")) AS fp,
+         |       CAST(COUNT(*) AS INTEGER) AS n_spans
+         |FROM spansf GROUP BY doc_id""".stripMargin
+
+  /**
+   * Way assembly (reference T3, the canonical lookup JOIN #1 — WayFlow.scala:
+   * 27-49): each doc's point spans act as node refs; resolve each ref
+   * against the point table by id (a real equi-join), then rebuild the
+   * ordered LineString. `array_sort` by the captured offset restores span
+   * order after the shuffle.
+   */
+  def wayAssemble(spark: SparkSession, sfDir: String): DataFrame = {
+    init(spark)
+    val refs = GeoWorld.docs(spark, sfDir)
+      .select(col("doc_id"), explode(col("spans")).as("s"))
+      .select(col("doc_id"), col("s.offset").as("offset"),
+        // node ref id: doc ordinal * 8 + span offset (how the world was built)
+        (split(col("doc_id"), "_").getItem(1).cast("long") * 8 + col("s.offset")).as("ref"))
+    val nodes = GeoWorld.points(spark, sfDir).select(col("pid"), col("lonm"), col("latm"))
+    refs.join(nodes, refs("ref") === nodes("pid"))
+      .select(col("doc_id"), struct(col("offset"),
+        concat(col("lonm").cast("string"), lit(" "), col("latm").cast("string")).as("xy")).as("s"))
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(col("s"))).as("ss"))
+      .filter(size(col("ss")) >= 2)
+      .select(col("doc_id"),
+        concat(lit("LINESTRING("),
+          concat_ws(",", transform(col("ss"), s => s.getField("xy"))),
+          lit(")")).as("wkt"))
+  }
+
+  val wayAssembleSql: String =
+    withWorld() +
+      s"""SELECT doc_id,
+         |       'LINESTRING(' || STRING_AGG(CAST(lonm AS VARCHAR) || ' ' || CAST(latm AS VARCHAR), ',' ORDER BY "offset") || ')' AS wkt
+         |FROM (SELECT s.doc_id, s."offset" AS "offset", p.lonm, p.latm
+         |      FROM spansf s JOIN pts p ON p.pid = s.pid)
+         |GROUP BY doc_id HAVING COUNT(*) >= 2""".stripMargin
+}
