@@ -1,0 +1,120 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.cell.CellIndex._
+
+/**
+ * Golden + property tests for the cell index, mirroring the reference's
+ * golden cell-assignment assertions (reference: query-engine/src/test/.../
+ * QueriesSpec.scala:81 pins a literal cell id for a fixed lon/lat).
+ */
+class CellIndexSpec extends AnyFunSuite {
+
+  // Seeded sampling stands in for scalacheck's forAll (the scalatestplus
+  // bridge is not resolvable offline); 500 deterministic samples per law.
+  private def samples[A](f: scala.util.Random => A): Seq[A] = {
+    val rnd = new scala.util.Random(42)
+    (0 until 500).map(_ => f(rnd))
+  }
+  private def lonLat(rnd: scala.util.Random): (Double, Double) =
+    (rnd.nextDouble() * 359.998 - 179.999, rnd.nextDouble() * 179.998 - 89.999)
+
+  test("golden cell assignments (fixed lon/lat -> fixed cell id)") {
+    // The reference's own first-test point (Duisburg, QueriesSpec.scala:79).
+    assert(encode(6.757042407989502, 51.43089564458017, RES_COARSE) === 213382L)
+    assert(encode(6.757042407989502, 51.43089564458017, RES_MID) === 3414121L)
+    assert(encode(-20.0 + 0.0002, 30.0 + 0.0002, RES_COARSE) === 112923L)
+    assert(encode(0.0, 0.0, RES_COARSE) === 196608L)
+    assert(encode(179.9999, 89.9999, RES_COARSE) === 262143L)
+    assert(encode(-180.0, -90.0, RES_COARSE) === 0L)
+    assert(encode(6.757, 51.431, RES_FINE) === 218503755L)
+  }
+
+  test("spread/compact are inverses") {
+    samples(r => (r.nextLong() >>> 32)).foreach { v =>
+      assert(compact(spread(v)) === v)
+    }
+  }
+
+  test("encode splits into recoverable x/y") {
+    samples { rnd => val (lon, lat) = lonLat(rnd); (lon, lat, 2 + rnd.nextInt(27)) }.foreach {
+      case (lon, lat, r) =>
+        val c = encode(lon, lat, r)
+        assert(cellX(c) === ix(lon, r))
+        assert(cellY(c) === iy(lat, r))
+    }
+  }
+
+  test("parent == encode at coarser resolution") {
+    samples(lonLat).foreach { case (lon, lat) =>
+      val fine = encode(lon, lat, RES_MID)
+      assert(parent(fine, RES_MID, RES_COARSE) === encode(lon, lat, RES_COARSE))
+    }
+  }
+
+  test("bounds contain the encoded point") {
+    samples { rnd => val (lon, lat) = lonLat(rnd); (lon, lat, 2 + rnd.nextInt(27)) }.foreach {
+      case (lon, lat, r) =>
+        val (x0, y0, x1, y1) = bounds(encode(lon, lat, r), r)
+        assert(lon >= x0 && lon < x1 + 1e-9)
+        assert(lat >= y0 && lat < y1 + 1e-9)
+    }
+  }
+
+  test("rectCover covers every interior point and nothing else at the corners") {
+    val cover = rectCover(5.0, 50.0, 7.0, 51.0, RES_MID).toSet
+    assert(cover.contains(encode(5.5, 50.5, RES_MID)))
+    assert(cover.contains(encode(5.0, 50.0, RES_MID)))
+    assert(cover.contains(encode(6.999, 50.999, RES_MID)))
+    assert(!cover.contains(encode(10.0, 50.5, RES_MID)))
+    // cover size = x-extent * y-extent of the index ranges
+    val nx = ix(7.0, RES_MID) - ix(5.0, RES_MID) + 1
+    val ny = iy(51.0, RES_MID) - iy(50.0, RES_MID) + 1
+    assert(cover.size === (nx * ny))
+  }
+
+  test("ring(k) is the (2k+1)^2 block away from domain edges and contains the centre") {
+    val c = encode(6.757, 51.431, RES_COARSE)
+    val r1 = ring(c, RES_COARSE, 1)
+    assert(r1.length === 9)
+    assert(r1.contains(c))
+    val r0 = ring(c, RES_COARSE, 0)
+    assert(r0.toSeq === Seq(c))
+    // clipped at the corner of the domain
+    assert(ring(encode(-180.0, -90.0, RES_COARSE), RES_COARSE, 1).length === 4)
+  }
+
+  test("ring cells are exactly those within Chebyshev distance k") {
+    samples { rnd => val (lon, lat) = lonLat(rnd); (lon, lat, 1 + rnd.nextInt(4)) }.foreach {
+      case (lon, lat, k) =>
+        val c = encode(lon, lat, RES_COARSE)
+        val cx = cellX(c); val cy = cellY(c)
+        ring(c, RES_COARSE, k).foreach { m =>
+          assert(math.abs(cellX(m) - cx) <= k && math.abs(cellY(m) - cy) <= k)
+        }
+    }
+  }
+
+  test("slippy tile assignment matches the OSM formula spot checks") {
+    // zoom 0: everything in tile (0,0)
+    assert(tileX(6.757, 0) === 0L && tileY(51.431, 0) === 0L)
+    // well-known: lon 0, lat 0 at z=1 -> tile (1, 1) boundary: x=1, y=1
+    assert(tileX(0.0, 1) === 1L && tileY(0.0, 1) === 1L)
+    // Duisburg at z=10 (OSM slippy calculator: 531, 340)
+    assert(tileX(6.757, 10) === 531L)
+    assert(tileY(51.431, 10) === 340L)
+  }
+
+  test("tileId packs and is unique per (z,x,y)") {
+    val a = tileId(7, 66, 43); val b = tileId(7, 66, 44); val c = tileId(8, 66, 43)
+    assert(a !== b); assert(a !== c)
+    assert((a >> 56).toInt === 7)
+  }
+
+  test("parent at same res is identity; parent ordering is prefix-monotone") {
+    samples(lonLat).foreach { case (lon, lat) =>
+      val c = encode(lon, lat, RES_MID)
+      assert(parent(c, RES_MID, RES_MID) === c)
+    }
+  }
+}

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.gen.GeoWorld
+import graft.query.GeoQueries
+
+/**
+ * Golden end-to-end query suite over the deterministic world at sf0.001 —
+ * the Spark analog of the reference's golden-count E2E tests (reference:
+ * QueriesSpec.scala:137-174 pins literal membership counts).
+ */
+class GeoQueriesSpec extends SparkSpec {
+
+  test("every point lands in exactly one nation and one district (PIP total = point count)") {
+    val nPts = GeoWorld.points(spark, sfDir).count()
+    val pipN = GeoQueries.pipLookup(spark, sfDir, level = 6)
+    assert(pipN.count() === nPts)
+    assert(pipN.select("pid").distinct().count() === nPts)
+    val pipD = GeoQueries.pipLookup(spark, sfDir, level = 9)
+    assert(pipD.count() === nPts)
+  }
+
+  test("PIP assignment matches the arithmetic truth (nation = f(point coords))") {
+    // nation rect: region g = floor((lon-LON0)/12); idx = floor((lat-LAT0)/7.2)
+    val got = GeoQueries.pipLookup(spark, sfDir, level = 6)
+      .join(GeoWorld.points(spark, sfDir), "pid")
+      .select(col("pid"), col("area_id"), col("lon"), col("lat"))
+      .collect()
+    // independent recomputation on the driver (no Spark, no JTS)
+    got.foreach { r =>
+      val lon = r.getDouble(2); val lat = r.getDouble(3)
+      val g = math.floor((lon - GeoWorld.LON0) / GeoWorld.REGION_W).toInt
+      val idx = math.floor((lat - GeoWorld.LAT0) / GeoWorld.NATION_H).toInt
+      // area_id = 200 + nationkey where nation is the idx-th of region g
+      val nationKeys = nationKeysByRegion(g)
+      assert(r.getLong(1) === 200L + nationKeys(idx), s"pid=${r.getLong(0)}")
+    }
+  }
+
+  private lazy val nationKeysByRegion: Map[Int, Seq[Int]] = {
+    val n = spark.read.parquet(s"$sfDir/nation.parquet")
+      .select("n_nationkey", "n_regionkey").collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    n.groupBy(_._2).map { case (g, ks) => g -> ks.map(_._1).sorted.toSeq }
+  }
+
+  test("containment join: each district within exactly its own nation (150 pairs)") {
+    val pairs = GeoQueries.containmentJoin(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.size === 150)
+    // district 10000 + nk*10 + j is inside nation 200 + nk
+    pairs.foreach { case (child, parent) =>
+      assert(parent === 200L + (child - 10000L) / 10L)
+    }
+  }
+
+  test("districts are within their region too (level 9 in level 2, 150 pairs)") {
+    val pairs = GeoQueries.containmentJoin(spark, sfDir, childLevel = 9, parentLevel = 2).count()
+    assert(pairs === 150L)
+  }
+
+  test("span-sequence invariant: normalize preserves (kind, text, media_ref, offset) per row") {
+    val docs = GeoWorld.docs(spark, sfDir)
+    val flat = GeoQueries.normalize(spark, sfDir)
+    // re-assemble flat rows into ordered span lists and compare to the docs
+    val reassembled = flat
+      .select(col("doc_id"), struct(col("offset"), col("kind"), col("text"), col("media_ref")).as("s"))
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(col("s"))).as("spans0"))
+      .select(col("doc_id"), transform(col("spans0"), s => struct(
+        s.getField("kind").as("kind"), s.getField("text").as("text"),
+        s.getField("media_ref").as("media_ref"), s.getField("offset").as("offset"))).as("spans"))
+    val diff = docs.join(reassembled, "doc_id")
+      .filter(docs("spans") =!= reassembled("spans"))
+    assert(diff.count() === 0L)
+    assert(reassembled.count() === docs.count())
+  }
+
+  test("kNN ranks are dense 1..k per probe and distances non-decreasing") {
+    val rows = GeoQueries.knn(spark, sfDir, k = 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(3)))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.size === 25) // one group per nation probe
+    byQ.values.foreach { g =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1 to 5))
+      assert(sorted.map(_._3).toSeq === sorted.map(_._3).sorted.toSeq)
+    }
+  }
+
+  test("radius query: cell-ring join result equals brute-force haversine filter") {
+    val viaCells = GeoQueries.radius(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pts = GeoWorld.points(spark, sfDir).select("pid", "lon", "lat").collect()
+    val probes = GeoQueries.probes(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val brute = (for {
+      (qid, qlon, qlat) <- probes
+      p <- pts if graft.geom.Geo.haversineM(p.getDouble(1), p.getDouble(2), qlon, qlat) <= 150000.0
+    } yield (qid, p.getLong(0))).toSet
+    assert(viaCells === brute)
+  }
+
+  test("tile assignment round-trips through cell bounds") {
+    val t = GeoQueries.tileAssign(spark, sfDir, z = 7)
+    assert(t.filter(col("tx") < 0 || col("ty") < 0 || col("tx") > 127 || col("ty") > 127).count() === 0)
+    assert(t.count() === GeoWorld.points(spark, sfDir).count())
+  }
+}
