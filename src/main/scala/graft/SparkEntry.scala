@@ -41,6 +41,20 @@ object SparkEntry {
     "q_normalize" -> ((s, d) => GeoQueries.normalize(s, d)),
     "q_span_roundtrip" -> ((s, d) => GeoQueries.spanRoundtrip(s, d)),
     "q_way_assemble" -> ((s, d) => GeoQueries.wayAssemble(s, d)),
+    // training-data text pipeline (dedup / similarity / analysis)
+    "q_text_exact_dedup" -> ((s, d) => graft.text.TextOps.exactDedup(s, d)),
+    "q_text_lang_id" -> ((s, d) => graft.text.TextOps.langId(s, d)),
+    "q_text_quality" -> ((s, d) => graft.text.TextOps.qualityScore(s, d)),
+    "q_text_tokens" -> ((s, d) => graft.text.TextOps.tokenCount(s, d)),
+    "q_text_fingerprint" -> ((s, d) => graft.text.TextOps.fingerprint(s, d)),
+    "q_text_minhash_sig" -> ((s, d) => graft.text.TextOps.minhashSignatures(s, d)),
+    "q_text_minhash_pairs" -> ((s, d) => graft.text.TextOps.minhashPairs(s, d)),
+    "q_text_simhash" -> ((s, d) => graft.text.TextOps.simhash(s, d)),
+    "q_text_ngram_jaccard" -> ((s, d) => graft.text.TextOps.ngramJaccard(s, d)),
+    // similarity search over embeddings
+    "q_embed_topk" -> ((s, d) => graft.vector.VectorOps.cosineTopK(s, d)),
+    "q_embed_lsh_ann" -> ((s, d) => graft.vector.VectorOps.lshTopK(s, d)),
+    "q_embed_buckets" -> ((s, d) => graft.vector.VectorOps.bucketHistogram(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -59,5 +73,17 @@ object SparkEntry {
     "q_normalize" -> GeoQueries.normalizeSql,
     "q_span_roundtrip" -> GeoQueries.spanRoundtripSql,
     "q_way_assemble" -> GeoQueries.wayAssembleSql,
+    "q_text_exact_dedup" -> graft.text.TextOps.exactDedupSql,
+    "q_text_lang_id" -> graft.text.TextOps.langIdSql,
+    "q_text_quality" -> graft.text.TextOps.qualityScoreSql,
+    "q_text_tokens" -> graft.text.TextOps.tokenCountSql,
+    "q_text_fingerprint" -> graft.text.TextOps.fingerprintSql,
+    "q_text_minhash_sig" -> graft.text.TextOps.minhashSignaturesSql,
+    "q_text_minhash_pairs" -> graft.text.TextOps.minhashPairsSql,
+    "q_text_simhash" -> graft.text.TextOps.simhashSql,
+    "q_text_ngram_jaccard" -> graft.text.TextOps.ngramJaccardSql,
+    "q_embed_topk" -> graft.vector.VectorOps.cosineTopKSql(),
+    "q_embed_lsh_ann" -> graft.vector.VectorOps.lshTopKSql(),
+    "q_embed_buckets" -> graft.vector.VectorOps.bucketHistogramSql,
   )
 }

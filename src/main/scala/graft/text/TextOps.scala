@@ -1,0 +1,341 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Training-data text pipeline over the `documents` table: exact dedup,
+ * MinHash+LSH near-dup candidate pairs, SimHash, n-gram Jaccard, language
+ * ID, quality scoring, token counting, document fingerprinting.
+ *
+ * Everything is built from codegen'd built-ins (no UDFs): the portable
+ * 32-bit token hash is `conv(substr(md5(s),1,8),16,10)` which DuckDB
+ * reproduces as `CAST('0x'||substr(md5(s),1,8) AS BIGINT)` — md5 over UTF-8
+ * is bit-identical across engines, so every hash-derived result is
+ * oracle-checkable.
+ *
+ * The synthetic corpus has no natural duplicates, so the dedup operators run
+ * over an augmented corpus with DETERMINISTIC injected duplicates:
+ * doc_id%7==0 -> near-dup (first word dropped) at id+10000;
+ * doc_id%11==0 -> exact dup at id+20000.
+ */
+object TextOps {
+
+  final val P = 2147483647L // 2^31-1, modulus for the minhash permutations
+  final val N_HASH = 16
+  final val BANDS = 4
+  final val ROWS_PER_BAND = 4 // N_HASH / BANDS
+  /** Seeded odd multipliers/offsets for the 16 minhash permutations. */
+  val A: IndexedSeq[Long] = (0 until N_HASH).map(j => 2L * j * j + 3L * j + 1L)
+  val B: IndexedSeq[Long] = (0 until N_HASH).map(j => 7L * j + 13L)
+
+  // ---------------------------------------------------------------- corpus
+
+  def corpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text", "lang", "source")
+    val near = d.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 10000).as("doc_id"),
+        expr("substr(text, instr(text, ' ') + 1)").as("text"),
+        col("lang"), col("source"))
+    val exact = d.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 20000).as("doc_id"), col("text"), col("lang"), col("source"))
+    d.unionByName(near).unionByName(exact)
+  }
+
+  val corpusCte: String =
+    """corpus AS (
+      |  SELECT doc_id, text, lang, source FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000, substr(text, instr(text, ' ') + 1), lang, source
+      |  FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 20000, text, lang, source FROM documents WHERE doc_id % 11 = 0
+      |)""".stripMargin
+
+  def withCorpus(extra: String*): String =
+    (Seq("WITH " + corpusCte) ++ extra).mkString(",\n") + "\n"
+
+  // ----------------------------------------------------------- exact dedup
+
+  /** Exact dedup by content hash (hash-groupBy; at scale this is a single
+    * shuffle on the 128-bit digest with map-side combine). Emits one row per
+    * duplicate GROUP: (fp, n_docs, keep_id = min doc_id). */
+  def exactDedup(spark: SparkSession, sfDir: String): DataFrame =
+    corpus(spark, sfDir)
+      .groupBy(md5(col("text").cast("binary")).as("fp"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+      .filter(col("n_docs") > 1)
+
+  val exactDedupSql: String =
+    withCorpus() +
+      """SELECT md5(text) AS fp, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+        |FROM corpus GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin
+
+  // ------------------------------------------------------------- langid
+
+  private val stopwords = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "un"))
+
+  private def hits(lang: String): Column = {
+    val set = stopwords(lang)
+    size(filter(split(col("text"), " "), w => w.isInCollection(set))).cast("long").as(s"${lang}_hits")
+  }
+
+  private def hitsSql(lang: String): String = {
+    val in = stopwords(lang).map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(str_split(text, ' '), w -> w IN ($in)))"
+  }
+
+  /** Language ID: n-gram/stopword-count heuristic with a deterministic
+    * argmax tie-break (en > de > es > fr > und). */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val langs = Seq("en", "de", "es", "fr")
+    val base = corpus(spark, sfDir).select(Seq(col("doc_id")) ++ langs.map(hits): _*)
+    val en = col("en_hits"); val de = col("de_hits"); val es = col("es_hits"); val fr = col("fr_hits")
+    base.withColumn("pred_lang",
+      when(en === 0 && de === 0 && es === 0 && fr === 0, "und")
+        .when(en >= de && en >= es && en >= fr, "en")
+        .when(de >= es && de >= fr, "de")
+        .when(es >= fr, "es")
+        .otherwise("fr"))
+  }
+
+  val langIdSql: String =
+    withCorpus() +
+      s"""SELECT doc_id, en_hits, de_hits, es_hits, fr_hits,
+         |  CASE WHEN en_hits = 0 AND de_hits = 0 AND es_hits = 0 AND fr_hits = 0 THEN 'und'
+         |       WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+         |       WHEN de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+         |       WHEN es_hits >= fr_hits THEN 'es'
+         |       ELSE 'fr' END AS pred_lang
+         |FROM (SELECT doc_id,
+         |             ${hitsSql("en")} AS en_hits,
+         |             ${hitsSql("de")} AS de_hits,
+         |             ${hitsSql("es")} AS es_hits,
+         |             ${hitsSql("fr")} AS fr_hits
+         |      FROM corpus)""".stripMargin
+
+  // ---------------------------------------------------- quality + tokens
+
+  /** Quality scoring: length + stopword-ratio blend, rounded to 6 dp. */
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val nWords = size(words).cast("long")
+    val stopRatio = hits("en").cast("double") / nWords.cast("double")
+    corpus(spark, sfDir).select(
+      col("doc_id"),
+      nWords.as("n_words"),
+      round(stopRatio, 6).as("stop_ratio"),
+      round(least(lit(1.0), nWords.cast("double") / 200.0) * 0.5 + stopRatio * 0.5, 6).as("score"))
+  }
+
+  val qualityScoreSql: String =
+    withCorpus() +
+      s"""SELECT doc_id, n_words,
+         |       ROUND(stop_hits / CAST(n_words AS DOUBLE), 6) AS stop_ratio,
+         |       ROUND(LEAST(1.0, CAST(n_words AS DOUBLE) / 200.0) * 0.5 + stop_hits / CAST(n_words AS DOUBLE) * 0.5, 6) AS score
+         |FROM (SELECT doc_id,
+         |             len(str_split(text, ' ')) AS n_words,
+         |             CAST(${hitsSql("en")} AS DOUBLE) AS stop_hits
+         |      FROM corpus)""".stripMargin
+
+  /** Token counting: whitespace words + a BPE-ish ceil(len/4) subword
+    * estimate per word. */
+  def tokenCount(spark: SparkSession, sfDir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    corpus(spark, sfDir).select(
+      col("doc_id"),
+      size(words).cast("long").as("n_words"),
+      aggregate(words, lit(0L), (acc, w) => acc + floor((length(w) + 3) / 4).cast("long")).as("n_tokens"))
+  }
+
+  val tokenCountSql: String =
+    withCorpus() +
+      """SELECT doc_id,
+        |       len(str_split(text, ' ')) AS n_words,
+        |       CAST(list_sum(list_transform(str_split(text, ' '), w -> (length(w) + 3) // 4)) AS BIGINT) AS n_tokens
+        |FROM corpus""".stripMargin
+
+  // -------------------------------------------------------- fingerprinting
+
+  /** 3-word shingles of a text column (engine side). */
+  private def shingles(text: Column): Column = {
+    val words = split(text, " ")
+    val n = size(words)
+    when(n >= 3,
+      transform(sequence(lit(1), n - 2), i => concat_ws(" ", slice(words, i, lit(3)))))
+      .otherwise(array(text))
+  }
+
+  private val shinglesSql: String =
+    """CASE WHEN len(str_split(text, ' ')) >= 3
+      |     THEN list_transform(range(1, len(str_split(text, ' ')) - 1),
+      |                         i -> array_to_string((str_split(text, ' '))[i:i+2], ' '))
+      |     ELSE [text] END""".stripMargin
+
+  /** Document fingerprinting: whole-doc digest + min shingle digest (a
+    * 1-hash MinHash — the rolling-fingerprint analog, portable via md5). */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    corpus(spark, sfDir).select(
+      col("doc_id"),
+      md5(col("text").cast("binary")).as("fp"),
+      array_min(transform(shingles(col("text")), s => md5(s.cast("binary")))).as("min_shingle_fp"))
+
+  val fingerprintSql: String =
+    withCorpus() +
+      s"""SELECT doc_id, md5(text) AS fp,
+         |       list_min(list_transform($shinglesSql, s -> md5(s))) AS min_shingle_fp
+         |FROM corpus""".stripMargin
+
+  // --------------------------------------------------------- minhash + LSH
+
+  /** Portable 32-bit hash of a string column: first 8 md5 hex digits. */
+  private def h32(s: Column): Column =
+    conv(substring(md5(s.cast("binary")), 1, 8), 16, 10).cast("long")
+
+  private def h32Sql(s: String): String =
+    s"CAST('0x' || substr(md5($s), 1, 8) AS BIGINT)"
+
+  /** MinHash signature column `mh_j` over the shingle hashes. */
+  private def minhashCols: Seq[Column] = {
+    val sh = transform(shingles(col("text")), s => h32(s))
+    (0 until N_HASH).map { j =>
+      array_min(transform(sh, h => (lit(A(j)) * h + B(j)) % P)).as(s"mh_$j")
+    }
+  }
+
+  private def minhashColsSql: Seq[String] = {
+    val sh = s"list_transform($shinglesSql, s -> ${h32Sql("s")})"
+    (0 until N_HASH).map { j =>
+      s"list_min(list_transform($sh, h -> (${A(j)} * h + ${B(j)}) % $P)) AS mh_$j"
+    }
+  }
+
+  /** Per-doc MinHash signatures (also an output in its own right). */
+  def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame =
+    corpus(spark, sfDir).select(Seq(col("doc_id")) ++ minhashCols: _*)
+
+  val minhashSignaturesSql: String =
+    withCorpus() +
+      s"""SELECT doc_id, ${minhashColsSql.mkString(",\n       ")}
+         |FROM corpus""".stripMargin
+
+  /**
+   * MinHash + LSH near-dup candidate pairs: band the 16-hash signature into
+   * 4 bands of 4, bucket-join on (band, band_key), emit distinct pairs a<b
+   * with the exact shingle-set Jaccard. At scale: shuffle on band key
+   * (balanced by the hash), join within buckets only — never O(n^2).
+   */
+  def minhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val sig = minhashSignatures(spark, sfDir)
+    val bands = (0 until BANDS).map { b =>
+      val key = md5(concat_ws(",",
+        (0 until ROWS_PER_BAND).map(r => col(s"mh_${b * ROWS_PER_BAND + r}").cast("string")): _*).cast("binary"))
+      sig.select(col("doc_id"), lit(b).as("band"), key.as("bkey"))
+    }.reduce(_ unionByName _)
+    val l = bands.select(col("band"), col("bkey"), col("doc_id").as("a"))
+    val r = bands.select(col("band"), col("bkey"), col("doc_id").as("b"))
+    val cand = l.join(r, Seq("band", "bkey")).filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    // exact Jaccard refine on candidates (set semantics over shingles)
+    val sh = corpus(spark, sfDir).select(col("doc_id"),
+      array_distinct(shingles(col("text"))).as("sh"))
+    cand
+      .join(sh.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
+      .select(col("a"), col("b"),
+        round(
+          size(filter(col("sha"), x => array_contains(col("shb"), x))).cast("double") /
+            (size(col("sha")) + size(col("shb")) -
+              size(filter(col("sha"), x => array_contains(col("shb"), x)))).cast("double"),
+          6).as("jaccard"))
+  }
+
+  val minhashPairsSql: String = {
+    val bandKeys = (0 until BANDS).map { b =>
+      val parts = (0 until ROWS_PER_BAND).map(r => s"CAST(mh_${b * ROWS_PER_BAND + r} AS VARCHAR)").mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, md5($parts) AS bkey FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    withCorpus(
+      s"""sig AS (
+         |  SELECT doc_id, ${minhashColsSql.mkString(",\n       ")}
+         |  FROM corpus
+         |)""".stripMargin,
+      s"""bands AS (
+         |  $bandKeys
+         |)""".stripMargin,
+      s"""cand AS (
+         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM bands l JOIN bands r ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+         |)""".stripMargin,
+      s"""sh AS (
+         |  SELECT doc_id, list_distinct($shinglesSql) AS sh FROM corpus
+         |)""".stripMargin) +
+      """SELECT c.a, c.b,
+        |       ROUND(CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE)
+        |             / CAST(len(sa.sh) + len(sb.sh) - len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE), 6) AS jaccard
+        |FROM cand c
+        |JOIN sh sa ON sa.doc_id = c.a
+        |JOIN sh sb ON sb.doc_id = c.b""".stripMargin
+  }
+
+  // -------------------------------------------------------------- simhash
+
+  /** 32-bit SimHash over word hashes: bit b is 1 iff the sum of (+1/-1)
+    * votes from each word's hash bit b is positive. */
+  def simhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = transform(split(col("text"), " "), w => h32(w))
+    val bits = (0 until 32).map { b =>
+      val vote = aggregate(wh, lit(0L), (acc, h) =>
+        acc + when(shiftright(h, b) % 2 === 1, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L) * (1L << b)).otherwise(0L)
+    }
+    corpus(spark, sfDir).select(
+      col("doc_id"),
+      bits.reduce(_ + _).as("simhash"))
+  }
+
+  val simhashSql: String = {
+    val wh = s"list_transform(str_split(text, ' '), w -> ${h32Sql("w")})"
+    val bits = (0 until 32).map { b =>
+      s"CASE WHEN list_sum(list_transform($wh, h -> CASE WHEN (h >> $b) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << b} ELSE 0 END"
+    }.mkString("\n       + ")
+    withCorpus() +
+      s"""SELECT doc_id,
+         |       CAST($bits AS BIGINT) AS simhash
+         |FROM corpus""".stripMargin
+  }
+
+  // ------------------------------------------------------- ngram jaccard
+
+  /** Pairwise 3-gram Jaccard within (lang, source) groups — the n-gram
+    * near-dup measure without LSH (bounded by the small group size). */
+  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = corpus(spark, sfDir).select(col("doc_id"), col("lang"), col("source"),
+      array_distinct(shingles(col("text"))).as("sh"))
+    val l = sh.select(col("lang"), col("source"), col("doc_id").as("a"), col("sh").as("sha"))
+    val r = sh.select(col("lang"), col("source"), col("doc_id").as("b"), col("sh").as("shb"))
+    val inter = size(filter(col("sha"), x => array_contains(col("shb"), x)))
+    l.join(r, Seq("lang", "source")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(inter.cast("double") /
+          (size(col("sha")) + size(col("shb")) - inter).cast("double"), 6).as("jaccard"))
+      .filter(col("jaccard") > 0.2)
+  }
+
+  val ngramJaccardSql: String =
+    withCorpus(
+      s"""sh AS (
+         |  SELECT doc_id, lang, source, list_distinct($shinglesSql) AS sh FROM corpus
+         |)""".stripMargin) +
+      """SELECT a, b, jaccard FROM (
+        |  SELECT l.doc_id AS a, r.doc_id AS b,
+        |         ROUND(CAST(len(list_filter(l.sh, x -> list_contains(r.sh, x))) AS DOUBLE)
+        |               / CAST(len(l.sh) + len(r.sh) - len(list_filter(l.sh, x -> list_contains(r.sh, x))) AS DOUBLE), 6) AS jaccard
+        |  FROM sh l JOIN sh r ON l.lang = r.lang AND l.source = r.source AND l.doc_id < r.doc_id
+        |) WHERE jaccard > 0.2""".stripMargin
+}
