@@ -55,6 +55,14 @@ object SparkEntry {
     "q_embed_topk" -> ((s, d) => graft.vector.VectorOps.cosineTopK(s, d)),
     "q_embed_lsh_ann" -> ((s, d) => graft.vector.VectorOps.lshTopK(s, d)),
     "q_embed_buckets" -> ((s, d) => graft.vector.VectorOps.bucketHistogram(s, d)),
+    // index builders (T7/T9) + relation assembly (T4) + GeoJSON (Q18)
+    "q_mapping_table" -> ((s, d) => graft.index.IndexBuild.mappingTable(s, d)),
+    "q_cell_tag_table" -> ((s, d) => graft.index.IndexBuild.cellTagTable(s, d)),
+    "q_relation_assemble" -> ((s, d) => graft.index.IndexBuild.relationAssemble(s, d)),
+    "q_geojson" -> ((s, d) => graft.index.IndexBuild.geojson(s, d)),
+    // multimodal media plumbing (stubbed decode, real batching)
+    "q_media_decode" -> ((s, d) => graft.media.MediaOps.decodeMedia(s, d)),
+    "q_media_tiles" -> ((s, d) => graft.media.MediaOps.mediaTiles(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -85,5 +93,11 @@ object SparkEntry {
     "q_embed_topk" -> graft.vector.VectorOps.cosineTopKSql(),
     "q_embed_lsh_ann" -> graft.vector.VectorOps.lshTopKSql(),
     "q_embed_buckets" -> graft.vector.VectorOps.bucketHistogramSql,
+    "q_mapping_table" -> graft.index.IndexBuild.mappingTableSql,
+    "q_cell_tag_table" -> graft.index.IndexBuild.cellTagTableSql,
+    "q_relation_assemble" -> graft.index.IndexBuild.relationAssembleSql,
+    "q_geojson" -> graft.index.IndexBuild.geojsonSql,
+    "q_media_decode" -> graft.media.MediaOps.decodeMediaSql,
+    "q_media_tiles" -> graft.media.MediaOps.mediaTilesSql(),
   )
 }
