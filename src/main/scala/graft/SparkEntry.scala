@@ -23,6 +23,7 @@ object SparkEntry {
     // flagship PIP lookup (Q3)
     "q_pip_nation" -> ((s, d) => GeoQueries.pipLookup(s, d, level = 6)),
     "q_pip_district" -> ((s, d) => GeoQueries.pipLookup(s, d, level = 9)),
+    "q_pip_salted" -> ((s, d) => GeoQueries.pipLookupSalted(s, d)),
     // containment join (Q5)
     "q_containment" -> ((s, d) => GeoQueries.containmentJoin(s, d)),
     // POI queries (Q6 / Q7)
@@ -69,6 +70,7 @@ object SparkEntry {
     "q_cell_points" -> GeoQueries.cellPointsSql,
     "q_pip_nation" -> GeoQueries.pipLookupSql(level = 6),
     "q_pip_district" -> GeoQueries.pipLookupSql(level = 9),
+    "q_pip_salted" -> GeoQueries.pipLookupSql(level = 6),
     "q_containment" -> GeoQueries.containmentJoinSql(),
     "q_poi_area" -> GeoQueries.poiFromAreaSql(),
     "q_poi_cell" -> GeoQueries.poiByCellSql(),

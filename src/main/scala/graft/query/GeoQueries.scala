@@ -92,6 +92,30 @@ object GeoQueries {
       .select(col("pid"), col("area_id"), col("area_name"))
   }
 
+  /**
+   * Cell-partitioned + SALTED variant of the PIP join (the contract's
+   * "salted-key skew mitigation"): for build sides too large to broadcast,
+   * the probe side's hot cells (dense metros — 30% of synthetic points sit
+   * in one ~0.2° box) would skew a plain shuffle join. Salting splits each
+   * hot key S ways: probe key = (cell, hash(pid) % S), build side is
+   * replicated S times with salt s ∈ [0, S). The join is a shuffle hash
+   * join partitioned on (cell, salt) — identical output, bounded task skew.
+   * AQE skew-splitting is ALSO enabled session-wide; this explicit salt is
+   * the belt-and-braces path for deterministic task sizing at 100 TB.
+   */
+  def pipLookupSalted(spark: SparkSession, sfDir: String, level: Int = 6, salt: Int = 8): DataFrame = {
+    init(spark)
+    val pts = GeoWorld.points(spark, sfDir)
+      .withColumn("cell", CellFunctions.zcell(col("lon"), col("lat"), lit(RES_COARSE)))
+      .withColumn("salt", pmod(hash(col("pid")), lit(salt)))
+    val ac = areaCells(spark, sfDir, level, RES_COARSE)
+      .withColumn("salt", explode(sequence(lit(0), lit(salt - 1))))
+    pts.hint("shuffle_hash")
+      .join(ac, Seq("cell", "salt"))
+      .filter(GeoCols.geoContainsPoint(col("wkb"), col("lon"), col("lat")))
+      .select(col("pid"), col("area_id"), col("area_name"))
+  }
+
   def pipLookupSql(level: Int = 6): String =
     withWorld() +
       s"""SELECT p.pid, a.area_id, a.area_name

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{GeoPipeline, StageRunner}
+import graft.query.GeoQueries
+import java.nio.file.{Files, Paths}
+
+/** Stage checkpoint/resume, dead-letter routing, and salted-join
+  * equivalence — the pipeline-layer contract items. */
+class PipelineSpec extends SparkSpec {
+
+  private val workDir = Files.createTempDirectory("graft-stages").toString
+
+  test("staged pipeline runs, records lineage, and resumes from checkpoints") {
+    val r1 = GeoPipeline.runAll(spark, sfDir, workDir)
+    assert(r1.map(_.name) === Seq("ingest", "normalize", "index"))
+    assert(r1.forall(!_.skipped))
+    assert(r1.forall(_.rows > 0))
+    // per-partition lineage recorded
+    assert(r1.head.partitions.nonEmpty && r1.head.partitions.sum === r1.head.rows)
+    val manifest = Files.readString(Paths.get(s"$workDir/normalize/manifest.json"))
+    assert(manifest.contains("\"partitions\":["))
+
+    // kill-and-rerun: everything up to date -> all stages skipped
+    val r2 = GeoPipeline.runAll(spark, sfDir, workDir)
+    assert(r2.forall(_.skipped))
+    assert(r2.map(_.rows) === r1.map(_.rows))
+
+    // invalidate the middle stage -> it and (on the next pass) downstream re-run
+    Files.delete(Paths.get(s"$workDir/normalize/manifest.json"))
+    val r3 = GeoPipeline.runAll(spark, sfDir, workDir)
+    assert(r3.head.skipped) // ingest untouched
+    assert(!r3(1).skipped) // normalize recomputed
+    assert(r3(1).rows === r1(1).rows) // deterministically identical
+  }
+
+  test("dead-letter split: corrupt rows routed, ok rows clean, job never fails") {
+    GeoPipeline.runAll(spark, sfDir, workDir)
+    val runner = new StageRunner(spark, workDir)
+    val dead = spark.read.parquet(s"$workDir/normalize__deadletter/data.parquet")
+    val ok = runner.read("normalize")
+    assert(dead.count() > 0) // ~1/997 of spans corrupted by construction
+    assert(dead.filter(col("_error").isNull).count() === 0)
+    assert(!ok.columns.contains("_error"))
+    // ok + dead = all spans
+    val total = graft.gen.GeoWorld.docs(spark, sfDir)
+      .select(explode(col("spans"))).count()
+    assert(ok.count() + dead.count() === total)
+    // dead-letter re-run (failed=true analog): the dead rows are re-readable
+    assert(dead.select("doc_id", "offset").distinct().count() === dead.count())
+  }
+
+  test("salted cell join returns exactly the broadcast join's rows") {
+    val broadcastRows = GeoQueries.pipLookup(spark, sfDir, level = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val saltedRows = GeoQueries.pipLookupSalted(spark, sfDir, level = 6, salt = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(saltedRows === broadcastRows)
+    assert(saltedRows.nonEmpty)
+  }
+
+  test("salted join plan shuffles on (cell, salt) — no broadcast of the big side") {
+    val plan = GeoQueries.pipLookupSalted(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"), plan.take(500))
+  }
+}
