@@ -1,0 +1,119 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.cell.{CellFunctions, CellIndex}
+import graft.gen.GeoWorld
+import graft.geom.GeoCols
+import graft.query.GeoQueries
+
+/**
+ * Typed query AST + translator — the reference's client-shared query model
+ * and its 1:1 syntactic translation into engine queries (reference:
+ * query-model/.../Model.scala:6-169 `PMQuery` sealed AST with recursive
+ * `...FromArea(area)` nesting; query-engine/.../QueryTranslator.scala:30-207).
+ *
+ * In Spark the "translation" target is a lazy DataFrame: AST recursion
+ * becomes DataFrame composition and Catalyst then plans the whole tree —
+ * the reference has no optimizer between its two IRs, we get one for free.
+ */
+sealed trait GeoAst
+object GeoAst {
+  /** Q3: area of `level` containing the coordinate. */
+  final case class AreaByCoordinates(level: Int, lon: Double, lat: Double) extends GeoAst
+  /** Q2: area of `level` by (exact) name. */
+  final case class AreaByName(level: Int, name: String) extends GeoAst
+  /** Q5: child areas of `level` contained in the parent query's areas. */
+  final case class AreasFromArea(level: Int, parent: GeoAst) extends GeoAst
+  /** Q6: POIs with tag inside the areas of the nested query. */
+  final case class PoisFromArea(tagK: String, tagV: String, area: GeoAst) extends GeoAst
+  /** Q7: POIs with tag in the same cell as the coordinate (no refine). */
+  final case class PoisFromCoordinates(tagK: String, lon: Double, lat: Double) extends GeoAst
+  /** Q8: points within radius metres of the coordinate. */
+  final case class Nearby(lon: Double, lat: Double, radiusM: Double) extends GeoAst
+}
+
+sealed trait TranslateError { def msg: String }
+object TranslateError {
+  final case class NotYetImplemented(msg: String) extends TranslateError
+  final case class CouldNotCreateInputQuery(msg: String) extends TranslateError
+  final case class UnknownCommand(msg: String) extends TranslateError
+}
+
+/**
+ * AST -> DataFrame translation (errors as Either, mirroring the reference's
+ * disjunction results: NotYetImplemented / CouldNotCreateInputQuery /
+ * UnknownCommand, QueryTranslator.scala:24-28).
+ *
+ * Area results have columns (area_id, area_name, level, lon0, lat0, lon1,
+ * lat1, wkb); POI/point results have the point-table columns.
+ */
+object AstTranslator {
+
+  import GeoAst._
+  import CellIndex.{RES_COARSE, RES_MID}
+
+  private val validLevels = Set(2, 6, 9)
+
+  def translate(spark: SparkSession, sfDir: String, ast: GeoAst): Either[TranslateError, DataFrame] = {
+    GeoWorld.registerUdfs(spark)
+    ast match {
+      case AreaByCoordinates(level, lon, lat) if validLevels(level) =>
+        val cell = CellIndex.encode(lon, lat, RES_COARSE)
+        Right(GeoWorld.areas(spark, sfDir)
+          .filter(col("level") === level)
+          .withColumn("c", explode(GeoWorld.coverCells(col("lon0"), col("lat0"), col("lon1"), col("lat1"), RES_COARSE)))
+          .filter(col("c") === cell).drop("c")
+          .filter(GeoCols.geoContainsPoint(col("wkb"), lit(lon), lit(lat))))
+
+      case AreaByCoordinates(level, _, _) =>
+        Left(TranslateError.CouldNotCreateInputQuery(s"no admin level $level"))
+
+      case AreaByName(level, name) if validLevels(level) =>
+        Right(GeoWorld.areas(spark, sfDir)
+          .filter(col("level") === level && col("area_name") === name))
+
+      case AreaByName(level, _) =>
+        Left(TranslateError.CouldNotCreateInputQuery(s"no admin level $level"))
+
+      case AreasFromArea(level, parent) =>
+        translate(spark, sfDir, parent).map { parents =>
+          val p = parents.select(col("area_id").as("parent_id"), col("wkb").as("parent_wkb"),
+            explode(GeoWorld.coverCells(col("lon0"), col("lat0"), col("lon1"), col("lat1"), RES_COARSE)).as("cell"))
+          GeoWorld.areas(spark, sfDir).filter(col("level") === level)
+            .withColumn("cell", explode(GeoWorld.coverCells(col("lon0"), col("lat0"), col("lon1"), col("lat1"), RES_COARSE)))
+            .join(broadcast(p), "cell")
+            .dropDuplicates("area_id", "parent_id")
+            .filter(GeoCols.geoWithin(col("wkb"), col("parent_wkb")))
+            .select(col("area_id"), col("area_name"), col("level"),
+              col("lon0"), col("lat0"), col("lon1"), col("lat1"), col("wkb"), col("parent_id"))
+        }
+
+      case PoisFromArea(tagK, tagV, area) =>
+        translate(spark, sfDir, area).map { areas =>
+          val a = areas.select(col("area_id"), col("wkb"),
+            explode(GeoWorld.coverCells(col("lon0"), col("lat0"), col("lon1"), col("lat1"), RES_MID)).as("cell"))
+          GeoWorld.points(spark, sfDir)
+            .filter(col("tag_k") === tagK && col("tag_v") === tagV)
+            .withColumn("cell", CellFunctions.zcell(col("lon"), col("lat"), lit(RES_MID)))
+            .join(broadcast(a), "cell")
+            .filter(GeoCols.geoContainsPoint(col("wkb"), col("lon"), col("lat")))
+            .select(col("area_id"), col("pid"), col("name"))
+        }
+
+      case PoisFromCoordinates(tagK, lon, lat) =>
+        val cell = CellIndex.encode(lon, lat, RES_MID)
+        Right(GeoWorld.points(spark, sfDir)
+          .filter(col("tag_k") === tagK)
+          .filter(CellFunctions.zcell(col("lon"), col("lat"), lit(RES_MID)) === cell))
+
+      case Nearby(lon, lat, r) =>
+        val ring = CellIndex.ring(CellIndex.encode(lon, lat, RES_COARSE), RES_COARSE, 6)
+        Right(GeoWorld.points(spark, sfDir)
+          .withColumn("cell", CellFunctions.zcell(col("lon"), col("lat"), lit(RES_COARSE)))
+          .filter(col("cell").isin(ring.toSeq: _*))
+          .filter(GeoCols.haversineM(col("lon"), col("lat"), lit(lon), lit(lat)) <= r)
+          .drop("cell"))
+    }
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import graft.api.{AstJson, AstTranslator, GeoAst, TranslateError}
+import graft.api.GeoAst._
+import graft.query.GeoQueries
+import org.apache.spark.sql.functions._
+
+/** AST round-trip + translation suite (reference: QueryTranslatorSpec
+  * right-projection checks; FlowsSpec WS round-trip with error messages). */
+class AstSpec extends SparkSpec {
+
+  private val nested: GeoAst =
+    PoisFromArea("amenity", "cat_3", AreasFromArea(6, AreaByCoordinates(2, 6.0, 51.0)))
+
+  test("JSON round-trips every AST shape including recursion") {
+    val shapes: Seq[GeoAst] = Seq(
+      AreaByCoordinates(6, 6.757, 51.431),
+      AreaByName(9, "district_35"),
+      AreasFromArea(9, AreaByCoordinates(6, 6.757, 51.431)),
+      nested,
+      PoisFromCoordinates("shop", 1.5, 44.5),
+      Nearby(6.0, 51.0, 150000.0))
+    shapes.foreach { a =>
+      assert(AstJson.read(AstJson.write(a)) === Right(a))
+    }
+  }
+
+  test("malformed / unknown JSON yields error messages, not exceptions") {
+    assert(AstJson.read("""{"type":"FlyingQuery"}""").isLeft)
+    assert(AstJson.read("""{"type":"Nearby","lon":1}""").isLeft)
+    assert(AstJson.read("""{{{""").isLeft)
+    assert(AstJson.read("""{"type":"Nearby","lon":1,"lat":2,"radiusM":3} x""").isLeft)
+  }
+
+  test("AreaByCoordinates translation matches the PIP query") {
+    val Right(df) = AstTranslator.translate(spark, sfDir, AreaByCoordinates(6, -19.0, 31.0)): @unchecked
+    val rows = df.select("area_id").collect().map(_.getLong(0))
+    assert(rows.length === 1)
+    // point (-19, 31) is in region 0, first nation band
+    val expected = GeoQueries.pipLookup(spark, sfDir, level = 6)
+      .join(graft.gen.GeoWorld.points(spark, sfDir), "pid")
+      .filter(col("lon").between(-19.5, -18.5) && col("lat").between(30.5, 31.5))
+      .select("area_id").distinct().collect().map(_.getLong(0))
+    assert(expected.contains(rows.head))
+  }
+
+  test("recursive translation composes: POIs of the nations of a country") {
+    val Right(df) = AstTranslator.translate(spark, sfDir, nested): @unchecked
+    val got = df.select("area_id", "pid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty)
+    // equals the flat poiFromArea restricted to the country's nations
+    // (point (6.0, 51.0) lies in region floor((6+20)/12) = 2)
+    val expected = GeoQueries.poiFromArea(spark, sfDir)
+      .filter(col("area_id").between(200, 299))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (aid, _) => regionOfNation(aid - 200) == 2 }
+      .toSet
+    assert(got === expected)
+  }
+
+  private lazy val regionOfNation: Map[Long, Int] =
+    spark.read.parquet(s"$sfDir/nation.parquet").collect()
+      .map(r => r.getAs[Int]("n_nationkey").toLong -> r.getAs[Int]("n_regionkey")).toMap
+
+  test("invalid admin level is a CouldNotCreateInputQuery, not an exception") {
+    val r = AstTranslator.translate(spark, sfDir, AreaByCoordinates(42, 0, 0))
+    assert(r.left.exists(_.isInstanceOf[TranslateError.CouldNotCreateInputQuery]))
+  }
+
+  test("PoisFromCoordinates has no geometric refine (Q7 reproduced as-is)") {
+    val Right(df) = AstTranslator.translate(spark, sfDir, PoisFromCoordinates("shop", -19.0, 31.0)): @unchecked
+    // all results share the probe's mid-res cell — nothing else filtered
+    import graft.cell.CellIndex
+    val cell = CellIndex.encode(-19.0, 31.0, CellIndex.RES_MID)
+    df.collect().foreach { r =>
+      val lon = r.getAs[Double]("lon"); val lat = r.getAs[Double]("lat")
+      assert(CellIndex.encode(lon, lat, CellIndex.RES_MID) === cell)
+    }
+  }
+}
