@@ -1,5 +1,10 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: one JSON line with per-query seconds over
+  * SPARK_GRAFT_SF_DIR, plus the headline spatial-join + tile-assignment
+  * throughput (docs/sec, BASELINE.json metric). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +12,25 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // headline: spatial-join + tile-assignment docs/sec (1 warmup, then timed)
+    graft.bench.Headline.timed(spark, sfDir)
+    val (nDocs, headlineSecs, _) = graft.bench.Headline.timed(spark, sfDir)
+    val docsPerSec = nDocs / headlineSecs
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"spatial-join+tile-assignment docs/sec","value":$docsPerSec,"unit":"docs/sec","headline_secs":$headlineSecs,"headline_docs":$nDocs,"total_query_secs":$total,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -210,16 +210,26 @@ object GeoQueries {
    */
   def knn(spark: SparkSession, sfDir: String, k: Int = 5, pruneM: Double = 600000.0): DataFrame = {
     init(spark)
+    import spark.implicits._
     val pts = GeoWorld.points(spark, sfDir)
     val pr = probes(spark, sfDir)
     val dist = GeoCols.haversineM(col("lon"), col("lat"), col("qlon"), col("qlat"))
-    val w = Window.partitionBy("qid").orderBy(col("dist_m"), col("pid"))
-    pts.crossJoin(broadcast(pr))
+    val cands = pts.crossJoin(broadcast(pr))
       .withColumn("dist_m", dist)
       .filter(col("dist_m") <= pruneM) // safe prune: every probe has >= k points within pruneM by construction
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("pid"), round(col("dist_m"), 3).as("dist_m"))
+      .select(col("qid"), col("dist_m"), col("pid"))
+      .as[(Long, Double, Long)]
+    // bounded top-k Aggregator: partial (map-side) top-k means the shuffle
+    // carries O(probes x k) rows, not every candidate (see TopKSmallest)
+    val agg = new TopKSmallest(k).toColumn
+    cands.groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(agg)
+      .flatMap { case (qid, top) =>
+        top.iterator.zipWithIndex.map { case ((d, pid), i) => (qid, i + 1, pid, d) }
+      }
+      .toDF("qid", "rank", "pid", "dist0")
+      .select(col("qid"), col("rank"), col("pid"), round(col("dist0"), 3).as("dist_m"))
   }
 
   def knnSql(k: Int = 5, pruneM: Double = 600000.0): String = {

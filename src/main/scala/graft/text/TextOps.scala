@@ -162,12 +162,15 @@ object TextOps {
 
   // -------------------------------------------------------- fingerprinting
 
-  /** 3-word shingles of a text column (engine side). */
+  /** 3-word shingles of a text column (engine side). element_at keeps each
+    * shingle O(1) — a slice() per index would make the whole transform
+    * quadratic in document length. */
   private def shingles(text: Column): Column = {
     val words = split(text, " ")
     val n = size(words)
     when(n >= 3,
-      transform(sequence(lit(1), n - 2), i => concat_ws(" ", slice(words, i, lit(3)))))
+      transform(sequence(lit(1), n - 2), i =>
+        concat_ws(" ", element_at(words, i), element_at(words, i + 1), element_at(words, i + 2))))
       .otherwise(array(text))
   }
 
@@ -200,13 +203,16 @@ object TextOps {
   private def h32Sql(s: String): String =
     s"CAST('0x' || substr(md5($s), 1, 8) AS BIGINT)"
 
-  /** MinHash signature column `mh_j` over the shingle hashes. */
-  private def minhashCols: Seq[Column] = {
-    val sh = transform(shingles(col("text")), s => h32(s))
+  /** MinHash signature columns `mh_j`, computed over a SHARED shingle-hash
+    * array column (one md5 pass per shingle, 16 cheap integer mins after). */
+  private def minhashCols: Seq[Column] =
     (0 until N_HASH).map { j =>
-      array_min(transform(sh, h => (lit(A(j)) * h + B(j)) % P)).as(s"mh_$j")
+      array_min(transform(col("shh"), h => (lit(A(j)) * h + B(j)) % P)).as(s"mh_$j")
     }
-  }
+
+  /** Adds the shared shingle-hash array column `shh`. */
+  private def withShingleHashes(df: DataFrame): DataFrame =
+    df.withColumn("shh", transform(shingles(col("text")), s => h32(s)))
 
   private def minhashColsSql: Seq[String] = {
     val sh = s"list_transform($shinglesSql, s -> ${h32Sql("s")})"
@@ -217,7 +223,7 @@ object TextOps {
 
   /** Per-doc MinHash signatures (also an output in its own right). */
   def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame =
-    corpus(spark, sfDir).select(Seq(col("doc_id")) ++ minhashCols: _*)
+    withShingleHashes(corpus(spark, sfDir)).select(Seq(col("doc_id")) ++ minhashCols: _*)
 
   val minhashSignaturesSql: String =
     withCorpus() +
@@ -232,28 +238,44 @@ object TextOps {
    */
   def minhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val sig = minhashSignatures(spark, sfDir)
-    val bands = (0 until BANDS).map { b =>
+    // one pass: signature -> 4 (band, key) rows via a single explode (a
+    // 4-way union would recompute the 16 minhash mins per branch)
+    val bandStructs = array((0 until BANDS).map { b =>
       val key = md5(concat_ws(",",
         (0 until ROWS_PER_BAND).map(r => col(s"mh_${b * ROWS_PER_BAND + r}").cast("string")): _*).cast("binary"))
-      sig.select(col("doc_id"), lit(b).as("band"), key.as("bkey"))
-    }.reduce(_ unionByName _)
+      struct(lit(b).as("band"), key.as("bkey"))
+    }: _*)
+    val bands = sig.select(col("doc_id"), explode(bandStructs).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
     val l = bands.select(col("band"), col("bkey"), col("doc_id").as("a"))
     val r = bands.select(col("band"), col("bkey"), col("doc_id").as("b"))
     val cand = l.join(r, Seq("band", "bkey")).filter(col("a") < col("b"))
       .select("a", "b").distinct()
-    // exact Jaccard refine on candidates (set semantics over shingles)
-    val sh = corpus(spark, sfDir).select(col("doc_id"),
-      array_distinct(shingles(col("text"))).as("sh"))
+    // exact Jaccard refine via exploded intersection counts (relational set
+    // intersection — per-pair array_contains would be quadratic per pair
+    // and interpreted; this is joins + counts, linear in shingle rows)
+    val ds = distinctShingles(spark, sfDir)
+    val sizes = ds.groupBy("doc_id").count()
+    val inter = ds.select(col("doc_id").as("a"), col("sh"))
+      .join(ds.select(col("doc_id").as("b"), col("sh")), "sh")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("ninter"))
     cand
-      .join(sh.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
-      .join(sh.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
+      .join(inter, Seq("a", "b"), "left")
+      .na.fill(0L, Seq("ninter"))
+      .join(sizes.select(col("doc_id").as("a"), col("count").as("na")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("count").as("nb")), "b")
       .select(col("a"), col("b"),
-        round(
-          size(filter(col("sha"), x => array_contains(col("shb"), x))).cast("double") /
-            (size(col("sha")) + size(col("shb")) -
-              size(filter(col("sha"), x => array_contains(col("shb"), x)))).cast("double"),
-          6).as("jaccard"))
+        round(col("ninter").cast("double") /
+          (col("na") + col("nb") - col("ninter")).cast("double"), 6).as("jaccard"))
   }
+
+  /** Exploded distinct (doc_id, shingle) rows — the join-friendly shingle
+    * set representation. */
+  private def distinctShingles(spark: SparkSession, sfDir: String): DataFrame =
+    corpus(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(array_distinct(shingles(col("text")))).as("sh"))
 
   val minhashPairsSql: String = {
     val bandKeys = (0 until BANDS).map { b =>
@@ -315,15 +337,20 @@ object TextOps {
   /** Pairwise 3-gram Jaccard within (lang, source) groups — the n-gram
     * near-dup measure without LSH (bounded by the small group size). */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = corpus(spark, sfDir).select(col("doc_id"), col("lang"), col("source"),
-      array_distinct(shingles(col("text"))).as("sh"))
-    val l = sh.select(col("lang"), col("source"), col("doc_id").as("a"), col("sh").as("sha"))
-    val r = sh.select(col("lang"), col("source"), col("doc_id").as("b"), col("sh").as("shb"))
-    val inter = size(filter(col("sha"), x => array_contains(col("shb"), x)))
-    l.join(r, Seq("lang", "source")).filter(col("a") < col("b"))
+    val ds = distinctShingles(spark, sfDir)
+    val sizes = ds.groupBy("doc_id").count()
+    // shared-shingle pairs within (lang, source) groups: relational
+    // intersection counts instead of quadratic per-pair array scans
+    val inter = ds.select(col("lang"), col("source"), col("doc_id").as("a"), col("sh"))
+      .join(ds.select(col("lang"), col("source"), col("doc_id").as("b"), col("sh")), Seq("lang", "source", "sh"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("ninter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("count").as("na")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("count").as("nb")), "b")
       .select(col("a"), col("b"),
-        round(inter.cast("double") /
-          (size(col("sha")) + size(col("shb")) - inter).cast("double"), 6).as("jaccard"))
+        round(col("ninter").cast("double") /
+          (col("na") + col("nb") - col("ninter")).cast("double"), 6).as("jaccard"))
       .filter(col("jaccard") > 0.2)
   }
 

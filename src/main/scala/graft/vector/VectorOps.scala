@@ -49,13 +49,29 @@ object VectorOps {
     val vs = vectors(spark, sfDir)
     val pr = probes(spark, sfDir)
     val cosine = dot(col("v"), col("qv")) / (norm(col("v")) * norm(col("qv")))
-    val w = Window.partitionBy("qid").orderBy(col("score0").desc, col("vec_id"))
-    vs.crossJoin(broadcast(pr))
-      .filter(col("vec_id") =!= col("qid"))
-      .withColumn("score0", cosine)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("vec_id"), round(col("score0"), 6).as("score"))
+    topKByScore(spark, k,
+      vs.crossJoin(broadcast(pr))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("score0", cosine))
+  }
+
+  /** Shared top-k-by-descending-score via the bounded [[graft.query.TopKSmallest]]
+    * aggregator (map-side partial top-k: the shuffle carries O(probes x k)
+    * rows — negated score turns largest-first into the aggregator's
+    * smallest-first order, ties broken by vec_id ascending). */
+  private def topKByScore(spark: SparkSession, k: Int, cands: DataFrame): DataFrame = {
+    import spark.implicits._
+    val agg = new graft.query.TopKSmallest(k).toColumn
+    cands.select(col("qid"), (-col("score0")).as("d"), col("vec_id"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(agg)
+      .flatMap { case (qid, top) =>
+        top.iterator.zipWithIndex.map { case ((d, id), i) => (qid, i + 1, id, -d) }
+      }
+      .toDF("qid", "rank", "vec_id", "s0")
+      .select(col("qid"), col("rank"), col("vec_id"), round(col("s0"), 6).as("score"))
   }
 
   private val dotSql =
@@ -98,13 +114,10 @@ object VectorOps {
     val vs = vectors(spark, sfDir).withColumn("bucket", bucket(col("v")))
     val pr = probes(spark, sfDir).withColumn("bucket", bucket(col("qv")))
     val cosine = dot(col("v"), col("qv")) / (norm(col("v")) * norm(col("qv")))
-    val w = Window.partitionBy("qid").orderBy(col("score0").desc, col("vec_id"))
-    vs.join(broadcast(pr), "bucket")
-      .filter(col("vec_id") =!= col("qid"))
-      .withColumn("score0", cosine)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("vec_id"), round(col("score0"), 6).as("score"))
+    topKByScore(spark, k,
+      vs.join(broadcast(pr), "bucket")
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("score0", cosine))
   }
 
   def lshTopKSql(k: Int = 10): String =
