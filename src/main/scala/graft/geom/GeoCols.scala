@@ -29,17 +29,18 @@ object GeoCols {
     s"2 * ${Geo.EARTH_R} * ASIN(SQRT($a))"
   }
 
-  /** Register the JTS refine UDFs. Idempotent per session. */
+  /** Register the JTS refine UDFs (parse-cached + PreparedGeometry — see
+    * [[GeoCache]]; identical reference semantics). Idempotent per session. */
   def register(spark: SparkSession): Unit = {
     // Exact containment refine over WKB (reference `within` semantics).
     spark.udf.register("geo_within", (inner: Array[Byte], outer: Array[Byte]) =>
       if (inner == null || outer == null) false
-      else Geo.within(Geo.fromWkb(inner), Geo.fromWkb(outer)))
-    // Point-in-area refine: reference's (Point, GC) branch without the cost
-    // of building a WKB point per probe row.
+      else GeoCache.within(inner, outer))
+    // Point-in-area refine: reference's (Point, GC) branch; prepared
+    // members make each probe an indexed PIP test, not a WKB parse.
     spark.udf.register("geo_contains_point", (outer: Array[Byte], lon: Double, lat: Double) =>
       if (outer == null) false
-      else Geo.within(Geo.point(lon, lat), Geo.fromWkb(outer)))
+      else GeoCache.containsCoord(outer, lon, lat))
   }
 
   def geoWithin(inner: Column, outer: Column): Column =

@@ -35,7 +35,7 @@ class StageRunner(spark: SparkSession, workDir: String) {
    * upstream stage tables; `inputs` name the upstream stages whose
    * fingerprints gate re-execution.
    */
-  def run(stage: String, inputs: Seq[String])(build: SparkSession => DataFrame): StageResult = {
+  def run(stage: String, inputs: Seq[String], partitionBy: Seq[String] = Nil)(build: SparkSession => DataFrame): StageResult = {
     val upstream = inputs.map(i => s"$i=${fingerprint(i).getOrElse("?")}").mkString(",")
     val existing = Try(Files.readString(manifestPath(stage))).toOption
     val upToDate = existing.exists(m =>
@@ -45,8 +45,17 @@ class StageRunner(spark: SparkSession, workDir: String) {
       return StageResult(stage, rows, Seq.empty, skipped = true)
     }
 
-    val df = build(spark)
-    df.write.mode("overwrite").parquet(dataPath(stage))
+    // T15 observability: rate counters ride the write itself via observe()
+    // (the reference's els/s + bytes/element logging, OsmProducer.scala:38-83)
+    val obs = new org.apache.spark.sql.Observation(s"$stage-${System.nanoTime()}")
+    val df = build(spark).observe(obs, count(lit(1)).as("rows_written"))
+    val t0 = System.nanoTime()
+    val writer = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .parquet(dataPath(stage))
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    val observedRows = Try(obs.get("rows_written").asInstanceOf[Long]).getOrElse(-1L)
+    val elsPerSec = if (elapsed > 0) (observedRows / elapsed).toLong else -1L
 
     // per-partition lineage (row count per parquet output partition)
     val back = spark.read.parquet(dataPath(stage))
@@ -56,7 +65,7 @@ class StageRunner(spark: SparkSession, workDir: String) {
     val schemaHash = back.schema.catalogString.hashCode
     val fp = s"$rows:$schemaHash"
     val manifest =
-      s"""{"stage":"$stage","rows":$rows,"fp":"$fp","upstream":"$upstream","partitions":[${perPart.mkString(",")}]}"""
+      s"""{"stage":"$stage","rows":$rows,"fp":"$fp","upstream":"$upstream","observed_rows":$observedRows,"els_per_sec":$elsPerSec,"partitions":[${perPart.mkString(",")}]}"""
     Files.createDirectories(manifestPath(stage).getParent)
     Files.writeString(manifestPath(stage), manifest,
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
@@ -78,7 +87,11 @@ class StageRunner(spark: SparkSession, workDir: String) {
       val dead = cached.filter(col("_error").isNotNull)
       dead.write.mode("overwrite").parquet(dataPath(s"${stage}__deadletter"))
       val deadCount = spark.read.parquet(dataPath(s"${stage}__deadletter")).count()
-      val ok = run(stage, inputs)(_ => cached.filter(col("_error").isNull).drop("_error"))
+      // S4 type-routed fan-out: ok rows land partitioned by span kind (the
+      // reference's Broadcast(3) per-type sinks, OsmProducer.scala:122-138,
+      // as a single partitionBy write)
+      val ok = run(stage, inputs, partitionBy = Seq("kind"))(_ =>
+        cached.filter(col("_error").isNull).drop("_error"))
       (ok, deadCount)
     } finally { cached.unpersist() }
   }

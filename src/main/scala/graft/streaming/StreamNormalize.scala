@@ -1,0 +1,46 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.cell.{CellFunctions, CellIndex}
+import graft.gen.GeoWorld
+
+/**
+ * Structured Streaming surface. The reference's pipelines are unbounded
+ * Akka streams with NO watermarks/event-time windows (SURVEY.md §2.5 —
+ * batch Datasets are sufficient for parity); this module exists because the
+ * engine should still expose the streaming ingest shape: a stream of
+ * interleaved documents -> normalize (explode spans, parse, cell-encode) ->
+ * cell-bucketed micro-batch aggregation.
+ *
+ * The transformation is IDENTICAL to the batch normalize (same expressions)
+ * — Structured Streaming plans the same Catalyst operators incrementally,
+ * which is exactly the Spark-first way to get the reference's
+ * skip-and-continue unbounded behaviour.
+ */
+object StreamNormalize {
+
+  /** Normalize a (possibly streaming) docs DataFrame: explode spans in
+    * order, parse coordinates, attach the mid-res cell. */
+  def normalize(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(col("spans")).as("s"))
+      .select(
+        col("doc_id"),
+        col("s.offset").as("offset"),
+        col("s.kind").as("kind"),
+        col("s.media_ref").as("media_ref"),
+        (lit(GeoWorld.LON0) + expr("try_cast(split(s.text, ',')[0] AS BIGINT)") / 1000.0 + GeoWorld.OFF).as("lon"),
+        (lit(GeoWorld.LAT0) + expr("try_cast(split(s.text, ',')[1] AS BIGINT)") / 1000.0 + GeoWorld.OFF).as("lat"))
+      .withColumn("cell", CellFunctions.zcell(col("lon"), col("lat"), lit(CellIndex.RES_MID)))
+
+  /** Per-micro-batch cell counts (complete-mode aggregate). */
+  def cellCounts(docs: DataFrame): DataFrame =
+    normalize(docs).groupBy("cell").count()
+
+  /** File-stream variant over a directory of doc parquet (the S1 file-scan
+    * analog as a stream). */
+  def fromParquetDir(spark: SparkSession, dir: String, schemaFrom: DataFrame): DataFrame = {
+    GeoWorld.registerUdfs(spark)
+    normalize(spark.readStream.schema(schemaFrom.schema).parquet(dir))
+  }
+}
