@@ -1,0 +1,40 @@
+package graft
+
+import graft.query.GeoQueries
+
+/** Plan-shape regression tests: the physical plans the engine RELIES on for
+  * 100 TB viability (column pruning to the scan, broadcast vs shuffle join
+  * choice, whole-stage codegen around the cell encode). */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def formatted(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("PIP lookup: point side streams through a broadcast hash join (no shuffle before refine)") {
+    val p = plan(GeoQueries.pipLookup(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("column pruning reaches the parquet scan (2-column lineitem read)") {
+    val f = formatted(GeoQueries.pipLookup(spark, sfDir))
+    assert(f.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int>"), f.take(1500))
+  }
+
+  test("cell encode runs inside WholeStageCodegen (no codegen break at zcell)") {
+    val df = GeoQueries.cellPoints(spark, sfDir)
+    df.count() // materialise so AQE finalises the physical plan
+    val p = plan(df)
+    assert(p.contains("WholeStageCodegen"), p.take(1200))
+    assert(!p.contains("BatchEvalPython"))
+  }
+
+  test("salted PIP variant shuffles instead of broadcasting the big side") {
+    val p = plan(GeoQueries.pipLookupSalted(spark, sfDir))
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"), p.take(800))
+  }
+}
