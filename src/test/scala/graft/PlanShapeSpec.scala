@@ -27,7 +27,7 @@ class PlanShapeSpec extends SparkSpec {
 
   test("cell encode runs inside WholeStageCodegen (no codegen break at zcell)") {
     val df = GeoQueries.cellPoints(spark, sfDir)
-    df.count() // materialise so AQE finalises the physical plan
+    df.collect() // materialise THIS query so AQE finalises its physical plan
     val p = plan(df)
     assert(p.contains("WholeStageCodegen"), p.take(1200))
     assert(!p.contains("BatchEvalPython"))
