@@ -29,7 +29,9 @@ class PlanShapeSpec extends SparkSpec {
     val df = GeoQueries.cellPoints(spark, sfDir)
     df.collect() // materialise THIS query so AQE finalises its physical plan
     val p = plan(df)
-    assert(p.contains("WholeStageCodegen"), p.take(1200))
+    // "*(n)" prefixes mark WholeStageCodegen stages in the compact tree;
+    // the zcell Project must be inside one
+    assert("""\*\(\d+\) Project \[pid.*zcell""".r.findFirstIn(p).isDefined, p.take(1200))
     assert(!p.contains("BatchEvalPython"))
   }
 
