@@ -95,6 +95,29 @@ class StageRunner(spark: SparkSession, workDir: String) {
       (ok, deadCount)
     } finally { cached.unpersist() }
   }
+
+  /**
+   * Re-run a stage over its dead-letter table only (the reference's
+   * `denormalise(typ, failed = true)` resume mode, OsmPreprocessor.scala:
+   * 96-99): `fix` transforms the failed rows; rows it repairs (null
+   * `_error` after fix) are appended to the stage table, the rest stay
+   * dead. Returns (repaired, stillDead).
+   */
+  def retryDeadLetter(stage: String)(fix: DataFrame => DataFrame): (Long, Long) = {
+    val dead = spark.read.parquet(dataPath(s"${stage}__deadletter"))
+    val fixed = fix(dead).persist()
+    try {
+      val repaired = fixed.filter(col("_error").isNull).drop("_error")
+      val n = repaired.count()
+      // match the stage table's partition layout (kind fan-out, S4)
+      if (n > 0) repaired.write.mode("append")
+        .partitionBy(repaired.columns.filter(_ == "kind").toIndexedSeq: _*)
+        .parquet(dataPath(stage))
+      val still = fixed.filter(col("_error").isNotNull)
+      still.write.mode("overwrite").parquet(dataPath(s"${stage}__deadletter_retry"))
+      (n, spark.read.parquet(dataPath(s"${stage}__deadletter_retry")).count())
+    } finally { fixed.unpersist() }
+  }
 }
 
 /**

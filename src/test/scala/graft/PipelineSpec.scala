@@ -50,6 +50,26 @@ class PipelineSpec extends SparkSpec {
     assert(dead.select("doc_id", "offset").distinct().count() === dead.count())
   }
 
+  test("retryDeadLetter repairs fixable rows back into the stage table") {
+    GeoPipeline.runAll(spark, sfDir, workDir)
+    val runner = new StageRunner(spark, workDir)
+    val beforeOk = runner.read("normalize").count()
+    val deadBefore = spark.read.parquet(s"$workDir/normalize__deadletter/data.parquet").count()
+    // the injected corruption appended "#corrupt" to text — strip and re-parse
+    val (repaired, stillDead) = runner.retryDeadLetter("normalize") { dead =>
+      val clean = regexp_replace(col("text"), "#corrupt$", "")
+      val lonm = expr("try_cast(split(regexp_replace(text, '#corrupt$', ''), ',')[0] AS BIGINT)")
+      val latm = expr("try_cast(split(regexp_replace(text, '#corrupt$', ''), ',')[1] AS BIGINT)")
+      dead.select(col("doc_id"), col("offset"), col("kind"), clean.as("text"), col("media_ref"),
+        (lit(graft.gen.GeoWorld.LON0) + lonm / 1000.0 + graft.gen.GeoWorld.OFF).as("lon"),
+        (lit(graft.gen.GeoWorld.LAT0) + latm / 1000.0 + graft.gen.GeoWorld.OFF).as("lat"),
+        when(lonm.isNull || latm.isNull, lit("unparseable coordinates")).otherwise(lit(null)).as("_error"))
+    }
+    assert(repaired === deadBefore) // every injected corruption is fixable
+    assert(stillDead === 0L)
+    assert(runner.read("normalize").count() === beforeOk + repaired)
+  }
+
   test("salted cell join returns exactly the broadcast join's rows") {
     val broadcastRows = GeoQueries.pipLookup(spark, sfDir, level = 6)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
