@@ -46,25 +46,34 @@ object GeoQueries {
 
   // --------------------------------------------------------------- encode
 
-  /** Cell-encode every point at the coarse + mid resolutions (the T7/T13
-    * mapping projection; north-star "batched codegen UDF"). */
+  /** Cell-encode every point on BOTH labelled ladders (the T7/T13 mapping
+    * projection; north-star "batched codegen UDF" + dual H3/S2-style
+    * encoding): the H3-like ladder uses odd bit budgets (9/11), the S2-like
+    * ladder even budgets (10/12) — same interleave core (SURVEY.md §7.3). */
   def cellPoints(spark: SparkSession, sfDir: String): DataFrame = {
     init(spark)
+    import CellIndex.{RES_COARSE_S2, RES_MID_S2}
     GeoWorld.points(spark, sfDir).select(
       col("pid"),
       CellFunctions.zcell(col("lon"), col("lat"), lit(RES_COARSE)).as("cell9"),
       CellFunctions.zcell(col("lon"), col("lat"), lit(RES_MID)).as("cell11"),
+      CellFunctions.zcell(col("lon"), col("lat"), lit(RES_COARSE_S2)).as("cell10_s2"),
+      CellFunctions.zcell(col("lon"), col("lat"), lit(RES_MID_S2)).as("cell12_s2"),
       CellFunctions.zcellParent(
         CellFunctions.zcell(col("lon"), col("lat"), lit(RES_MID)), lit(RES_MID), lit(RES_COARSE)).as("parent9"))
   }
 
-  val cellPointsSql: String =
+  val cellPointsSql: String = {
+    import CellIndex.{RES_COARSE_S2, RES_MID_S2}
     withWorld() +
       s"""SELECT pid,
          |       ${CellSql.encode("lon", "lat", RES_COARSE)} AS cell9,
          |       ${CellSql.encode("lon", "lat", RES_MID)} AS cell11,
+         |       ${CellSql.encode("lon", "lat", RES_COARSE_S2)} AS cell10_s2,
+         |       ${CellSql.encode("lon", "lat", RES_MID_S2)} AS cell12_s2,
          |       ${CellSql.parent(CellSql.encode("lon", "lat", RES_MID), RES_MID, RES_COARSE)} AS parent9
          |FROM pts""".stripMargin
+  }
 
   // ------------------------------------------------------------------ PIP
 
