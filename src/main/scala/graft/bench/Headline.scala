@@ -97,12 +97,23 @@ object Headline {
   def prepareScaledInput(sfDir: String, factor: Int, path: String, files: Int = 128): Long = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "128")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.ui.enabled", "false").getOrCreate()
     try {
-      scaledPoints(spark, sfDir, factor)
+      // repartition the SMALL deduped base BEFORE the factor-x explode: a
+      // post-explode repartition shuffles factor-x rows (at factor 2048
+      // that is a 40 GB shuffle with multi-minute tasks); pre-explode the
+      // shuffle is ~15 MB and each of the `files` write tasks explodes its
+      // own slice
+      val base = GeoWorld.points(spark, sfDir)
         .select("pid", "lon", "lat", "is_media")
         .repartition(files)
-        .write.mode("overwrite").parquet(path)
+      val scaled =
+        if (factor <= 1) base
+        else base.withColumn("rep", explode(sequence(lit(0), lit(factor - 1))))
+          .withColumn("pid", col("pid") * factor + col("rep"))
+          .drop("rep")
+      scaled.write.mode("overwrite").parquet(path)
       spark.read.parquet(path).count()
     } finally {
       spark.stop()
