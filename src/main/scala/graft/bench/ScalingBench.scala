@@ -38,7 +38,7 @@ object ScalingBench {
   private def run(execs: Int, coresPerExec: Int, sfDir: String, inputPath: String): Double = {
     val cpus = execs * coresPerExec
     val spark = SparkSession.builder()
-      .master(s"local-cluster[$execs,$coresPerExec,4096]")
+      .master(s"local-cluster[$execs,$coresPerExec,6144]")
       .appName(s"graft-scaling-$execs x$coresPerExec")
       .config("spark.executor.extraClassPath", sys.props.getOrElse("graft.classes", "/root/repo/target/scala-2.13/classes"))
       .config("spark.executor.extraJavaOptions", executorJvmOpts)
