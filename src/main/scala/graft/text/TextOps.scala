@@ -203,16 +203,54 @@ object TextOps {
   private def h32Sql(s: String): String =
     s"CAST('0x' || substr(md5($s), 1, 8) AS BIGINT)"
 
-  /** MinHash signature columns `mh_j`, computed over a SHARED shingle-hash
-    * array column (one md5 pass per shingle, 16 cheap integer mins after). */
-  private def minhashCols: Seq[Column] =
-    (0 until N_HASH).map { j =>
-      array_min(transform(col("shh"), h => (lit(A(j)) * h + B(j)) % P)).as(s"mh_$j")
-    }
+  // -- JVM twins of the column-level shingle/hash pipeline. The generated
+  // codegen for 16 x array_min(transform(...spread-chain...)) trees runs to
+  // hundreds of KB and janino compilation dominated the queries (~10 s for a
+  // 618-doc corpus); one compact scala UDF computes the identical values
+  // (md5 over UTF-8, first 8 hex digits as the 32-bit hash — bit-equal to
+  // conv(substr(md5,1,8),16,10) and to the DuckDB oracle).
 
-  /** Adds the shared shingle-hash array column `shh`. */
+  private def md5hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val sb = new StringBuilder(32)
+    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    sb.toString
+  }
+
+  private def h32Jvm(s: String): Long = java.lang.Long.parseLong(md5hex(s).substring(0, 8), 16)
+
+  /** JVM twin of [[shingles]]: split on single spaces (regex split, -1
+    * limit — Spark `split` semantics), 3-word windows, whole text if <3. */
+  def shinglesJvm(text: String): Array[String] = {
+    val words = text.split(" ", -1)
+    if (words.length >= 3) Array.tabulate(words.length - 2)(i => s"${words(i)} ${words(i + 1)} ${words(i + 2)}")
+    else Array(text)
+  }
+
+  /** JVM minhash signature — same A/B/P permutations over the same hashes. */
+  def minhashJvm(text: String): Array[Long] = {
+    val hs = shinglesJvm(text).map(h32Jvm)
+    Array.tabulate(N_HASH) { j =>
+      var m = Long.MaxValue
+      var i = 0
+      while (i < hs.length) { val v = (A(j) * hs(i) + B(j)) % P; if (v < m) m = v; i += 1 }
+      m
+    }
+  }
+
+  private def registerTextUdfs(spark: SparkSession): Unit = {
+    spark.udf.register("minhash_sig", (text: String) => minhashJvm(text))
+    spark.udf.register("shingle_set", (text: String) => shinglesJvm(text).distinct)
+  }
+
+  /** MinHash signature columns `mh_j` from the compact UDF signature. */
+  private def minhashCols: Seq[Column] =
+    (0 until N_HASH).map(j => element_at(col("shh"), j + 1).as(s"mh_$j"))
+
+  /** Adds the shared signature array column `shh`. */
   private def withShingleHashes(df: DataFrame): DataFrame =
-    df.withColumn("shh", transform(shingles(col("text")), s => h32(s)))
+    df.withColumn("shh", call_function("minhash_sig", col("text")))
 
   private def minhashColsSql: Seq[String] = {
     val sh = s"list_transform($shinglesSql, s -> ${h32Sql("s")})"
@@ -222,8 +260,10 @@ object TextOps {
   }
 
   /** Per-doc MinHash signatures (also an output in its own right). */
-  def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame =
+  def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame = {
+    registerTextUdfs(spark)
     withShingleHashes(corpus(spark, sfDir)).select(Seq(col("doc_id")) ++ minhashCols: _*)
+  }
 
   val minhashSignaturesSql: String =
     withCorpus() +
@@ -272,10 +312,12 @@ object TextOps {
 
   /** Exploded distinct (doc_id, shingle) rows — the join-friendly shingle
     * set representation. */
-  private def distinctShingles(spark: SparkSession, sfDir: String): DataFrame =
+  private def distinctShingles(spark: SparkSession, sfDir: String): DataFrame = {
+    registerTextUdfs(spark)
     corpus(spark, sfDir)
       .select(col("doc_id"), col("lang"), col("source"),
-        explode(array_distinct(shingles(col("text")))).as("sh"))
+        explode(call_function("shingle_set", col("text"))).as("sh"))
+  }
 
   val minhashPairsSql: String = {
     val bandKeys = (0 until BANDS).map { b =>
