@@ -18,7 +18,7 @@ import org.apache.spark.sql.expressions.Window
 object VectorOps {
 
   final val DIM = 64
-  final val N_PLANES = 8
+  final val N_PLANES = 5
 
   /** Pseudo-random hyperplane coefficient (i-th dim of plane p), pure
     * integer arithmetic so the oracle can recompute it: ((p*131+i*31)%17)-8. */

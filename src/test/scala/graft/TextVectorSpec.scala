@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.TextOps
+import graft.vector.VectorOps
+
+/** Semantic tests for the training-data operators: the deterministically
+  * injected duplicates must actually be FOUND by each dedup method. */
+class TextVectorSpec extends SparkSpec {
+
+  test("exact dedup finds every injected exact duplicate (doc_id%11 -> id+20000)") {
+    val groups = TextOps.exactDedup(spark, sfDir).collect()
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+    val expected = base.filter(col("doc_id") % 11 === 0).count()
+    assert(groups.length.toLong === expected)
+    groups.foreach(r => assert(r.getLong(1) === 2L)) // each group: original + copy
+  }
+
+  test("MinHash LSH surfaces the injected near-duplicates (doc_id%7 -> id+10000, first word dropped)") {
+    val pairs = TextOps.minhashPairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val nearIds = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") % 7 === 0).select("doc_id").collect().map(_.getLong(0))
+    // every injected near-dup pair should be an LSH candidate with high jaccard
+    val found = pairs.collect { case (a, b, j) if b == a + 10000 => (a, j) }.toMap
+    val hitRate = nearIds.count(found.contains).toDouble / nearIds.length
+    assert(hitRate >= 0.9, s"LSH found ${found.size}/${nearIds.length} injected near-dups")
+    found.values.foreach(j => assert(j > 0.8, s"near-dup jaccard $j unexpectedly low"))
+    // exact dups (%11) must be found with jaccard 1.0 when banded together
+    pairs.collect { case (a, b, j) if b == a + 20000 => j }.foreach(j => assert(j === 1.0))
+  }
+
+  test("SimHash of a near-duplicate is within small Hamming distance of the original") {
+    val sh = TextOps.simhash(spark, sfDir).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nearIds = sh.keys.filter(id => id < 10000 && sh.contains(id + 10000))
+    assert(nearIds.nonEmpty)
+    val dists = nearIds.map(id => java.lang.Long.bitCount(sh(id) ^ sh(id + 10000)))
+    // dropping one word of ~100+ flips few simhash bits
+    assert(dists.sum.toDouble / dists.size < 6.0, s"mean hamming ${dists.sum.toDouble / dists.size}")
+  }
+
+  test("LSH ANN results are a subset of brute-force cosine ranking universe") {
+    val brute = VectorOps.cosineTopK(spark, sfDir, k = 50).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ann = VectorOps.lshTopK(spark, sfDir, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(ann.nonEmpty)
+    // every ANN hit that brute-force also ranks top-50 confirms score parity;
+    // recall < 1 by design, but scores must be consistent where they overlap
+    val overlap = ann.count(brute.contains).toDouble / ann.length
+    assert(overlap > 0.3, s"ANN/brute overlap $overlap suspiciously low")
+  }
+
+  test("language-ID heuristic is deterministic and covers the corpus") {
+    val l = TextOps.langId(spark, sfDir)
+    assert(l.count() === TextOps.corpus(spark, sfDir).count())
+    val preds = l.select("pred_lang").distinct().collect().map(_.getString(0)).toSet
+    assert(preds.subsetOf(Set("en", "de", "es", "fr", "und")))
+  }
+}
