@@ -30,7 +30,12 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"spatial-join+tile-assignment docs/sec","value":$docsPerSec,"unit":"docs/sec","headline_secs":$headlineSecs,"headline_docs":$nDocs,"total_query_secs":$total,"queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"spatial-join+tile-assignment docs/sec","value":$docsPerSec,"unit":"docs/sec","headline_secs":$headlineSecs,"headline_docs":$nDocs,"total_query_secs":$total,"queries":$qs,"sf":"$sfDir"}"""
+    // stdout (unprefixed via build.sbt outputStrategy) AND a file — the
+    // driver's metrics parser needs a bare JSON line (BENCH_r01 parsed=null
+    // because sbt's logger prefixed it).
+    println(line)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
     spark.stop()
   }
 }

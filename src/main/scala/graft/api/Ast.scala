@@ -108,12 +108,23 @@ object AstTranslator {
           .filter(CellFunctions.zcell(col("lon"), col("lat"), lit(RES_MID)) === cell))
 
       case Nearby(lon, lat, r) =>
-        val ring = CellIndex.ring(CellIndex.encode(lon, lat, RES_COARSE), RES_COARSE, 6)
-        Right(GeoWorld.points(spark, sfDir)
-          .withColumn("cell", CellFunctions.zcell(col("lon"), col("lat"), lit(RES_COARSE)))
-          .filter(col("cell").isin(ring.toSeq: _*))
-          .filter(GeoCols.haversineM(col("lon"), col("lat"), lit(lon), lit(lat)) <= r)
-          .drop("cell"))
+        // ring k derived from the radius AND the probe latitude (a fixed k
+        // only guarantees ~k * min-cell-extent of coverage; larger radii
+        // would silently drop matches) — mirrors GeoQueries.radius pairing
+        // radiusM with ringK
+        val k = CellIndex.ringKFor(lat, RES_COARSE, r)
+        val nCells = (2L * k + 1) * (2L * k + 1)
+        if (nCells > 65536L)
+          Left(TranslateError.CouldNotCreateInputQuery(
+            s"radius ${r}m needs a $nCells-cell ring at res $RES_COARSE; use a coarser index"))
+        else {
+          val ring = CellIndex.ring(CellIndex.encode(lon, lat, RES_COARSE), RES_COARSE, k)
+          Right(GeoWorld.points(spark, sfDir)
+            .withColumn("cell", CellFunctions.zcell(col("lon"), col("lat"), lit(RES_COARSE)))
+            .filter(col("cell").isin(ring.toSeq: _*))
+            .filter(GeoCols.haversineM(col("lon"), col("lat"), lit(lon), lit(lat)) <= r)
+            .drop("cell"))
+        }
     }
   }
 }

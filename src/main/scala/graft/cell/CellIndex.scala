@@ -142,6 +142,26 @@ object CellIndex {
     out
   }
 
+  /**
+   * Smallest ring k guaranteeing that EVERY point within `radiusM` metres
+   * of the probe falls inside `ring(encode(lon,lat,res), res, k)`.
+   * Conservative on both axes: the lat bound uses the constant metre length
+   * of a lat degree; the lon bound uses the lon-degree length at the highest
+   * |lat| the radius can reach (cos shrinks cells toward the poles — a fixed
+   * k silently drops matches there, round-1 ADVICE on Ast.Nearby).
+   */
+  def ringKFor(lat: Double, res: Int, radiusM: Double): Int = {
+    val mPerDegLat = math.Pi * graft.geom.Geo.EARTH_R / 180.0
+    val cellW = LON_SPAN / (1L << res)
+    val cellH = LAT_SPAN / (1L << res)
+    val radiusDegLat = radiusM / mPerDegLat
+    val latReach = math.min(89.9, math.abs(lat) + radiusDegLat + cellH)
+    val mPerDegLon = mPerDegLat * math.max(1e-6, math.cos(math.toRadians(latReach)))
+    val kx = math.ceil(radiusM / (mPerDegLon * cellW)).toLong + 1
+    val ky = math.ceil(radiusM / (mPerDegLat * cellH)).toLong + 1
+    math.min(Int.MaxValue.toLong, math.max(kx, ky)).toInt
+  }
+
   /** Slippy-map tile x at zoom z (Web Mercator / OSM scheme). */
   def tileX(lon: Double, z: Int): Long =
     clamp(math.floor((lon + 180.0) / 360.0 * (1L << z)).toLong, (1L << z) - 1)

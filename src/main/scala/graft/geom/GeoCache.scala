@@ -69,16 +69,28 @@ object GeoCache {
     }
   }
 
-  private val byId = new ConcurrentHashMap[Long, Parsed]()
+  private final case class IdKey(id: Long, disc: Long)
+  private val byId = new ConcurrentHashMap[IdKey, Parsed]()
 
   /** Id-keyed variant: skips byte-array keying entirely when the caller has
-    * a stable geometry id (broadcast boundary sets). */
+    * a stable geometry id (broadcast boundary sets). The key folds in the
+    * WKB length + a 16-byte sample so two DIFFERENT geometry sets reusing
+    * the same area ids in one executor JVM (e.g. repeated scaling runs with
+    * different vertex counts) never serve each other's stale parse. */
   def parsedById(id: Long, wkb: => Array[Byte]): Parsed = {
-    val hit = byId.get(id)
+    val b = wkb // force once; the sampled discriminator needs the bytes anyway
+    var disc = b.length.toLong
+    if (b.length > 0) {
+      val step = math.max(1, b.length / 16)
+      var i = 0
+      while (i < b.length) { disc = disc * 31 + b(i); i += step }
+    }
+    val key = IdKey(id, disc)
+    val hit = byId.get(key)
     if (hit != null) return hit
-    val p = parsed(wkb)
+    val p = parsed(b)
     if (byId.size() >= MAX_ENTRIES) byId.clear()
-    byId.putIfAbsent(id, p)
+    byId.putIfAbsent(key, p)
     p
   }
 

@@ -23,7 +23,9 @@ class StageRunner(spark: SparkSession, workDir: String) {
   private def dataPath(stage: String) = s"$workDir/$stage/data.parquet"
   private def manifestPath(stage: String) = Paths.get(s"$workDir/$stage/manifest.json")
 
-  /** Stage fingerprint: rows + schema, enough to detect upstream change. */
+  /** Stage fingerprint: rows + schema + content digest (xor-combined
+    * per-row xxhash64 — order-insensitive, computed distributed). A stage
+    * whose upstream changed VALUES but kept row count + schema re-runs. */
   private def fingerprint(stage: String): Option[String] =
     Try(Files.readString(manifestPath(stage))).toOption
       .flatMap(s => "\"fp\":\"([^\"]+)\"".r.findFirstMatchIn(s).map(_.group(1)))
@@ -40,7 +42,8 @@ class StageRunner(spark: SparkSession, workDir: String) {
     val existing = Try(Files.readString(manifestPath(stage))).toOption
     val upToDate = existing.exists(m =>
       "\"upstream\":\"([^\"]*)\"".r.findFirstMatchIn(m).exists(_.group(1) == upstream))
-    if (upToDate) {
+    // resume only if the manifest matches AND the stage data is still there
+    if (upToDate && Files.exists(Paths.get(dataPath(stage)))) {
       val rows = "\"rows\":(\\d+)".r.findFirstMatchIn(existing.get).map(_.group(1).toLong).getOrElse(-1L)
       return StageResult(stage, rows, Seq.empty, skipped = true)
     }
@@ -63,7 +66,12 @@ class StageRunner(spark: SparkSession, workDir: String) {
       .orderBy("p").collect().map(_.getLong(1)).toSeq
     val rows = perPart.sum
     val schemaHash = back.schema.catalogString.hashCode
-    val fp = s"$rows:$schemaHash"
+    // content digest: bit_xor of per-row hashes — catches value changes that
+    // preserve row count + schema (cheap: one scan, map-side combined)
+    val contentHash = back
+      .select(xxhash64(back.columns.map(col).toIndexedSeq: _*).as("h"))
+      .agg(expr("bit_xor(h)")).collect()(0).get(0)
+    val fp = s"$rows:$schemaHash:$contentHash"
     val manifest =
       s"""{"stage":"$stage","rows":$rows,"fp":"$fp","upstream":"$upstream","observed_rows":$observedRows,"els_per_sec":$elsPerSec,"partitions":[${perPart.mkString(",")}]}"""
     Files.createDirectories(manifestPath(stage).getParent)

@@ -209,36 +209,88 @@ object GeoQueries {
   // ------------------------------------------------------------ kNN / radius
 
   /**
-   * kNN nearest-POI per probe (reference Q8 substrate + north-star ranking):
-   * exact top-k by haversine with a per-probe window. The probe set is tiny
-   * and broadcast; the point side is scanned once — at 100 TB this is a
-   * single pass with a partial top-k (window over cell-partitioned data
-   * would add a shuffle; the broadcast-NL join + window on qid keeps exactly
-   * one shuffle of size |points| x |probes| / prune).
-   * A cell-ring pre-prune (radius bound) keeps the pair count linear.
+   * kNN nearest-POI per probe (reference Q8 substrate + north-star ranking),
+   * as a cell-ring EQUI-join + bounded top-k — the reference's
+   * cover-then-refine shape (Queries.scala:211-262), never a cross product:
+   *
+   *  1. explode a k-ring of cover cells around each probe (tiny side),
+   *     broadcast, hash-join the point side on cell — the point side streams
+   *     straight from the scan, work is O(|points in rings|), not O(N x Q);
+   *  2. exact haversine + partial top-k [[TopKSmallest]] (the shuffle
+   *     carries O(probes x k) rows — map-side combined);
+   *  3. exactness proof per probe: the answer is final iff the k-th distance
+   *     is <= the ring's GUARANTEED covered radius at the probe's latitude
+   *     (k cells x metre extent, lon shrunk by cos at the highest reachable
+   *     |lat|). Unproven probes re-run with a doubled ring — each iteration
+   *     moves only the unproven probes (O(|probes|) driver-side rows, never
+   *     point data), and the loop terminates once the guarantee covers
+   *     `pruneM` (then the ring provably contains every in-prune candidate).
+   *
+   * At 10^12 points this is: one broadcast per iteration (nearly always one
+   * pass — ring 3 already guarantees ~90 km) + one scan-join-agg.
    */
   def knn(spark: SparkSession, sfDir: String, k: Int = 5, pruneM: Double = 600000.0): DataFrame = {
     init(spark)
     import spark.implicits._
-    val pts = GeoWorld.points(spark, sfDir)
-    val pr = probes(spark, sfDir)
-    val dist = GeoCols.haversineM(col("lon"), col("lat"), col("qlon"), col("qlat"))
-    val cands = pts.crossJoin(broadcast(pr))
-      .withColumn("dist_m", dist)
-      .filter(col("dist_m") <= pruneM) // safe prune: every probe has >= k points within pruneM by construction
-      .select(col("qid"), col("dist_m"), col("pid"))
-      .as[(Long, Double, Long)]
-    // bounded top-k Aggregator: partial (map-side) top-k means the shuffle
-    // carries O(probes x k) rows, not every candidate (see TopKSmallest)
+    val pts = GeoWorld.points(spark, sfDir).select(
+      col("pid"), col("lon"), col("lat"),
+      CellFunctions.zcell(col("lon"), col("lat"), lit(RES_COARSE)).as("cell"))
+
+    val mPerDegLat = math.Pi * graft.geom.Geo.EARTH_R / 180.0
+    val cellW = CellIndex.LON_SPAN / (1L << RES_COARSE)
+    val cellH = CellIndex.LAT_SPAN / (1L << RES_COARSE)
+    /** Per-probe guaranteed covered haversine radius of an rk-ring. */
+    def guaranteeM(rk: Int): Column = {
+      val latReach = least(lit(89.9), abs(col("qlat")) + lit((rk + 1) * cellH))
+      least(lit(rk * cellH * mPerDegLat),
+        lit(rk * cellW * mPerDegLat) * cos(radians(latReach)))
+    }
+
+    var ringK = 3
+    var pending = probes(spark, sfDir)
+    val done = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    var iter = 0
+    while (pending != null && iter < 16) {
+      val g = guaranteeM(ringK)
+      val checked = knnPass(spark, pts, pending, ringK, k, pruneM).join(broadcast(pending), "qid")
+        .withColumn("ok",
+          (size(col("top")) >= k && element_at(col("top"), -1).getField("_1") <= g) ||
+            g >= pruneM) // ring covers the whole prune radius -> candidates complete
+        .persist()
+      checked.count() // materialise once; both filters below reuse it
+      done += checked.filter(col("ok")).select(col("qid"), col("top"))
+      val bad = checked.filter(!col("ok")).select("qid", "qlon", "qlat")
+      pending = if (bad.isEmpty) null else bad
+      ringK *= 2
+      iter += 1
+    }
+
+    done.reduce(_ unionByName _)
+      .select(col("qid"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("qid"), (col("i") + 1).cast("int").as("rank"),
+        col("t._2").as("pid"), round(col("t._1"), 3).as("dist_m"))
+  }
+
+  /** One kNN ring-join + partial-top-k pass over a probe subset (exposed
+    * for the plan-shape regression test: MUST stay an equi-join, never a
+    * cartesian/broadcast-NL product). `pts` carries (pid, lon, lat, cell). */
+  private[graft] def knnPass(spark: SparkSession, pts: DataFrame, pr: DataFrame,
+      ringK: Int, k: Int, pruneM: Double): DataFrame = {
+    import spark.implicits._
+    val probeCells = pr.withColumn("cell", explode(call_function("zcell_ring",
+      CellFunctions.zcell(col("qlon"), col("qlat"), lit(RES_COARSE)), lit(RES_COARSE), lit(ringK))))
+      .select("cell", "qid", "qlon", "qlat")
     val agg = new TopKSmallest(k).toColumn
-    cands.groupByKey(_._1)
+    pts.join(broadcast(probeCells), "cell")
+      .select(col("qid"),
+        GeoCols.haversineM(col("lon"), col("lat"), col("qlon"), col("qlat")).as("dist_m"),
+        col("pid"))
+      .filter(col("dist_m") <= pruneM)
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
       .mapValues(r => (r._2, r._3))
       .agg(agg)
-      .flatMap { case (qid, top) =>
-        top.iterator.zipWithIndex.map { case ((d, pid), i) => (qid, i + 1, pid, d) }
-      }
-      .toDF("qid", "rank", "pid", "dist0")
-      .select(col("qid"), col("rank"), col("pid"), round(col("dist0"), 3).as("dist_m"))
+      .toDF("qid", "top")
   }
 
   def knnSql(k: Int = 5, pruneM: Double = 600000.0): String = {
@@ -322,8 +374,8 @@ object GeoQueries {
       s"""SELECT $z AS z,
          |       ${CellSql.tileX("lon", z)} AS tx,
          |       ${CellSql.tileY("lat", z)} AS ty,
-         |       SUM(CASE WHEN is_media THEN 1 ELSE 0 END) AS n_media,
-         |       SUM(CASE WHEN is_media THEN 0 ELSE 1 END) AS n_vector
+         |       CAST(SUM(CASE WHEN is_media THEN 1 ELSE 0 END) AS BIGINT) AS n_media,
+         |       CAST(SUM(CASE WHEN is_media THEN 0 ELSE 1 END) AS BIGINT) AS n_vector
          |FROM pts
          |GROUP BY 1, 2, 3""".stripMargin
 

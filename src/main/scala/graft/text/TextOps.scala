@@ -260,9 +260,13 @@ object TextOps {
   }
 
   /** Per-doc MinHash signatures (also an output in its own right). */
-  def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame = {
+  def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame =
+    minhashSignaturesOf(spark, corpus(spark, sfDir))
+
+  /** Signature computation over an arbitrary (doc_id, text, ...) corpus. */
+  def minhashSignaturesOf(spark: SparkSession, c: DataFrame): DataFrame = {
     registerTextUdfs(spark)
-    withShingleHashes(corpus(spark, sfDir)).select(Seq(col("doc_id")) ++ minhashCols: _*)
+    withShingleHashes(c).select(Seq(col("doc_id")) ++ minhashCols: _*)
   }
 
   val minhashSignaturesSql: String =
@@ -276,8 +280,26 @@ object TextOps {
    * with the exact shingle-set Jaccard. At scale: shuffle on band key
    * (balanced by the hash), join within buckets only — never O(n^2).
    */
-  def minhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val sig = minhashSignatures(spark, sfDir)
+  def minhashPairs(spark: SparkSession, sfDir: String): DataFrame =
+    minhashPairsOf(spark, corpus(spark, sfDir))
+
+  def minhashPairsOf(spark: SparkSession, c: DataFrame): DataFrame = {
+    val cand = lshCandidates(spark, c)
+    val ds = distinctShinglesOf(spark, c)
+    val sizes = ds.groupBy("doc_id").count()
+    cand
+      .join(interCounts(cand, ds), Seq("a", "b"), "left")
+      .na.fill(0L, Seq("ninter"))
+      .join(sizes.select(col("doc_id").as("a"), col("count").as("na")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("count").as("nb")), "b")
+      .select(col("a"), col("b"),
+        round(col("ninter").cast("double") /
+          (col("na") + col("nb") - col("ninter")).cast("double"), 6).as("jaccard"))
+  }
+
+  /** LSH candidate pairs (a < b, distinct) from the banded signatures. */
+  private[graft] def lshCandidates(spark: SparkSession, c: DataFrame): DataFrame = {
+    val sig = minhashSignaturesOf(spark, c)
     // one pass: signature -> 4 (band, key) rows via a single explode (a
     // 4-way union would recompute the 16 minhash mins per branch)
     val bandStructs = array((0 until BANDS).map { b =>
@@ -289,34 +311,35 @@ object TextOps {
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
     val l = bands.select(col("band"), col("bkey"), col("doc_id").as("a"))
     val r = bands.select(col("band"), col("bkey"), col("doc_id").as("b"))
-    val cand = l.join(r, Seq("band", "bkey")).filter(col("a") < col("b"))
+    l.join(r, Seq("band", "bkey")).filter(col("a") < col("b"))
       .select("a", "b").distinct()
-    // exact Jaccard refine via exploded intersection counts (relational set
-    // intersection — per-pair array_contains would be quadratic per pair
-    // and interpreted; this is joins + counts, linear in shingle rows)
-    val ds = distinctShingles(spark, sfDir)
-    val sizes = ds.groupBy("doc_id").count()
-    val inter = ds.select(col("doc_id").as("a"), col("sh"))
-      .join(ds.select(col("doc_id").as("b"), col("sh")), "sh")
-      .filter(col("a") < col("b"))
+  }
+
+  /**
+   * Exact shared-shingle counts, scoped to the LSH CANDIDATE pairs — never
+   * a global shingle self-join. Round-1 verdict: `ds(a) ⋈ ds(b) ON sh`
+   * computes intersections for EVERY pair sharing any shingle, so a
+   * stop-phrase shingle of document frequency f costs f² join rows. Here the
+   * pair list drives the join: cand ⋈ shingles(a) ⋈ shingles(b) — work is
+   * Σ over candidate pairs of |shingles(a)| (exactly the cost of verifying
+   * those pairs), independent of any shingle's global frequency.
+   */
+  private[graft] def interCounts(cand: DataFrame, ds: DataFrame): DataFrame = {
+    val shA = ds.select(col("doc_id").as("a"), col("sh"))
+    val shB = ds.select(col("doc_id").as("b"), col("sh"))
+    cand.join(shA, "a").join(shB, Seq("b", "sh"))
       .groupBy("a", "b").agg(count(lit(1)).as("ninter"))
-    cand
-      .join(inter, Seq("a", "b"), "left")
-      .na.fill(0L, Seq("ninter"))
-      .join(sizes.select(col("doc_id").as("a"), col("count").as("na")), "a")
-      .join(sizes.select(col("doc_id").as("b"), col("count").as("nb")), "b")
-      .select(col("a"), col("b"),
-        round(col("ninter").cast("double") /
-          (col("na") + col("nb") - col("ninter")).cast("double"), 6).as("jaccard"))
   }
 
   /** Exploded distinct (doc_id, shingle) rows — the join-friendly shingle
     * set representation. */
-  private def distinctShingles(spark: SparkSession, sfDir: String): DataFrame = {
+  private def distinctShingles(spark: SparkSession, sfDir: String): DataFrame =
+    distinctShinglesOf(spark, corpus(spark, sfDir))
+
+  private[graft] def distinctShinglesOf(spark: SparkSession, c: DataFrame): DataFrame = {
     registerTextUdfs(spark)
-    corpus(spark, sfDir)
-      .select(col("doc_id"), col("lang"), col("source"),
-        explode(call_function("shingle_set", col("text"))).as("sh"))
+    c.select(col("doc_id"), col("lang"), col("source"),
+      explode(call_function("shingle_set", col("text"))).as("sh"))
   }
 
   val minhashPairsSql: String = {

@@ -17,6 +17,17 @@ class GeoSpec extends AnyFunSuite {
 
   private def gc(p: Polygon*) = Geo.areaGeom(p)
 
+  test("id-keyed geometry cache discriminates different geometries reusing the same id") {
+    import graft.geom.GeoCache
+    // same area id, two different geometry sets (the repeated-scaling-run
+    // scenario): the second lookup must NOT serve the first parse
+    val leftRect = Geo.toWkb(gc(square(0, 0, 1)))
+    val rightRect = Geo.toWkb(gc(square(10, 10, 1)))
+    assert(GeoCache.containsCoordById(7777L, leftRect, 0.5, 0.5))
+    assert(!GeoCache.containsCoordById(7777L, rightRect, 0.5, 0.5))
+    assert(GeoCache.containsCoordById(7777L, rightRect, 10.5, 10.5))
+  }
+
   test("shifted unit square pins the fuzzy 0.90 threshold (reference :88-98)") {
     val base = gc(square(0, 0, 1))
     // identical -> exact within

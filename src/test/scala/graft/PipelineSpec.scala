@@ -34,6 +34,36 @@ class PipelineSpec extends SparkSpec {
     assert(r3(1).rows === r1(1).rows) // deterministically identical
   }
 
+  test("content-hash fingerprint: upstream value change with same rows+schema re-runs downstream") {
+    val wd = Files.createTempDirectory("graft-fp").toString
+    val runner = new StageRunner(spark, wd)
+    def buildA(v: String) = (s: org.apache.spark.sql.SparkSession) => {
+      import s.implicits._
+      Seq((1L, "x"), (2L, v)).toDF("id", "v")
+    }
+    runner.run("a", Seq.empty)(buildA("y"))
+    assert(!runner.run("b", Seq("a"))(_ => runner.read("a")).skipped)
+    assert(runner.run("b", Seq("a"))(_ => runner.read("a")).skipped) // unchanged -> skip
+    // rebuild a with DIFFERENT VALUES but identical row count + schema
+    Files.delete(Paths.get(s"$wd/a/manifest.json"))
+    runner.run("a", Seq.empty)(buildA("Z"))
+    val b = runner.run("b", Seq("a"))(_ => runner.read("a"))
+    assert(!b.skipped, "rows:schema fingerprint would wrongly skip here — content hash must not")
+  }
+
+  test("a skipped stage requires its data to still exist (manifest alone is not enough)") {
+    val wd = Files.createTempDirectory("graft-fpdata").toString
+    val runner = new StageRunner(spark, wd)
+    runner.run("a", Seq.empty) { s => import s.implicits._; Seq(1L, 2L).toDF("id") }
+    assert(runner.run("a", Seq.empty) { s => import s.implicits._; Seq(1L, 2L).toDF("id") }.skipped)
+    // wipe the data but keep the manifest -> must re-run, not fake success
+    def rm(p: java.io.File): Unit = { Option(p.listFiles).foreach(_.foreach(rm)); p.delete() }
+    rm(new java.io.File(s"$wd/a/data.parquet"))
+    val r = runner.run("a", Seq.empty) { s => import s.implicits._; Seq(1L, 2L).toDF("id") }
+    assert(!r.skipped)
+    assert(spark.read.parquet(s"$wd/a/data.parquet").count() === 2L)
+  }
+
   test("dead-letter split: corrupt rows routed, ok rows clean, job never fails") {
     GeoPipeline.runAll(spark, sfDir, workDir)
     val runner = new StageRunner(spark, workDir)

@@ -35,6 +35,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BatchEvalPython"))
   }
 
+  test("kNN pass is a cell equi-join: no cartesian / broadcast-NL product in the plan") {
+    import org.apache.spark.sql.functions._
+    import graft.cell.{CellFunctions, CellIndex}
+    val pts = graft.gen.GeoWorld.points(spark, sfDir).select(
+      col("pid"), col("lon"), col("lat"),
+      CellFunctions.zcell(col("lon"), col("lat"), lit(CellIndex.RES_COARSE)).as("cell"))
+    val pr = GeoQueries.probes(spark, sfDir)
+    val p = plan(GeoQueries.knnPass(spark, pts, pr, 3, 5, 600000.0))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoop"), p.take(800))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
   test("salted PIP variant shuffles instead of broadcasting the big side") {
     val p = plan(GeoQueries.pipLookupSalted(spark, sfDir))
     assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"), p.take(800))

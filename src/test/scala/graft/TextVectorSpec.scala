@@ -30,6 +30,27 @@ class TextVectorSpec extends SparkSpec {
     pairs.collect { case (a, b, j) if b == a + 20000 => j }.foreach(j => assert(j === 1.0))
   }
 
+  test("jaccard refine is candidate-scoped: a corpus-wide stop shingle does no quadratic work") {
+    import spark.implicits._
+    // 200 docs all sharing one stop shingle ("lorem ipsum dolor"), tails unique.
+    // The round-1 global shingle self-join would compute 200*199/2 = 19900
+    // intersection pairs from the stop shingle alone; the candidate-scoped
+    // refine touches only LSH candidate pairs.
+    val c = (0 until 200).map(i =>
+      (i.toLong, s"lorem ipsum dolor u${i}a u${i}b u${i}c u${i}d u${i}e", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val cand = TextOps.lshCandidates(spark, c)
+    val nCand = cand.count()
+    assert(nCand < 100, s"unique-tail docs should rarely share a full band (got $nCand)")
+    val ds = TextOps.distinctShinglesOf(spark, c)
+    val inter = TextOps.interCounts(cand, ds)
+    assert(inter.count() <= nCand, "intersection rows must be bounded by candidate pairs, not shingle df^2")
+    val pairs = TextOps.minhashPairsOf(spark, c).collect()
+    assert(pairs.length.toLong === nCand)
+    // any banded-together pair still shares ONLY the stop shingle -> jaccard = 1/11
+    pairs.foreach(r => assert(r.getDouble(2) < 0.2, s"unrelated docs scored ${r.getDouble(2)}"))
+  }
+
   test("SimHash of a near-duplicate is within small Hamming distance of the original") {
     val sh = TextOps.simhash(spark, sfDir).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val nearIds = sh.keys.filter(id => id < 10000 && sh.contains(id + 10000))
