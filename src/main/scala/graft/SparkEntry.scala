@@ -21,11 +21,13 @@ object SparkEntry {
     // cell index (T7/T13/T14 + north-star codegen encode)
     "q_cell_points" -> ((s, d) => GeoQueries.cellPoints(s, d)),
     // flagship PIP lookup (Q3)
-    "q_pip_nation" -> ((s, d) => GeoQueries.pipLookup(s, d, level = 6)),
-    "q_pip_district" -> ((s, d) => GeoQueries.pipLookup(s, d, level = 9)),
+    "q_pip_nation" -> ((s, d) => GeoQueries.pipLookup(s, d, level = 4)),
+    "q_pip_district" -> ((s, d) => GeoQueries.pipLookup(s, d, level = 8)),
     "q_pip_salted" -> ((s, d) => GeoQueries.pipLookupSalted(s, d)),
     // containment join (Q5)
     "q_containment" -> ((s, d) => GeoQueries.containmentJoin(s, d)),
+    // chained admin-ladder query (Q11: country -> ... -> community, 8 levels)
+    "q_area_chain" -> ((s, d) => graft.api.AstTranslator.areaChain(s, d)),
     // POI queries (Q6 / Q7)
     "q_poi_area" -> ((s, d) => GeoQueries.poiFromArea(s, d)),
     "q_poi_cell" -> ((s, d) => GeoQueries.poiByCell(s, d)),
@@ -71,10 +73,11 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q_cell_points" -> GeoQueries.cellPointsSql,
-    "q_pip_nation" -> GeoQueries.pipLookupSql(level = 6),
-    "q_pip_district" -> GeoQueries.pipLookupSql(level = 9),
-    "q_pip_salted" -> GeoQueries.pipLookupSql(level = 6),
+    "q_pip_nation" -> GeoQueries.pipLookupSql(level = 4),
+    "q_pip_district" -> GeoQueries.pipLookupSql(level = 8),
+    "q_pip_salted" -> GeoQueries.pipLookupSql(level = 4),
     "q_containment" -> GeoQueries.containmentJoinSql(),
+    "q_area_chain" -> graft.api.AstTranslator.areaChainSql(),
     "q_poi_area" -> GeoQueries.poiFromAreaSql(),
     "q_poi_cell" -> GeoQueries.poiByCellSql(),
     "q_knn" -> GeoQueries.knnSql(),

@@ -53,7 +53,47 @@ object AstTranslator {
   import GeoAst._
   import CellIndex.{RES_COARSE, RES_MID}
 
-  private val validLevels = Set(2, 6, 9)
+  /** The world's full 8-level admin ladder (reference Queries.scala:47-161:
+    * Country 2, State 4, Region 5, City 6, Township 7, District 8,
+    * Village 9, Community 10). */
+  private val validLevels = GeoWorld.ALL_LEVELS.toSet
+
+  /**
+   * The reference's chained admin-ladder query (CityQuery → DistrictQuery →
+   * ... traversing adjacent levels, Queries.scala:47-161), as ONE recursive
+   * AST: Country(name) → states → regions → ... → communities. Each hop is
+   * a cover-cell broadcast join + exact `within` refine; intermediate area
+   * sets stay tiny (≤ |communities|), so the chain is 7 broadcast joins over
+   * one scan of the (small) area dimension — the point table is never read.
+   * Output: (area_id, area_name, parent_id) of the final level.
+   */
+  def areaChain(spark: SparkSession, sfDir: String, countryName: String = "country_1",
+      toLevel: Int = 10): DataFrame = {
+    val levels = GeoWorld.ALL_LEVELS.filter(l => l > 2 && l <= toLevel)
+    val ast = levels.foldLeft[GeoAst](GeoAst.AreaByName(2, countryName))((p, l) => GeoAst.AreasFromArea(l, p))
+    translate(spark, sfDir, ast).fold(
+      e => throw new IllegalArgumentException(e.msg),
+      df => df.select(col("area_id"), col("area_name"), col("parent_id")))
+  }
+
+  /** Oracle: the same chain as rect-nesting joins over the areas CTE. */
+  def areaChainSql(countryName: String = "country_1", toLevel: Int = 10): String = {
+    val levels = GeoWorld.ALL_LEVELS.filter(l => l > 2 && l <= toLevel)
+    val hops = levels.zipWithIndex.map { case (l, i) =>
+      val c = s"t$l"
+      val p = if (i == 0) "t2" else s"t${levels(i - 1)}"
+      s"""JOIN areas $c ON $c.level = $l
+         | AND $c.lon0 >= $p.lon0 AND $c.lon1 <= $p.lon1
+         | AND $c.lat0 >= $p.lat0 AND $c.lat1 <= $p.lat1""".stripMargin
+    }
+    val last = s"t${levels.last}"
+    val parent = if (levels.length < 2) "t2" else s"t${levels(levels.length - 2)}"
+    graft.query.GeoQueries.withWorld() +
+      s"""SELECT $last.area_id, $last.area_name, $parent.area_id AS parent_id
+         |FROM areas t2
+         |${hops.mkString("\n")}
+         |WHERE t2.level = 2 AND t2.area_name = '$countryName'""".stripMargin
+  }
 
   def translate(spark: SparkSession, sfDir: String, ast: GeoAst): Either[TranslateError, DataFrame] = {
     GeoWorld.registerUdfs(spark)

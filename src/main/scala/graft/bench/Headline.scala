@@ -38,7 +38,7 @@ object Headline {
     spark.udf.register("tile_y", (lat: Double, zz: Int) => CellIndex.tileY(lat, zz))
     val pts = scaledPoints(spark, sfDir, factor)
       .withColumn("cell", CellFunctions.zcell(col("lon"), col("lat"), lit(CellIndex.RES_COARSE)))
-    val areas = GeoWorld.areas(spark, sfDir).filter(col("level") === 6)
+    val areas = GeoWorld.areas(spark, sfDir).filter(col("level") === 4)
       .withColumn("cell", explode(GeoWorld.coverCells(col("lon0"), col("lat0"), col("lon1"), col("lat1"), CellIndex.RES_COARSE)))
       .select("cell", "area_id", "wkb")
     pts.join(broadcast(areas), "cell")
@@ -84,7 +84,7 @@ object Headline {
       }.toArray
       graft.geom.Geo.toWkb(graft.geom.Geo.areaGeom(Seq(graft.geom.Geo.factory.createPolygon(coords))))
     })
-    GeoWorld.areas(spark, sfDir).filter(col("level") === 6)
+    GeoWorld.areas(spark, sfDir).filter(col("level") === 4)
       .withColumn("wkb", call_function("ellipse_wkb", col("lon0"), col("lat0"), col("lon1"), col("lat1"), lit(nVertices)))
       .withColumn("cell", explode(GeoWorld.coverCells(col("lon0"), col("lat0"), col("lon1"), col("lat1"), CellIndex.RES_COARSE)))
       .select("cell", "area_id", "wkb")

@@ -46,7 +46,7 @@ object SkewBench {
     try {
       val pts = GeoWorld.points(spark, sfDir)
         .withColumn("cell", CellFunctions.zcell(col("lon"), col("lat"), lit(CellIndex.RES_COARSE)))
-      val areas = GeoWorld.areas(spark, sfDir).filter(col("level") === 6)
+      val areas = GeoWorld.areas(spark, sfDir).filter(col("level") === 4)
         .withColumn("cell", explode(GeoWorld.coverCells(col("lon0"), col("lat0"), col("lon1"), col("lat1"), CellIndex.RES_COARSE)))
         .select("cell", "area_id", "wkb")
       val joined =

@@ -14,12 +14,13 @@ import graft.geom.{Geo, GeoCols}
  *
  *  - POI points  <- lineitem  (one point per line item; 30% relocated into a
  *                   ~0.2° hot box so cell-join skew handling is exercised)
- *  - admin areas <- region (level 2, 5 big rects) / nation (level 6 "city",
- *                   5 per region stacked vertically) / 6 districts per
- *                   nation (level 9, vertical strips) — every point falls in
- *                   exactly one nation and one district, mirroring the
- *                   reference's admin-level ladder (reference:
- *                   query-engine/.../Queries.scala:343-350 admin levels 2-10)
+ *  - admin areas <- region (level 2 country) / nation (level 4 state,
+ *                   5 per country stacked vertically) / a strictly nested
+ *                   grid refinement of each state for levels 5/6/7/8/9/10
+ *                   (see [[GeoWorld.SUB_LEVELS]]) — every point falls in
+ *                   exactly one area per level, mirroring the reference's
+ *                   FULL admin-level ladder (reference:
+ *                   query-engine/.../Queries.scala:47-161, tags 343-350)
  *  - interleaved documents <- lineitem grouped by order: doc_id +
  *                   spans array<struct<kind,text,media_ref,offset>> (the
  *                   BASELINE.json input_hint schema); span text carries the
@@ -36,8 +37,7 @@ object GeoWorld {
   final val LAT0 = 30.0
   final val REGION_W = 12.0
   final val REGION_H = 36.0
-  final val NATION_H = 7.2 // 5 per region
-  final val DISTRICT_W = 2.0 // 6 per nation
+  final val NATION_H = 7.2 // state band height, 5 per country
   final val OFF = 0.0002 // grid offset keeping points off boundaries
 
   // ---------------------------------------------------------------- points
@@ -98,86 +98,125 @@ object GeoWorld {
 
   // ----------------------------------------------------------------- areas
 
-  /** Admin areas: region rects (level 2), nation rects (level 6), district
-    * strips (level 9). Columns: area_id, area_name, level, lon0, lat0,
-    * lon1, lat1, wkb (GeometryCollection(MultiPolygon(rect)), reference
-    * denormalised-relation shape). */
+  /**
+   * Sub-state subdivision schedule: (level, name prefix, nx, ny) — each
+   * level is an (nx x ny) grid refinement of its STATE rect (12° x 7.2°),
+   * and every grid refines the previous one, so the full 8-level admin
+   * ladder is strictly nested: country(2) ⊃ state(4) ⊃ region(5) ⊃ city(6)
+   * ⊃ township(7) ⊃ district(8) ⊃ village(9) ⊃ community(10) — the
+   * reference's complete level set (query-engine/.../Queries.scala:47-161,
+   * admin_level tags at 343-350).
+   */
+  val SUB_LEVELS: Seq[(Int, String, Int, Int)] = Seq(
+    (5, "region", 2, 1),
+    (6, "city", 6, 1),
+    (7, "township", 6, 2),
+    (8, "district", 6, 4),
+    (9, "village", 12, 4),
+    (10, "community", 12, 8))
+
+  /** All 8 admin levels present in the world. */
+  val ALL_LEVELS: Seq[Int] = Seq(2, 4) ++ SUB_LEVELS.map(_._1)
+
+  /** Admin areas, 8 levels. Columns: area_id (= level*100000 + ordinal),
+    * area_name (prefix_ordinal), level, lon0, lat0, lon1, lat1, wkb
+    * (GeometryCollection(MultiPolygon(rect)), reference denormalised-
+    * relation shape). ALL rect edges derive from integer MILLI-degrees
+    * (/1000.0), so shared child/parent edges are the same double in the
+    * JVM and in DuckDB — a degree-arithmetic ladder would differ by ulps
+    * between levels and make exact `within` diverge from the SQL oracle. */
   def areas(spark: SparkSession, sfDir: String): DataFrame = {
     registerUdfs(spark)
     val region = spark.read.parquet(s"$sfDir/region.parquet")
     val nation = spark.read.parquet(s"$sfDir/nation.parquet")
 
-    val regions = region.select(
-      (lit(100L) + col("r_regionkey")).as("area_id"),
-      concat(lit("region_"), col("r_regionkey").cast("string")).as("area_name"),
+    val countries = region.select(
+      (lit(200000L) + col("r_regionkey")).as("area_id"),
+      concat(lit("country_"), col("r_regionkey").cast("string")).as("area_name"),
       lit(2).as("level"),
-      (lit(LON0) + col("r_regionkey") * REGION_W).as("lon0"),
+      (lit(LON0) + (col("r_regionkey") * 12000L) / 1000.0).as("lon0"),
       lit(LAT0).as("lat0"),
-      (lit(LON0) + (col("r_regionkey") + 1) * REGION_W).as("lon1"),
-      lit(LAT0 + REGION_H).as("lat1"))
+      (lit(LON0) + ((col("r_regionkey") + 1) * 12000L) / 1000.0).as("lon1"),
+      (lit(LAT0) + lit(36000L) / 1000.0).as("lat1"))
 
     val rn = row_number().over(Window.partitionBy("n_regionkey").orderBy("n_nationkey")) - 1
     val nations0 = nation.select(
       col("n_nationkey"), col("n_regionkey"), rn.as("idx"))
-    val nations = nations0.select(
-      (lit(200L) + col("n_nationkey")).as("area_id"),
-      concat(lit("nation_"), col("n_nationkey").cast("string")).as("area_name"),
-      lit(6).as("level"),
-      (lit(LON0) + col("n_regionkey") * REGION_W).as("lon0"),
-      (lit(LAT0) + col("idx") * NATION_H).as("lat0"),
-      (lit(LON0) + (col("n_regionkey") + 1) * REGION_W).as("lon1"),
-      (lit(LAT0) + (col("idx") + 1) * NATION_H).as("lat1"))
+    val states = nations0.select(
+      (lit(400000L) + col("n_nationkey")).as("area_id"),
+      concat(lit("state_"), col("n_nationkey").cast("string")).as("area_name"),
+      lit(4).as("level"),
+      (lit(LON0) + (col("n_regionkey") * 12000L) / 1000.0).as("lon0"),
+      (lit(LAT0) + (col("idx") * 7200L) / 1000.0).as("lat0"),
+      (lit(LON0) + ((col("n_regionkey") + 1) * 12000L) / 1000.0).as("lon1"),
+      (lit(LAT0) + ((col("idx") + 1) * 7200L) / 1000.0).as("lat1"))
 
-    val districts = nations0
-      .withColumn("j", explode(sequence(lit(0), lit(5))))
-      .select(
-        (lit(10000L) + col("n_nationkey") * 10 + col("j")).as("area_id"),
-        concat(lit("district_"), (col("n_nationkey") * 10 + col("j")).cast("string")).as("area_name"),
-        lit(9).as("level"),
-        (lit(LON0) + col("n_regionkey") * REGION_W + col("j") * DISTRICT_W).as("lon0"),
-        (lit(LAT0) + col("idx") * NATION_H).as("lat0"),
-        (lit(LON0) + col("n_regionkey") * REGION_W + (col("j") + 1) * DISTRICT_W).as("lon1"),
-        (lit(LAT0) + (col("idx") + 1) * NATION_H).as("lat1"))
+    val subs = SUB_LEVELS.map { case (lvl, prefix, nx, ny) =>
+      val wm = 12000 / nx // exact integer milli-degree cell extents
+      val hm = 7200 / ny
+      val ord = col("n_nationkey") * (nx * ny) + col("jy") * nx + col("jx")
+      nations0
+        .withColumn("jx", explode(sequence(lit(0), lit(nx - 1))))
+        .withColumn("jy", explode(sequence(lit(0), lit(ny - 1))))
+        .select(
+          (lit(lvl * 100000L) + ord).as("area_id"),
+          concat(lit(prefix + "_"), ord.cast("string")).as("area_name"),
+          lit(lvl).as("level"),
+          (lit(LON0) + (col("n_regionkey") * 12000L + col("jx") * wm) / 1000.0).as("lon0"),
+          (lit(LAT0) + (col("idx") * 7200L + col("jy") * hm) / 1000.0).as("lat0"),
+          (lit(LON0) + (col("n_regionkey") * 12000L + (col("jx") + 1) * wm) / 1000.0).as("lon1"),
+          (lit(LAT0) + (col("idx") * 7200L + (col("jy") + 1) * hm) / 1000.0).as("lat1"))
+    }
 
-    regions.unionByName(nations).unionByName(districts)
+    (Seq(countries, states) ++ subs).reduce(_ unionByName _)
       .withColumn("wkb", call_function("rect_area_wkb", col("lon0"), col("lat0"), col("lon1"), col("lat1")))
   }
 
-  /** DuckDB CTE mirroring [[areas]] minus wkb (name `areas`). */
-  val areasCte: String =
+  /** DuckDB CTE mirroring [[areas]] minus wkb (name `areas`) — generated
+    * from the SAME [[SUB_LEVELS]] schedule so the two can never drift. */
+  val areasCte: String = {
+    val subSelects = SUB_LEVELS.map { case (lvl, prefix, nx, ny) =>
+      val wm = 12000 / nx
+      val hm = 7200 / ny
+      val ord = s"n_nationkey * ${nx * ny} + jy * $nx + jx"
+      s"""  SELECT CAST(${lvl * 100000L} + $ord AS BIGINT),
+         |         '${prefix}_' || CAST($ord AS VARCHAR),
+         |         $lvl,
+         |         $LON0 + (n_regionkey * 12000 + jx * $wm) / 1000.0,
+         |         $LAT0 + (idx * 7200 + jy * $hm) / 1000.0,
+         |         $LON0 + (n_regionkey * 12000 + (jx + 1) * $wm) / 1000.0,
+         |         $LAT0 + (idx * 7200 + (jy + 1) * $hm) / 1000.0
+         |  FROM nidx
+         |  CROSS JOIN (SELECT UNNEST(RANGE(0, $nx)) AS jx) jxs
+         |  CROSS JOIN (SELECT UNNEST(RANGE(0, $ny)) AS jy) jys""".stripMargin
+    }
     s"""nidx AS (
        |  SELECT n_nationkey, n_regionkey,
        |         ROW_NUMBER() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) - 1 AS idx
        |  FROM nation
        |),
        |areas AS (
-       |  SELECT CAST(100 + r_regionkey AS BIGINT) AS area_id,
-       |         'region_' || CAST(r_regionkey AS VARCHAR) AS area_name,
+       |  SELECT CAST(200000 + r_regionkey AS BIGINT) AS area_id,
+       |         'country_' || CAST(r_regionkey AS VARCHAR) AS area_name,
        |         2 AS level,
-       |         $LON0 + r_regionkey * $REGION_W AS lon0,
+       |         $LON0 + (r_regionkey * 12000) / 1000.0 AS lon0,
        |         $LAT0 AS lat0,
-       |         $LON0 + (r_regionkey + 1) * $REGION_W AS lon1,
-       |         ${LAT0 + REGION_H} AS lat1
+       |         $LON0 + ((r_regionkey + 1) * 12000) / 1000.0 AS lon1,
+       |         $LAT0 + 36000 / 1000.0 AS lat1
        |  FROM region
        |  UNION ALL
-       |  SELECT CAST(200 + n_nationkey AS BIGINT),
-       |         'nation_' || CAST(n_nationkey AS VARCHAR),
-       |         6,
-       |         $LON0 + n_regionkey * $REGION_W,
-       |         $LAT0 + idx * $NATION_H,
-       |         $LON0 + (n_regionkey + 1) * $REGION_W,
-       |         $LAT0 + (idx + 1) * $NATION_H
+       |  SELECT CAST(400000 + n_nationkey AS BIGINT),
+       |         'state_' || CAST(n_nationkey AS VARCHAR),
+       |         4,
+       |         $LON0 + (n_regionkey * 12000) / 1000.0,
+       |         $LAT0 + (idx * 7200) / 1000.0,
+       |         $LON0 + ((n_regionkey + 1) * 12000) / 1000.0,
+       |         $LAT0 + ((idx + 1) * 7200) / 1000.0
        |  FROM nidx
        |  UNION ALL
-       |  SELECT CAST(10000 + n_nationkey * 10 + j AS BIGINT),
-       |         'district_' || CAST(n_nationkey * 10 + j AS VARCHAR),
-       |         9,
-       |         $LON0 + n_regionkey * $REGION_W + j * $DISTRICT_W,
-       |         $LAT0 + idx * $NATION_H,
-       |         $LON0 + n_regionkey * $REGION_W + (j + 1) * $DISTRICT_W,
-       |         $LAT0 + (idx + 1) * $NATION_H
-       |  FROM nidx CROSS JOIN (SELECT UNNEST(RANGE(0, 6)) AS j) js
+       |${subSelects.mkString("\n  UNION ALL\n")}
        |)""".stripMargin
+  }
 
   // ------------------------------------------------------------- documents
 

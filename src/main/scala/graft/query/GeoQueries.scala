@@ -25,10 +25,12 @@ object GeoQueries {
 
   private def init(spark: SparkSession): Unit = GeoWorld.registerUdfs(spark)
 
-  /** Probe points: nation-rect centres (the "Location source" Q1 analog —
-    * a small deterministic probe set for PIP/kNN/radius queries). */
+  /** Probe points: state-rect centres (the "Location source" Q1 analog —
+    * a small deterministic probe set for PIP/kNN/radius queries; level-4
+    * states carry the round-1 nation geometry, so the probe set is the
+    * same 25 centres). */
   def probes(spark: SparkSession, sfDir: String): DataFrame =
-    GeoWorld.areas(spark, sfDir).filter(col("level") === 6).select(
+    GeoWorld.areas(spark, sfDir).filter(col("level") === 4).select(
       col("area_id").as("qid"),
       ((col("lon0") + col("lon1")) / 2.0).as("qlon"),
       ((col("lat0") + col("lat1")) / 2.0).as("qlat"))
@@ -36,7 +38,7 @@ object GeoQueries {
   val probesCte: String =
     s"""probes AS (
        |  SELECT area_id AS qid, (lon0 + lon1) / 2.0 AS qlon, (lat0 + lat1) / 2.0 AS qlat
-       |  FROM areas WHERE level = 6
+       |  FROM areas WHERE level = 4
        |)""".stripMargin
 
   /** Oracle WITH-prefix shared by the geo queries. */
@@ -91,7 +93,7 @@ object GeoQueries {
    * predicate. At 100 TB the point side streams straight from the scan
    * through one WholeStageCodegen span into the broadcast join.
    */
-  def pipLookup(spark: SparkSession, sfDir: String, level: Int = 6): DataFrame = {
+  def pipLookup(spark: SparkSession, sfDir: String, level: Int = 4): DataFrame = {
     init(spark)
     val pts = GeoWorld.points(spark, sfDir)
       .withColumn("cell", CellFunctions.zcell(col("lon"), col("lat"), lit(RES_COARSE)))
@@ -112,7 +114,7 @@ object GeoQueries {
    * AQE skew-splitting is ALSO enabled session-wide; this explicit salt is
    * the belt-and-braces path for deterministic task sizing at 100 TB.
    */
-  def pipLookupSalted(spark: SparkSession, sfDir: String, level: Int = 6, salt: Int = 8): DataFrame = {
+  def pipLookupSalted(spark: SparkSession, sfDir: String, level: Int = 4, salt: Int = 8): DataFrame = {
     init(spark)
     val pts = GeoWorld.points(spark, sfDir)
       .withColumn("cell", CellFunctions.zcell(col("lon"), col("lat"), lit(RES_COARSE)))
@@ -125,7 +127,7 @@ object GeoQueries {
       .select(col("pid"), col("area_id"), col("area_name"))
   }
 
-  def pipLookupSql(level: Int = 6): String =
+  def pipLookupSql(level: Int = 4): String =
     withWorld() +
       s"""SELECT p.pid, a.area_id, a.area_name
          |FROM pts p JOIN areas a
@@ -137,12 +139,13 @@ object GeoQueries {
 
   /**
    * Area-containment join (reference Q5, Queries.scala:320-341): which
-   * child areas (level 9 districts) lie within which parent areas (level 6)?
+   * child areas (default level-6 cities) lie within which parents (level-4
+   * states)?
    * Both sides explode their cover cells, equi-join on cell, dedup the
    * candidate pair, then refine with the reference `within` (exact
    * forall/exists + fuzzy-0.9 fallback).
    */
-  def containmentJoin(spark: SparkSession, sfDir: String, childLevel: Int = 9, parentLevel: Int = 6): DataFrame = {
+  def containmentJoin(spark: SparkSession, sfDir: String, childLevel: Int = 6, parentLevel: Int = 4): DataFrame = {
     init(spark)
     val child = areaCells(spark, sfDir, childLevel, RES_COARSE)
       .select(col("area_id").as("child_id"), col("wkb").as("child_wkb"), col("cell"))
@@ -154,7 +157,7 @@ object GeoQueries {
       .select(col("child_id"), col("parent_id"))
   }
 
-  def containmentJoinSql(childLevel: Int = 9, parentLevel: Int = 6): String =
+  def containmentJoinSql(childLevel: Int = 6, parentLevel: Int = 4): String =
     withWorld() +
       s"""SELECT c.area_id AS child_id, p.area_id AS parent_id
          |FROM areas c JOIN areas p
@@ -165,14 +168,14 @@ object GeoQueries {
   // ------------------------------------------------------------------ POI
 
   /** POIs-from-area (reference Q6, Queries.scala:188-209): all points with a
-    * given tag inside each level-6 area, cell-joined at the 20 km-analog
+    * given tag inside each level-4 area, cell-joined at the 20 km-analog
     * resolution then exactly refined. */
   def poiFromArea(spark: SparkSession, sfDir: String, tagK: String = "amenity", tagV: String = "cat_3"): DataFrame = {
     init(spark)
     val pts = GeoWorld.points(spark, sfDir)
       .filter(col("tag_k") === tagK && col("tag_v") === tagV)
       .withColumn("cell", CellFunctions.zcell(col("lon"), col("lat"), lit(RES_MID)))
-    val ac = areaCells(spark, sfDir, 6, RES_MID)
+    val ac = areaCells(spark, sfDir, 4, RES_MID)
     pts.join(broadcast(ac), "cell")
       .filter(GeoCols.geoContainsPoint(col("wkb"), col("lon"), col("lat")))
       .select(col("area_id"), col("pid"), col("name"))
@@ -182,7 +185,7 @@ object GeoQueries {
     withWorld() +
       s"""SELECT a.area_id, p.pid, p.name
          |FROM pts p JOIN areas a
-         |  ON a.level = 6
+         |  ON a.level = 4
          | AND p.tag_k = '$tagK' AND p.tag_v = '$tagV'
          | AND p.lon > a.lon0 AND p.lon < a.lon1
          | AND p.lat > a.lat0 AND p.lat < a.lat1""".stripMargin

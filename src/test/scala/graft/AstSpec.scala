@@ -44,23 +44,49 @@ class AstSpec extends SparkSpec {
     assert(expected.contains(rows.head))
   }
 
-  test("recursive translation composes: POIs of the nations of a country") {
+  test("recursive translation composes: POIs of the cities of a country") {
     val Right(df) = AstTranslator.translate(spark, sfDir, nested): @unchecked
     val got = df.select("area_id", "pid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got.nonEmpty)
-    // equals the flat poiFromArea restricted to the country's nations
+    // independent arithmetic truth: every tagged point in region 2's frame,
+    // mapped to its city id 600000 + nationkey*6 + floor(local_lon/2)
     // (point (6.0, 51.0) lies in region floor((6+20)/12) = 2)
-    val expected = GeoQueries.poiFromArea(spark, sfDir)
-      .filter(col("area_id").between(200, 299))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-      .filter { case (aid, _) => regionOfNation(aid - 200) == 2 }
-      .toSet
+    import graft.gen.GeoWorld._
+    val expected = graft.gen.GeoWorld.points(spark, sfDir)
+      .filter(col("tag_k") === "amenity" && col("tag_v") === "cat_3")
+      .select("pid", "lon", "lat").collect()
+      .flatMap { r =>
+        val lon = r.getDouble(1); val lat = r.getDouble(2)
+        val g = math.floor((lon - LON0) / REGION_W).toInt
+        if (g != 2) None
+        else {
+          val idx = math.floor((lat - LAT0) / NATION_H).toInt
+          val nk = nationKeyOf(g, idx)
+          val jx = math.floor((lon - (LON0 + g * REGION_W)) / 2.0).toLong
+          Some((600000L + nk * 6 + jx, r.getLong(0)))
+        }
+      }.toSet
     assert(got === expected)
   }
 
-  private lazy val regionOfNation: Map[Long, Int] =
-    spark.read.parquet(s"$sfDir/nation.parquet").collect()
-      .map(r => r.getAs[Int]("n_nationkey").toLong -> r.getAs[Int]("n_regionkey")).toMap
+  test("chained recursion over >= 3 adjacent levels: cities of regions of states of a country") {
+    val chain = AreasFromArea(6, AreasFromArea(5, AreasFromArea(4, AreaByName(2, "country_2"))))
+    val Right(df) = AstTranslator.translate(spark, sfDir, chain): @unchecked
+    val cities = df.select("area_id").collect().map(_.getLong(0))
+    assert(cities.length === 30) // 5 states x 2 regions x 3 cities
+    assert(cities.distinct.length === 30)
+    assert(cities.forall(id => id >= 600000L && id < 700000L))
+    // full-ladder chain to communities: 480 per country
+    assert(AstTranslator.areaChain(spark, sfDir, "country_2").count() === 480L)
+  }
+
+  private lazy val nationKeyOf: Map[(Int, Int), Long] = {
+    val rows = spark.read.parquet(s"$sfDir/nation.parquet").collect()
+      .map(r => (r.getAs[Int]("n_regionkey"), r.getAs[Int]("n_nationkey")))
+    rows.groupBy(_._1).flatMap { case (g, ks) =>
+      ks.map(_._2).sorted.zipWithIndex.map { case (nk, idx) => (g, idx) -> nk.toLong }
+    }
+  }
 
   test("invalid admin level is a CouldNotCreateInputQuery, not an exception") {
     val r = AstTranslator.translate(spark, sfDir, AreaByCoordinates(42, 0, 0))

@@ -11,18 +11,18 @@ import graft.query.GeoQueries
  */
 class GeoQueriesSpec extends SparkSpec {
 
-  test("every point lands in exactly one nation and one district (PIP total = point count)") {
+  test("every point lands in exactly one area at EVERY admin level (PIP total = point count)") {
     val nPts = GeoWorld.points(spark, sfDir).count()
-    val pipN = GeoQueries.pipLookup(spark, sfDir, level = 6)
-    assert(pipN.count() === nPts)
-    assert(pipN.select("pid").distinct().count() === nPts)
-    val pipD = GeoQueries.pipLookup(spark, sfDir, level = 9)
-    assert(pipD.count() === nPts)
+    GeoWorld.ALL_LEVELS.foreach { lvl =>
+      val pip = GeoQueries.pipLookup(spark, sfDir, level = lvl)
+      assert(pip.count() === nPts, s"level $lvl")
+      assert(pip.select("pid").distinct().count() === nPts, s"level $lvl")
+    }
   }
 
-  test("PIP assignment matches the arithmetic truth (nation = f(point coords))") {
-    // nation rect: region g = floor((lon-LON0)/12); idx = floor((lat-LAT0)/7.2)
-    val got = GeoQueries.pipLookup(spark, sfDir, level = 6)
+  test("PIP assignment matches the arithmetic truth (state = f(point coords))") {
+    // state rect: region g = floor((lon-LON0)/12); idx = floor((lat-LAT0)/7.2)
+    val got = GeoQueries.pipLookup(spark, sfDir, level = 4)
       .join(GeoWorld.points(spark, sfDir), "pid")
       .select(col("pid"), col("area_id"), col("lon"), col("lat"))
       .collect()
@@ -31,9 +31,9 @@ class GeoQueriesSpec extends SparkSpec {
       val lon = r.getDouble(2); val lat = r.getDouble(3)
       val g = math.floor((lon - GeoWorld.LON0) / GeoWorld.REGION_W).toInt
       val idx = math.floor((lat - GeoWorld.LAT0) / GeoWorld.NATION_H).toInt
-      // area_id = 200 + nationkey where nation is the idx-th of region g
+      // area_id = 400000 + nationkey where nation is the idx-th of region g
       val nationKeys = nationKeysByRegion(g)
-      assert(r.getLong(1) === 200L + nationKeys(idx), s"pid=${r.getLong(0)}")
+      assert(r.getLong(1) === 400000L + nationKeys(idx), s"pid=${r.getLong(0)}")
     }
   }
 
@@ -44,19 +44,28 @@ class GeoQueriesSpec extends SparkSpec {
     n.groupBy(_._2).map { case (g, ks) => g -> ks.map(_._1).sorted.toSeq }
   }
 
-  test("containment join: each district within exactly its own nation (150 pairs)") {
+  test("containment join: each city within exactly its own state (150 pairs)") {
     val pairs = GeoQueries.containmentJoin(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.size === 150)
-    // district 10000 + nk*10 + j is inside nation 200 + nk
+    // city 600000 + nk*6 + j is inside state 400000 + nk
     pairs.foreach { case (child, parent) =>
-      assert(parent === 200L + (child - 10000L) / 10L)
+      assert(parent === 400000L + (child - 600000L) / 6L)
     }
   }
 
-  test("districts are within their region too (level 9 in level 2, 150 pairs)") {
-    val pairs = GeoQueries.containmentJoin(spark, sfDir, childLevel = 9, parentLevel = 2).count()
-    assert(pairs === 150L)
+  test("adjacent-level nesting holds across the whole 8-level ladder") {
+    // counts: 5 countries, 25 states, 50 regions, 150 cities, 300 townships,
+    // 600 districts, 1200 villages, 2400 communities — each child in exactly
+    // one parent at the previous level
+    val expected = Map(2 -> 5L, 4 -> 25L, 5 -> 50L, 6 -> 150L, 7 -> 300L,
+      8 -> 600L, 9 -> 1200L, 10 -> 2400L)
+    GeoWorld.ALL_LEVELS.sliding(2).foreach { case Seq(p, c) =>
+      val n = GeoQueries.containmentJoin(spark, sfDir, childLevel = c, parentLevel = p).count()
+      assert(n === expected(c), s"level $c in $p")
+    }
+    // and transitively: villages within their country
+    assert(GeoQueries.containmentJoin(spark, sfDir, childLevel = 9, parentLevel = 2).count() === 1200L)
   }
 
   test("span-sequence invariant: normalize preserves (kind, text, media_ref, offset) per row") {
