@@ -31,15 +31,21 @@ object SparkEntry {
     // POI queries (Q6 / Q7)
     "q_poi_area" -> ((s, d) => GeoQueries.poiFromArea(s, d)),
     "q_poi_cell" -> ((s, d) => GeoQueries.poiByCell(s, d)),
+    // POI catalog as a data table, incl. the multi-tag gym category (Q12)
+    "q_poi_catalog" -> ((s, d) => graft.query.PoiCatalog.poisOf(s, d)),
     // kNN + radius (Q8)
     "q_knn" -> ((s, d) => GeoQueries.knn(s, d)),
     "q_radius" -> ((s, d) => GeoQueries.radius(s, d)),
     // tiling (north-star raster/vector)
     "q_tile_assign" -> ((s, d) => GeoQueries.tileAssign(s, d)),
     "q_raster_vector" -> ((s, d) => GeoQueries.rasterVector(s, d)),
+    // vertex-based cell cover over non-rect geometry (T14)
+    "q_vertex_cover" -> ((s, d) => GeoQueries.vertexCoverTable(s, d)),
     // counts / search (S8 / S10)
     "q_counts_by_cell" -> ((s, d) => GeoQueries.countsByCell(s, d)),
     "q_name_search" -> ((s, d) => GeoQueries.nameSearch(s, d)),
+    // relation-by-name full chain (Q2): search -> mapping -> fetch -> tag -> dedup
+    "q_area_by_name" -> ((s, d) => GeoQueries.areaByNameChain(s, d)),
     // normalize + span invariants + way assembly (T2/T3, input_hint)
     "q_normalize" -> ((s, d) => GeoQueries.normalize(s, d)),
     "q_span_roundtrip" -> ((s, d) => GeoQueries.spanRoundtrip(s, d)),
@@ -80,12 +86,15 @@ object SparkEntry {
     "q_area_chain" -> graft.api.AstTranslator.areaChainSql(),
     "q_poi_area" -> GeoQueries.poiFromAreaSql(),
     "q_poi_cell" -> GeoQueries.poiByCellSql(),
+    "q_poi_catalog" -> graft.query.PoiCatalog.poisOfSql(),
     "q_knn" -> GeoQueries.knnSql(),
     "q_radius" -> GeoQueries.radiusSql(),
     "q_tile_assign" -> GeoQueries.tileAssignSql(),
     "q_raster_vector" -> GeoQueries.rasterVectorSql(),
+    "q_vertex_cover" -> GeoQueries.vertexCoverSql(),
     "q_counts_by_cell" -> GeoQueries.countsByCellSql,
     "q_name_search" -> GeoQueries.nameSearchSql(),
+    "q_area_by_name" -> GeoQueries.areaByNameChainSql(),
     "q_normalize" -> GeoQueries.normalizeSql,
     "q_span_roundtrip" -> GeoQueries.spanRoundtripSql,
     "q_way_assemble" -> GeoQueries.wayAssembleSql,

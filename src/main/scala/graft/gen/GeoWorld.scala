@@ -269,6 +269,19 @@ object GeoWorld {
       CellIndex.rectCover(lon0, lat0, lon1, lat1, res))
     spark.udf.register("zcell_ring", (cell: Long, res: Int, k: Int) =>
       CellIndex.ring(cell, res, k))
+    spark.udf.register("zcell_cover_geom", (wkb: Array[Byte], res: Int) =>
+      Geo.vertexCover(wkb, res))
+    spark.udf.register("diamond_wkb", (lon0: Double, lat0: Double, lon1: Double, lat1: Double) => {
+      // non-rectangular test polygon: diamond on the rect-edge midpoints
+      // (pure +,/ arithmetic so the oracle can re-derive every vertex)
+      val cx = (lon0 + lon1) / 2.0; val cy = (lat0 + lat1) / 2.0
+      Geo.toWkb(Geo.areaGeom(Seq(Geo.factory.createPolygon(Array(
+        new org.locationtech.jts.geom.Coordinate(cx, lat0),
+        new org.locationtech.jts.geom.Coordinate(lon1, cy),
+        new org.locationtech.jts.geom.Coordinate(cx, lat1),
+        new org.locationtech.jts.geom.Coordinate(lon0, cy),
+        new org.locationtech.jts.geom.Coordinate(cx, lat0))))))
+    })
   }
 
   /** Rectangle cell cover as a column (explodes into the join key). */

@@ -90,6 +90,30 @@ object Geo {
     })
   }
 
+  /**
+   * Vertex-based cell cover (reference T14: linestrings/polygons are
+   * indexed by encoding EVERY vertex — util/.../OsmObjectMapper.scala:
+   * 1061-1098): all coordinates of the geometry (any type — rings,
+   * linestrings, collections) encoded at `res`, distinct in first-seen
+   * order. This is the BOUNDARY cover: right for ways and boundary
+   * indexing; for point-in-AREA candidate generation the rectangle cover
+   * remains the correct superset (interior cells have no vertices).
+   */
+  def vertexCover(wkb: Array[Byte], res: Int): Array[Long] = {
+    val coords = fromWkb(wkb).getCoordinates
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i < coords.length) {
+      seen.add(graft.cell.CellIndex.encode(coords(i).x, coords(i).y, res))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    out
+  }
+
   /** Haversine great-circle distance in metres (sphere R = 6371000 m).
     *
     * Stands in for the reference's GeoTools ellipsoidal

@@ -382,6 +382,37 @@ object GeoQueries {
          |FROM pts
          |GROUP BY 1, 2, 3""".stripMargin
 
+  // ------------------------------------------------------- vertex cover
+
+  /**
+   * Vertex-based cell cover table (reference T14: every geometry vertex is
+   * encoded, OsmObjectMapper.scala:1061-1098) over NON-rectangular
+   * geometries — a diamond polygon inscribed in each level-`level` area.
+   * This is the boundary/way indexing path: the rect cover indexes interiors
+   * for PIP candidate generation; the vertex cover indexes the geometry's
+   * actual vertices (ways, boundary rings). The diamond vertices are pure
+   * midpoint arithmetic so the oracle re-derives them exactly.
+   */
+  def vertexCoverTable(spark: SparkSession, sfDir: String, level: Int = 4): DataFrame = {
+    init(spark)
+    GeoWorld.areas(spark, sfDir).filter(col("level") === level)
+      .withColumn("dwkb", call_function("diamond_wkb", col("lon0"), col("lat0"), col("lon1"), col("lat1")))
+      .select(col("area_id"),
+        explode(call_function("zcell_cover_geom", col("dwkb"), lit(RES_MID))).as("cell"))
+  }
+
+  def vertexCoverSql(level: Int = 4): String = {
+    val cx = "(lon0 + lon1) / 2.0"
+    val cy = "(lat0 + lat1) / 2.0"
+    val verts = Seq((cx, "lat0"), ("lon1", cy), (cx, "lat1"), ("lon0", cy))
+    withWorld() +
+      s"""SELECT area_id, cell FROM (
+         |${verts.map { case (x, y) =>
+             s"  SELECT area_id, ${CellSql.encode(x, y, RES_MID)} AS cell FROM areas WHERE level = $level"
+           }.mkString("\n  UNION\n")}
+         |)""".stripMargin
+  }
+
   // ------------------------------------------------- counts / name search
 
   /** Count-by-cell (reference S8 `countBB`). */
@@ -410,6 +441,40 @@ object GeoQueries {
     withWorld() +
       s"""SELECT pid, name, tag_k, tag_v
          |FROM pts WHERE name LIKE '$q%'""".stripMargin
+
+  /**
+   * Relation-by-name, the FULL reference chain (Q2, Queries.scala:279-299):
+   * name search (CONTAINS — the reference uses query-string search, not a
+   * prefix) → mapping lookup (id → cells, T7) → fetch by (cell, id) from
+   * the cell-keyed store → `admin_level` tag filter → dedup (the
+   * reference's Bloom dedup as exact distinct, G4). Every hop is a real
+   * join against the derived index tables; all of them are area-dimension
+   * sized, so each join broadcasts and the chain never shuffles point data.
+   */
+  def areaByNameChain(spark: SparkSession, sfDir: String, q: String = "state_1", level: Int = 4): DataFrame = {
+    init(spark)
+    val areasDf = GeoWorld.areas(spark, sfDir)
+    // 1. name search (S10 collapsed to a contains predicate)
+    val hits = areasDf.filter(col("area_name").contains(q)).select("area_id")
+    val ctt = graft.index.IndexBuild.cellTagTable(spark, sfDir)
+    // 2. mapping lookup: id -> cover cells (the T7 mapping store for areas)
+    val cells = ctt.select("area_id", "cell").distinct()
+      .join(broadcast(hits), "area_id")
+    // 3. fetch by (cell, id) from the cell-keyed tag store (S5)
+    val fetched = ctt.join(cells, Seq("cell", "area_id"))
+      // 4. admin-level tag filter (reference filters boundary=administrative
+      // + admin_level on the fetched objects)
+      .filter(col("tag_k") === "admin_level" && col("tag_v") === level.toString)
+    // 5. dedup: one row per cover cell otherwise
+    fetched.select("area_id").distinct()
+      .join(areasDf.select("area_id", "area_name"), "area_id")
+      .select(col("area_id"), col("area_name"))
+  }
+
+  def areaByNameChainSql(q: String = "state_1", level: Int = 4): String =
+    withWorld() +
+      s"""SELECT area_id, area_name FROM areas
+         |WHERE area_name LIKE '%$q%' AND level = $level""".stripMargin
 
   // --------------------------------------- normalize / assemble (T3 / T4)
 

@@ -95,6 +95,37 @@ class CellIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("vertex cover of a non-rectangular ring encodes every vertex, deduped, in first-seen order") {
+    import graft.geom.Geo
+    // 64-vertex ellipse (the Headline complex-boundary shape)
+    val cx = 6.0; val cy = 51.0; val rx = 3.0; val ry = 2.0; val n = 64
+    val coords = (0 to n).map { i =>
+      val a = 2 * math.Pi * (i % n) / n
+      new org.locationtech.jts.geom.Coordinate(cx + rx * math.cos(a), cy + ry * math.sin(a))
+    }.toArray
+    val wkb = Geo.toWkb(Geo.areaGeom(Seq(Geo.factory.createPolygon(coords))))
+    val cover = Geo.vertexCover(wkb, RES_MID)
+    val expected = coords.map(c => encode(c.x, c.y, RES_MID))
+    assert(cover.toSet === expected.toSet)      // every vertex cell present, nothing else
+    assert(cover.length === cover.distinct.length) // deduped (incl. the closing vertex)
+    assert(cover.head === expected.head)        // first-seen order preserved
+    // non-rect: the ellipse's vertex cover differs from its bbox rect cover
+    val rc = rectCover(cx - rx, cy - ry, cx + rx, cy + ry, RES_MID)
+    assert(cover.toSet !== rc.toSet)
+    assert(cover.length < rc.length) // boundary cover, not interior fill
+  }
+
+  test("vertex cover handles linestrings (way path) too") {
+    import graft.geom.Geo
+    val line = Geo.factory.createLineString(Array(
+      new org.locationtech.jts.geom.Coordinate(0.1, 0.1),
+      new org.locationtech.jts.geom.Coordinate(1.1, 0.1),
+      new org.locationtech.jts.geom.Coordinate(2.1, 1.1)))
+    val cover = Geo.vertexCover(Geo.toWkb(line), RES_MID)
+    assert(cover.toSeq === Seq(
+      encode(0.1, 0.1, RES_MID), encode(1.1, 0.1, RES_MID), encode(2.1, 1.1, RES_MID)))
+  }
+
   test("slippy tile assignment matches the OSM formula spot checks") {
     // zoom 0: everything in tile (0,0)
     assert(tileX(6.757, 0) === 0L && tileY(51.431, 0) === 0L)

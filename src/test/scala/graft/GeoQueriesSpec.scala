@@ -68,6 +68,26 @@ class GeoQueriesSpec extends SparkSpec {
     assert(GeoQueries.containmentJoin(spark, sfDir, childLevel = 9, parentLevel = 2).count() === 1200L)
   }
 
+  test("POI catalog golden counts (reference QueriesSpec.scala:137-174 shape)") {
+    import graft.query.PoiCatalog
+    // gym is the multi-tag category: 4 (tag_k, tag_v) pairs, like reference Gym
+    assert(PoiCatalog.entries.count(_._1 == "gym") === 4)
+    assert(PoiCatalog.entries.length === 60) // 57 categories + gym's 3 extra pairs
+    val gyms = PoiCatalog.poisOf(spark, sfDir, "gym").collect()
+    assert(gyms.length === 316) // ~4 x one category's ~80 points
+    assert(gyms.count(_.getLong(0) == 400001L) === 13) // gyms in state_1
+    val theatres = PoiCatalog.poisOf(spark, sfDir, "theatre").collect()
+    assert(theatres.length === 84) // single-tag category
+    assert(theatres.count(_.getLong(0) == 400001L) === 2) // theatres in state_1
+  }
+
+  test("area-by-name chain: contains-search finds state_1 and state_10..19, deduped") {
+    val got = GeoQueries.areaByNameChain(spark, sfDir, "state_1", level = 4).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val expected = (Seq(1L) ++ (10L to 19L)).map(k => (400000L + k) -> s"state_$k").toSet
+    assert(got === expected)
+  }
+
   test("span-sequence invariant: normalize preserves (kind, text, media_ref, offset) per row") {
     val docs = GeoWorld.docs(spark, sfDir)
     val flat = GeoQueries.normalize(spark, sfDir)
