@@ -20,6 +20,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // cell index (T7/T13/T14 + north-star codegen encode)
     "q_cell_points" -> ((s, d) => GeoQueries.cellPoints(s, d)),
+    // per-row precision-ladder selection by element type (T12)
+    "q_precision_ladder" -> ((s, d) => GeoQueries.precisionLadder(s, d)),
     // flagship PIP lookup (Q3)
     "q_pip_nation" -> ((s, d) => GeoQueries.pipLookup(s, d, level = 4)),
     "q_pip_district" -> ((s, d) => GeoQueries.pipLookup(s, d, level = 8)),
@@ -79,6 +81,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q_cell_points" -> GeoQueries.cellPointsSql,
+    "q_precision_ladder" -> GeoQueries.precisionLadderSql,
     "q_pip_nation" -> GeoQueries.pipLookupSql(level = 4),
     "q_pip_district" -> GeoQueries.pipLookupSql(level = 8),
     "q_pip_salted" -> GeoQueries.pipLookupSql(level = 4),

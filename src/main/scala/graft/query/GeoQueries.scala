@@ -77,6 +77,31 @@ object GeoQueries {
          |FROM pts""".stripMargin
   }
 
+  /**
+   * Per-row precision-ladder selection (T12): the reference picks the 80 km
+   * vs 20 km hasher BY ELEMENT TYPE per object (OsmObjectMapper.scala:
+   * 1031-1043 — relations coarse, nodes/ways fine). Here the span `kind`
+   * routes each row: media spans at RES_COARSE, point spans at RES_MID.
+   * `zcell`'s res operand is a full expression, so the `when(kind, res)`
+   * column stays inside the same WholeStageCodegen span — one pass, no
+   * per-type split-and-union.
+   */
+  def precisionLadder(spark: SparkSession, sfDir: String): DataFrame = {
+    val res = when(col("kind") === "media", lit(RES_COARSE)).otherwise(lit(RES_MID))
+    normalize(spark, sfDir).select(
+      col("doc_id"), col("offset"), col("kind"),
+      res.as("res"),
+      CellFunctions.zcell(col("lon"), col("lat"), res).as("cell"))
+  }
+
+  val precisionLadderSql: String =
+    withWorld() +
+      s"""SELECT doc_id, "offset", kind,
+         |       CASE WHEN kind = 'media' THEN $RES_COARSE ELSE $RES_MID END AS res,
+         |       CASE WHEN kind = 'media' THEN ${CellSql.encode("lon", "lat", RES_COARSE)}
+         |            ELSE ${CellSql.encode("lon", "lat", RES_MID)} END AS cell
+         |FROM spansf""".stripMargin
+
   // ------------------------------------------------------------------ PIP
 
   /** Areas of one admin level with their exploded cover-cell join keys. */

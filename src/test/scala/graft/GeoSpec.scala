@@ -60,6 +60,48 @@ class GeoSpec extends AnyFunSuite {
     assert(!Geo.within(fused, outer))
   }
 
+  test("complex rings with holes: the gh.issue#2 regression analog (fuzzy tolerates small holes)") {
+    // the reference pins two real-world fuzzy-within regressions on complex
+    // boundary rings (util/src/test/resources/gh.issue#2.*.geojson, asserted
+    // GeoCalculatorSpec.scala:100-114); this is the synthetic analog:
+    // an outer boundary with a hole under the inner geometry
+    def holed(hx0: Double, hy0: Double, side: Double): Polygon = {
+      val shell = Geo.factory.createLinearRing(Array(
+        new org.locationtech.jts.geom.Coordinate(0, 0), new org.locationtech.jts.geom.Coordinate(10, 0),
+        new org.locationtech.jts.geom.Coordinate(10, 10), new org.locationtech.jts.geom.Coordinate(0, 10),
+        new org.locationtech.jts.geom.Coordinate(0, 0)))
+      val hole = Geo.factory.createLinearRing(Array(
+        new org.locationtech.jts.geom.Coordinate(hx0, hy0), new org.locationtech.jts.geom.Coordinate(hx0 + side, hy0),
+        new org.locationtech.jts.geom.Coordinate(hx0 + side, hy0 + side), new org.locationtech.jts.geom.Coordinate(hx0, hy0 + side),
+        new org.locationtech.jts.geom.Coordinate(hx0, hy0)))
+      Geo.factory.createPolygon(shell, Array(hole))
+    }
+    val inner = gc(square(3, 3, 3)) // area 9 over the hole region
+    // small hole (0.5x0.5 = 0.25): exact within FAILS (hole pierces the
+    // inner's interior) but intersection/inner = 8.75/9 = 0.972 >= 0.9
+    assert(Geo.within(inner, gc(holed(4, 4, 0.5))))
+    // big hole (2x2 = 4): ratio 5/9 = 0.556 < 0.9 -> false
+    assert(!Geo.within(inner, gc(holed(3.5, 3.5, 2.0))))
+    // inner sitting entirely INSIDE the hole: intersection 0 -> false
+    assert(!Geo.within(gc(square(4.1, 4.1, 0.3)), gc(holed(4, 4, 0.5))))
+  }
+
+  test("invalid (self-intersecting) geometry routes through the failure branch -> false, no throw") {
+    // reference: any JTS failure inside the fuzzy branch yields false for
+    // that pair (GeoCalculator.scala:131-149 Try/recover)
+    val bowtie = Geo.factory.createPolygon(Array(
+      new org.locationtech.jts.geom.Coordinate(0, 0), new org.locationtech.jts.geom.Coordinate(2, 2),
+      new org.locationtech.jts.geom.Coordinate(2, 0), new org.locationtech.jts.geom.Coordinate(0, 2),
+      new org.locationtech.jts.geom.Coordinate(0, 0)))
+    val outer = gc(square(-1, -1, 12))
+    // exact p.within(q) on the invalid bowtie may or may not throw; the
+    // contract is ONLY that within() never escapes with an exception
+    val r1 = Geo.within(gc(bowtie), outer)
+    val r2 = Geo.within(outer, gc(bowtie))
+    assert(!r2) // outer (area 144) can never be fuzzy-within the tiny bowtie
+    assert(r1 || !r1) // total: no exception escaped either direction
+  }
+
   test("shared boundaries still count as within (district strips in nation)") {
     val nation = gc(Geo.rect(-20.0, 30.0, -8.0, 37.2))
     val strip = gc(Geo.rect(-20.0, 30.0, -18.0, 37.2))
