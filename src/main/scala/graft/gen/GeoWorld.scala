@@ -125,7 +125,18 @@ object GeoWorld {
     * (/1000.0), so shared child/parent edges are the same double in the
     * JVM and in DuckDB — a degree-arithmetic ladder would differ by ulps
     * between levels and make exact `within` diverge from the SQL oracle. */
-  def areas(spark: SparkSession, sfDir: String): DataFrame = {
+  // The area dimension is tiny (4730 rows) but its derivation (window +
+  // per-level explodes + WKB UDF) is pure fixed cost that multi-hop queries
+  // (areaChain: 7 joins) would otherwise replay once PER HOP. One persisted
+  // copy per (session, sfDir) collapses all those plan segments into an
+  // InMemoryTableScan. At 100 TB this is the standard "cache the dims" move.
+  private val areasCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  def areas(spark: SparkSession, sfDir: String): DataFrame =
+    areasCache.computeIfAbsent((spark, sfDir), _ => areasUncached(spark, sfDir).persist())
+
+  private def areasUncached(spark: SparkSession, sfDir: String): DataFrame = {
     registerUdfs(spark)
     val region = spark.read.parquet(s"$sfDir/region.parquet")
     val nation = spark.read.parquet(s"$sfDir/nation.parquet")

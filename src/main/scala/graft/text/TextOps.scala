@@ -263,10 +263,19 @@ object TextOps {
   def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame =
     minhashSignaturesOf(spark, corpus(spark, sfDir))
 
+  /** Spread the corpus across all cores before CPU-heavy hashing: the
+    * documents parquet is a single split below maxPartitionBytes, which
+    * would run the md5/minhash UDFs on ONE core (measured: the whole LSH
+    * candidate stage serialized at sf0.1). One tiny shuffle of the raw text
+    * buys full parallelism; at 100 TB the scan has natural splits and this
+    * coalesces to a no-op-sized cost. */
+  private def spreadCorpus(spark: SparkSession, c: DataFrame): DataFrame =
+    c.repartition(spark.sparkContext.defaultParallelism)
+
   /** Signature computation over an arbitrary (doc_id, text, ...) corpus. */
   def minhashSignaturesOf(spark: SparkSession, c: DataFrame): DataFrame = {
     registerTextUdfs(spark)
-    withShingleHashes(c).select(Seq(col("doc_id")) ++ minhashCols: _*)
+    withShingleHashes(spreadCorpus(spark, c)).select(Seq(col("doc_id")) ++ minhashCols: _*)
   }
 
   val minhashSignaturesSql: String =
@@ -338,7 +347,7 @@ object TextOps {
 
   private[graft] def distinctShinglesOf(spark: SparkSession, c: DataFrame): DataFrame = {
     registerTextUdfs(spark)
-    c.select(col("doc_id"), col("lang"), col("source"),
+    spreadCorpus(spark, c).select(col("doc_id"), col("lang"), col("source"),
       explode(call_function("shingle_set", col("text"))).as("sh"))
   }
 
