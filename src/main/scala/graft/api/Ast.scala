@@ -120,10 +120,14 @@ object AstTranslator {
         translate(spark, sfDir, parent).map { parents =>
           val p = parents.select(col("area_id").as("parent_id"), col("wkb").as("parent_wkb"),
             explode(GeoWorld.coverCells(col("lon0"), col("lat0"), col("lon1"), col("lat1"), RES_COARSE)).as("cell"))
+          // child joins by its PRINCIPAL cell (T13) against the parent's
+          // cover: each candidate pair appears exactly once, so the per-hop
+          // dedup shuffle of the cover×cover variant disappears (see
+          // GeoQueries.containmentJoin for the completeness argument)
           GeoWorld.areas(spark, sfDir).filter(col("level") === level)
-            .withColumn("cell", explode(GeoWorld.coverCells(col("lon0"), col("lat0"), col("lon1"), col("lat1"), RES_COARSE)))
+            .withColumn("cell", CellFunctions.zcell(
+              (col("lon0") + col("lon1")) / 2.0, (col("lat0") + col("lat1")) / 2.0, lit(RES_COARSE)))
             .join(broadcast(p), "cell")
-            .dropDuplicates("area_id", "parent_id")
             .filter(GeoCols.geoWithin(col("wkb"), col("parent_wkb")))
             .select(col("area_id"), col("area_name"), col("level"),
               col("lon0"), col("lat0"), col("lon1"), col("lat1"), col("wkb"), col("parent_id"))

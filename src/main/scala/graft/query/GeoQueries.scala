@@ -166,18 +166,25 @@ object GeoQueries {
    * Area-containment join (reference Q5, Queries.scala:320-341): which
    * child areas (default level-6 cities) lie within which parents (level-4
    * states)?
-   * Both sides explode their cover cells, equi-join on cell, dedup the
-   * candidate pair, then refine with the reference `within` (exact
-   * forall/exists + fuzzy-0.9 fallback).
+   *
+   * Candidate generation joins the child's PRINCIPAL cell (T13 — one cell
+   * per child) against the parent's exploded cover cells, so each candidate
+   * pair appears exactly ONCE and no dedup shuffle is needed (a cover×cover
+   * join emits a pair per shared cell and then pays a full distinct on the
+   * pair stream — the round-1 plan). Completeness: `within` (exact, or
+   * fuzzy ≥ 0.9 overlap) implies > half the child lies inside the parent's
+   * bbox, so the child's representative point — and hence its cell — is in
+   * the parent's cover. The exact refine then decides each pair.
    */
   def containmentJoin(spark: SparkSession, sfDir: String, childLevel: Int = 6, parentLevel: Int = 4): DataFrame = {
     init(spark)
-    val child = areaCells(spark, sfDir, childLevel, RES_COARSE)
-      .select(col("area_id").as("child_id"), col("wkb").as("child_wkb"), col("cell"))
+    val child = GeoWorld.areas(spark, sfDir).filter(col("level") === childLevel)
+      .select(col("area_id").as("child_id"), col("wkb").as("child_wkb"),
+        CellFunctions.zcell((col("lon0") + col("lon1")) / 2.0, (col("lat0") + col("lat1")) / 2.0,
+          lit(RES_COARSE)).as("cell"))
     val parent = areaCells(spark, sfDir, parentLevel, RES_COARSE)
       .select(col("area_id").as("parent_id"), col("wkb").as("parent_wkb"), col("cell"))
     child.join(broadcast(parent), "cell")
-      .dropDuplicates("child_id", "parent_id") // exact dedup replaces the reference's Bloom (Queries.scala:330)
       .filter(GeoCols.geoWithin(col("child_wkb"), col("parent_wkb")))
       .select(col("child_id"), col("parent_id"))
   }
