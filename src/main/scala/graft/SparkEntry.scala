@@ -71,6 +71,9 @@ object SparkEntry {
     "q_cell_tag_table" -> ((s, d) => graft.index.IndexBuild.cellTagTable(s, d)),
     "q_relation_assemble" -> ((s, d) => graft.index.IndexBuild.relationAssemble(s, d)),
     "q_geojson" -> ((s, d) => graft.index.IndexBuild.geojson(s, d)),
+    // streaming surface: batch twin of the watermarked windowed aggregation
+    "q_stream_window" -> ((s, d) =>
+      graft.streaming.StreamNormalize.windowedCellCounts(graft.gen.GeoWorld.docs(s, d))),
     // multimodal media plumbing (stubbed decode, real batching)
     "q_media_decode" -> ((s, d) => graft.media.MediaOps.decodeMedia(s, d)),
     "q_media_tiles" -> ((s, d) => graft.media.MediaOps.mediaTiles(s, d)),
@@ -117,6 +120,7 @@ object SparkEntry {
     "q_cell_tag_table" -> graft.index.IndexBuild.cellTagTableSql,
     "q_relation_assemble" -> graft.index.IndexBuild.relationAssembleSql,
     "q_geojson" -> graft.index.IndexBuild.geojsonSql,
+    "q_stream_window" -> graft.streaming.StreamNormalize.windowedCellCountsSql,
     "q_media_decode" -> graft.media.MediaOps.decodeMediaSql,
     "q_media_tiles" -> graft.media.MediaOps.mediaTilesSql(),
     "q_tag_whitelist" -> graft.index.TagOps.tagWhitelistSql,

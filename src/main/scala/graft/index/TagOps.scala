@@ -16,12 +16,18 @@ import graft.cell.{CellFunctions, CellIndex, CellSql}
  */
 object TagOps {
 
-  /** The curated vocabulary (reference: ~700-entry OSM tag list; here the
-    * deterministic catalog slice actually present in the synthetic world —
-    * amenity/shop are "whitelisted", leisure is not). */
+  /** The curated vocabulary at the reference's SCALE (~700-entry OSM tag
+    * list, OsmObjectMapper.scala:14-1028): the 38 values that actually occur
+    * in the synthetic world (amenity/shop whitelisted, leisure not) plus 662
+    * whitelist entries that never occur in this extract — exactly like the
+    * reference, where most of the vocabulary matches nothing in a given
+    * region. Keeps the broadcast build side realistically sized. */
   val vocabulary: Seq[(String, String)] =
     (0 until 19).map(c => ("amenity", s"cat_$c")) ++
-      (19 until 38).map(c => ("shop", s"cat_$c"))
+      (19 until 38).map(c => ("shop", s"cat_$c")) ++
+      (0 until 662).map { i =>
+        (Seq("amenity", "shop", "tourism", "highway", "historic")(i % 5), s"x_$i")
+      }
 
   /** T10/T11: keep only whitelisted tags; drop rows with none left. The
     * vocabulary rides a broadcast join (array_intersect on a per-row tag

@@ -163,10 +163,17 @@ object GeoPipeline {
         when(lonm.isNull || latm.isNull, lit("unparseable coordinates")).otherwise(lit(null)).as("_error"))
     }
 
-    val index = runner.run("index", Seq("normalize")) { s =>
+    // the on-disk index layout is PARTITIONED by the coarse cell prefix
+    // (res-4 parent): a cell/bbox fetch (S5/S6) prunes whole directories at
+    // the scan — at 100 TB this is the difference between reading one
+    // region's files and scanning the world (PipelineSpec asserts
+    // PartitionFilters reach the FileSourceScan)
+    val index = runner.run("index", Seq("normalize"), partitionBy = Seq("cell_p4")) { s =>
       runner.read("normalize")
         .withColumn("cell", graft.cell.CellFunctions.zcell(col("lon"), col("lat"),
           lit(graft.cell.CellIndex.RES_MID)))
+        .withColumn("cell_p4", graft.cell.CellFunctions.zcellParent(
+          col("cell"), lit(graft.cell.CellIndex.RES_MID), lit(4)))
         .repartition(col("cell")) // explicit cell partitioning for co-located lookups
     }
 

@@ -43,4 +43,33 @@ object StreamNormalize {
     GeoWorld.registerUdfs(spark)
     normalize(spark.readStream.schema(schemaFrom.schema).parquet(dir))
   }
+
+  /**
+   * Event-time windowed cell counts with a WATERMARK — the Structured
+   * Streaming shape the north star asks for (watermarks + windowed aggs).
+   * Event time is synthesized deterministically from the doc ordinal
+   * (1 doc = 1 second after the epoch base), so batch and stream compute
+   * identical windows. The watermark bounds state: windows older than
+   * 10 minutes of event time are finalized and evicted — at 10^12 docs the
+   * aggregation state is O(open windows × cells), never O(stream).
+   */
+  /** DuckDB twin of [[windowedCellCounts]] over the flat span view (the
+    * driver's oracle for q_stream_window — the batch run of the SAME
+    * expression the stream executes incrementally). */
+  val windowedCellCountsSql: String =
+    graft.query.GeoQueries.withWorld() +
+      s"""SELECT TIMESTAMP '2026-01-01 00:00:00' + (((pid // 8) % 3600) // 300) * 300 * INTERVAL 1 SECOND AS wstart,
+         |       ${graft.cell.CellSql.encode("lon", "lat", CellIndex.RES_MID)} AS cell,
+         |       COUNT(*) AS count
+         |FROM spansf GROUP BY 1, 2""".stripMargin
+
+  def windowedCellCounts(docs: DataFrame): DataFrame =
+    normalize(docs)
+      .withColumn("ord", split(col("doc_id"), "_").getItem(1).cast("long") % 3600)
+      .withColumn("ts", expr("timestampadd(SECOND, ord, timestamp'2026-01-01 00:00:00')"))
+      .drop("ord")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("cell"))
+      .count()
+      .select(col("window.start").as("wstart"), col("cell"), col("count"))
 }

@@ -95,6 +95,30 @@ class CellIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("ringKFor guarantees coverage: any point within radiusM lands inside the k-ring") {
+    import graft.geom.Geo
+    val rnd = new scala.util.Random(7)
+    (0 until 200).foreach { _ =>
+      val lat = rnd.nextDouble() * 140 - 70
+      val lon = rnd.nextDouble() * 340 - 170
+      val radius = math.pow(10, 3 + rnd.nextDouble() * 3) // 1 km .. 1000 km
+      val res = 7 + rnd.nextInt(5)
+      val k = ringKFor(lat, res, radius)
+      val ringSet = ring(encode(lon, lat, res), res, k).toSet
+      // probe 16 bearings at (just inside) the radius boundary
+      (0 until 16).foreach { d =>
+        val a = 2 * math.Pi * d / 16
+        val plat = lat + radius / 111194.9 * math.cos(a) * 0.999
+        val plon = lon + radius / (111194.9 * math.max(0.05, math.cos(math.toRadians(lat)))) * math.sin(a) * 0.999
+        if (plat > -89 && plat < 89 && plon > -179 && plon < 179 &&
+            Geo.haversineM(lon, lat, plon, plat) <= radius) {
+          assert(ringSet.contains(encode(plon, plat, res)),
+            s"lat=$lat lon=$lon r=$radius res=$res k=$k bearing=$d")
+        }
+      }
+    }
+  }
+
   test("vertex cover of a non-rectangular ring encodes every vertex, deduped, in first-seen order") {
     import graft.geom.Geo
     // 64-vertex ellipse (the Headline complex-boundary shape)

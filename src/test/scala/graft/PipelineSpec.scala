@@ -100,6 +100,22 @@ class PipelineSpec extends SparkSpec {
     assert(runner.read("normalize").count() === beforeOk + repaired)
   }
 
+  test("cell fetch prunes partitions on the on-disk index layout (S5 at scale)") {
+    GeoPipeline.runAll(spark, sfDir, workDir)
+    val runner = new StageRunner(spark, workDir)
+    val idx = runner.read("index")
+    val aPrefix = idx.select("cell_p4").head.get(0).toString.toLong
+    val fetch = idx.filter(col("cell_p4") === aPrefix)
+    val plan = fetch.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell_p4"), plan.take(1200))
+    // the partition filter actually reaches the scan (not a post-scan Filter):
+    // the scan's partition count is a strict subset of the full layout
+    val prunedFiles = fetch.select(input_file_name()).distinct().count()
+    val allFiles = idx.select(input_file_name()).distinct().count()
+    assert(prunedFiles < allFiles)
+    assert(fetch.count() > 0)
+  }
+
   test("salted cell join returns exactly the broadcast join's rows") {
     val broadcastRows = GeoQueries.pipLookup(spark, sfDir, level = 6)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
