@@ -65,6 +65,7 @@ object SparkEntry {
     // similarity search over embeddings
     "q_embed_topk" -> ((s, d) => graft.vector.VectorOps.cosineTopK(s, d)),
     "q_embed_lsh_ann" -> ((s, d) => graft.vector.VectorOps.lshTopK(s, d)),
+    "q_embed_ivf" -> ((s, d) => graft.vector.VectorOps.ivfTopK(s, d)),
     "q_embed_buckets" -> ((s, d) => graft.vector.VectorOps.bucketHistogram(s, d)),
     // index builders (T7/T9) + relation assembly (T4) + GeoJSON (Q18)
     "q_mapping_table" -> ((s, d) => graft.index.IndexBuild.mappingTable(s, d)),
@@ -115,6 +116,7 @@ object SparkEntry {
     "q_text_ngram_jaccard" -> graft.text.TextOps.ngramJaccardSql,
     "q_embed_topk" -> graft.vector.VectorOps.cosineTopKSql(),
     "q_embed_lsh_ann" -> graft.vector.VectorOps.lshTopKSql(),
+    "q_embed_ivf" -> graft.vector.VectorOps.ivfTopKSql(),
     "q_embed_buckets" -> graft.vector.VectorOps.bucketHistogramSql,
     "q_mapping_table" -> graft.index.IndexBuild.mappingTableSql,
     "q_cell_tag_table" -> graft.index.IndexBuild.cellTagTableSql,

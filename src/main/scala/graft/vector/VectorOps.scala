@@ -183,6 +183,105 @@ object VectorOps {
        |WHERE rank <= $k""".stripMargin
   }
 
+  // ------------------------------------------------------ IVF + multi-probe
+
+  /** Every IVF_CENT_MOD-th vector doubles as a centroid — deterministic
+    * "training-free" coarse quantizer (at 10^9 vectors you'd k-means train
+    * K ≈ √n centroids; the INDEX/QUERY plan shape below is unchanged by how
+    * the centroid set is produced). */
+  final val IVF_CENT_MOD = 89
+  final val IVF_NPROBE = 3
+
+  private def centroids(spark: SparkSession, sfDir: String): DataFrame =
+    vectors(spark, sfDir).filter(col("vec_id") % IVF_CENT_MOD === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+
+  /** Top-`m` centroids per input vector by cosine (ties: smaller cid) via
+    * the bounded TopK aggregator — the shuffle carries O(rows × m). */
+  private def nearestCentroids(spark: SparkSession, in: DataFrame, idCol: String,
+      vCol: String, cents: DataFrame, m: Int): DataFrame = {
+    import spark.implicits._
+    val cosine = dot(col(vCol), col("cv")) / (norm(col(vCol)) * norm(col("cv")))
+    val agg = new graft.query.TopKSmallest(m).toColumn
+    in.crossJoin(broadcast(cents))
+      .select(col(idCol), (-cosine).as("d"), col("cid"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(agg)
+      .flatMap { case (id, top) => top.iterator.map { case (_, cid) => (id, cid) } }
+      .toDF(idCol, "cid")
+  }
+
+  /**
+   * ANN via IVF + MULTI-PROBE — the second scale path beside [[lshTopK]]:
+   * every vector is assigned to its nearest centroid (the inverted-file
+   * partition; an indexing cost of n × K dot products, amortized exactly
+   * like any other index build); a query probes its top-[[IVF_NPROBE]]
+   * centroids and scans only those partitions (expected fraction ≈
+   * nprobe / K — sublinear when K grows ~ √n). Assignment and probe both
+   * use the bounded TopK aggregator; the partition lookup is an equi-join
+   * on centroid id, never all-pairs.
+   */
+  def ivfTopK(spark: SparkSession, sfDir: String, k: Int = 10, nprobe: Int = IVF_NPROBE): DataFrame = {
+    val vs = vectors(spark, sfDir)
+    val pr = probes(spark, sfDir)
+    val cand = ivfCandidates(spark, vs, pr, centroids(spark, sfDir), nprobe)
+    val cosine = dot(col("v"), col("qv")) / (norm(col("v")) * norm(col("qv")))
+    topKByScore(spark, k,
+      cand.join(vs.select(col("vec_id"), col("v")), "vec_id")
+        .join(broadcast(pr), "qid")
+        .withColumn("score0", cosine))
+  }
+
+  /** (qid, vec_id, cid) candidate pairs: vectors in the probe's top-nprobe
+    * centroid partitions. Each pair appears at most once (a vector has one
+    * centroid). */
+  private[graft] def ivfCandidates(spark: SparkSession, vs: DataFrame, pr: DataFrame,
+      cents: DataFrame, nprobe: Int): DataFrame = {
+    val assign = nearestCentroids(spark, vs, "vec_id", "v", cents, 1)
+    val probeC = nearestCentroids(spark, pr.withColumnRenamed("qv", "v"), "qid", "v", cents, nprobe)
+    assign.join(probeC, "cid").filter(col("vec_id") =!= col("qid"))
+  }
+
+  private[graft] def centroidsOf(spark: SparkSession, sfDir: String): DataFrame =
+    centroids(spark, sfDir)
+
+  def ivfTopKSql(k: Int = 10, nprobe: Int = IVF_NPROBE): String = {
+    def sim(x: String, y: String) =
+      s"list_sum(list_transform(range(1, ${DIM + 1}), i -> CAST($x.embedding[i] AS DOUBLE) * CAST($y.embedding[i] AS DOUBLE))) / (${normSql(x)} * ${normSql(y)})"
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id % $IVF_CENT_MOD = 0
+       |),
+       |assign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT a.vec_id, c.cid,
+       |           ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY ${sim("a", "c")} DESC, c.cid) AS r
+       |    FROM embeddings a CROSS JOIN cents c
+       |  ) WHERE r = 1
+       |),
+       |probec AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT b.vec_id AS qid, c.cid,
+       |           ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY ${sim("b", "c")} DESC, c.cid) AS r
+       |    FROM embeddings b CROSS JOIN cents c
+       |    WHERE b.vec_id % 100 = 0
+       |  ) WHERE r <= $nprobe
+       |),
+       |pairs AS (
+       |  SELECT p.qid, s.vec_id, ${sim("a", "b")} AS score0
+       |  FROM probec p
+       |  JOIN assign s ON s.cid = p.cid AND s.vec_id <> p.qid
+       |  JOIN embeddings a ON a.vec_id = s.vec_id
+       |  JOIN embeddings b ON b.vec_id = p.qid
+       |)
+       |SELECT qid, CAST(rank AS INTEGER) AS rank, vec_id, ROUND(score0, 6) AS score
+       |FROM (SELECT qid, vec_id, score0,
+       |             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score0 DESC, vec_id) AS rank
+       |      FROM pairs)
+       |WHERE rank <= $k""".stripMargin
+  }
+
   /** Bucket histogram (shape diagnostics for the ANN path). */
   def bucketHistogram(spark: SparkSession, sfDir: String): DataFrame =
     vectors(spark, sfDir).withColumn("bucket", bucket(col("v")))

@@ -82,6 +82,25 @@ class TextVectorSpec extends SparkSpec {
     cand.unpersist()
   }
 
+  test("IVF multi-probe: near-dup recall >= 0.9 at a bounded partition fraction") {
+    import org.apache.spark.sql.functions._
+    val vs = VectorOps.vectors(spark, sfDir)
+    val n = vs.count()
+    val dups = vs.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 100000L).as("qid"),
+        concat(array(element_at(col("v"), 1) * 0.5),
+          slice(col("v"), 2, VectorOps.DIM - 1)).as("qv"))
+    val nd = dups.count()
+    val cand = VectorOps.ivfCandidates(spark, vs, dups,
+      VectorOps.centroidsOf(spark, sfDir), VectorOps.IVF_NPROBE).persist()
+    val recall = cand.filter(col("qid") - 100000L === col("vec_id")).count().toDouble / nd
+    assert(recall >= 0.9, s"IVF near-dup recall $recall")
+    // candidates ≈ nprobe/K of the corpus per probe (K = |centroids|)
+    val frac = cand.count().toDouble / (nd * n)
+    assert(frac < 0.8, s"IVF mean partition fraction $frac") // K is tiny at sf0.001; sublinear as K ~ sqrt(n)
+    cand.unpersist()
+  }
+
   test("LSH ANN results are a subset of brute-force cosine ranking universe") {
     val brute = VectorOps.cosineTopK(spark, sfDir, k = 50).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
