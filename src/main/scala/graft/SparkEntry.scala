@@ -61,6 +61,8 @@ object SparkEntry {
     "q_text_minhash_sig" -> ((s, d) => graft.text.TextOps.minhashSignatures(s, d)),
     "q_text_minhash_pairs" -> ((s, d) => graft.text.TextOps.minhashPairs(s, d)),
     "q_text_simhash" -> ((s, d) => graft.text.TextOps.simhash(s, d)),
+    "q_text_simhash_pairs" -> ((s, d) => graft.text.TextOps.simhashPairs(s, d)),
+    "q_embed_neardup" -> ((s, d) => graft.vector.VectorOps.nearDupPairs(s, d)),
     "q_text_ngram_jaccard" -> ((s, d) => graft.text.TextOps.ngramJaccard(s, d)),
     // similarity search over embeddings
     "q_embed_topk" -> ((s, d) => graft.vector.VectorOps.cosineTopK(s, d)),
@@ -113,6 +115,8 @@ object SparkEntry {
     "q_text_minhash_sig" -> graft.text.TextOps.minhashSignaturesSql,
     "q_text_minhash_pairs" -> graft.text.TextOps.minhashPairsSql,
     "q_text_simhash" -> graft.text.TextOps.simhashSql,
+    "q_text_simhash_pairs" -> graft.text.TextOps.simhashPairsSql(),
+    "q_embed_neardup" -> graft.vector.VectorOps.nearDupPairsSql(),
     "q_text_ngram_jaccard" -> graft.text.TextOps.ngramJaccardSql,
     "q_embed_topk" -> graft.vector.VectorOps.cosineTopKSql(),
     "q_embed_lsh_ann" -> graft.vector.VectorOps.lshTopKSql(),

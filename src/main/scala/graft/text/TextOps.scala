@@ -406,6 +406,55 @@ object TextOps {
          |FROM corpus""".stripMargin
   }
 
+  /**
+   * SimHash near-dup PAIRS via Hamming-band LSH: the 32-bit simhash splits
+   * into 4 byte bands; docs sharing ANY band are candidates (pigeonhole —
+   * a pair within Hamming distance 3 has at most 3 flipped bits across 4
+   * bands, so at least one band is identical); exact refine keeps
+   * bit_count(xor) <= maxHam. Candidate generation is a bucketed equi-join
+   * on (band, byte) — never all-pairs; at corpus scale band buckets are
+   * balanced by the hash bits.
+   */
+  def simhashPairs(spark: SparkSession, sfDir: String, maxHam: Int = 3): DataFrame = {
+    val sh = simhash(spark, sfDir)
+    val bandStructs = array((0 until 4).map { b =>
+      struct(lit(b).as("band"), (shiftright(col("simhash"), 8 * b) % 256).as("bkey"))
+    }: _*)
+    val bands = sh.select(col("doc_id"), col("simhash"), explode(bandStructs).as("bs"))
+      .select(col("doc_id"), col("simhash"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
+    val l = bands.select(col("band"), col("bkey"), col("doc_id").as("a"), col("simhash").as("sha"))
+    val r = bands.select(col("band"), col("bkey"), col("doc_id").as("b"), col("simhash").as("shb"))
+    l.join(r, Seq("band", "bkey")).filter(col("a") < col("b"))
+      .select("a", "b", "sha", "shb").distinct()
+      .withColumn("hamming", bit_count(col("sha").bitwiseXOR(col("shb"))).cast("int"))
+      .filter(col("hamming") <= maxHam)
+      .select(col("a"), col("b"), col("hamming"))
+  }
+
+  def simhashPairsSql(maxHam: Int = 3): String = {
+    val wh = s"list_transform(str_split(text, ' '), w -> ${h32Sql("w")})"
+    val bits = (0 until 32).map { b =>
+      s"CASE WHEN list_sum(list_transform($wh, h -> CASE WHEN (h >> $b) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << b} ELSE 0 END"
+    }.mkString(" + ")
+    val bandSelects = (0 until 4).map { b =>
+      s"SELECT doc_id, simhash, $b AS band, (simhash >> ${8 * b}) % 256 AS bkey FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    withCorpus(
+      s"""sig AS (
+         |  SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM corpus
+         |)""".stripMargin,
+      s"""bands AS (
+         |  $bandSelects
+         |)""".stripMargin,
+      s"""cand AS (
+         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, l.simhash AS sha, r.simhash AS shb
+         |  FROM bands l JOIN bands r
+         |    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+         |)""".stripMargin) +
+      s"""SELECT a, b, CAST(bit_count(xor(sha, shb)) AS INTEGER) AS hamming
+         |FROM cand WHERE bit_count(xor(sha, shb)) <= $maxHam""".stripMargin
+  }
+
   // ------------------------------------------------------- ngram jaccard
 
   /** Pairwise 3-gram Jaccard within (lang, source) groups — the n-gram

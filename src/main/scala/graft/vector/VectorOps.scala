@@ -282,6 +282,64 @@ object VectorOps {
        |WHERE rank <= $k""".stripMargin
   }
 
+  // ------------------------------------------------ embedding near-dup dedup
+
+  /** Corpus with deterministic injected near-duplicates (first coordinate
+    * halved, id + 100000) — the embedding analog of the text corpus's
+    * injected dups; cosine(original, dup) ≈ 0.998. */
+  private[graft] def dedupCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val vs = vectors(spark, sfDir)
+    vs.unionByName(vs.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        concat(array(element_at(col("v"), 1) * 0.5), slice(col("v"), 2, DIM - 1)).as("v"),
+        col("label")))
+  }
+
+  /**
+   * Embedding-cosine near-duplicate PAIRS (the 5th dedup modality beside
+   * exact/minhash/simhash/ngram): multi-table LSH self-join generates
+   * candidates (a < b, any table agrees — never all-pairs), exact cosine
+   * refines at τ = 0.95. Run over the corpus with injected near-dups so the
+   * expected pair set is non-empty and deterministic. At 10^9 vectors this
+   * is the LSH ANN plan with the probe side = the corpus itself: per-table
+   * equi-join on bucket, distinct bounded by candidate volume.
+   */
+  def nearDupPairs(spark: SparkSession, sfDir: String, tau: Double = 0.95): DataFrame = {
+    val c = dedupCorpus(spark, sfDir)
+    val perTable = (0 until N_TABLES).map { t =>
+      val b = c.select(col("vec_id"), bucketOf(col("v"), t, PLANES_PER_TABLE).as("bucket"))
+      b.select(col("bucket"), col("vec_id").as("a"))
+        .join(b.select(col("bucket"), col("vec_id").as("b")), "bucket")
+        .filter(col("a") < col("b"))
+        .select("a", "b")
+    }
+    val cand = perTable.reduce(_ unionByName _).distinct()
+    val va = c.select(col("vec_id").as("a"), col("v").as("va"))
+    val vb = c.select(col("vec_id").as("b"), col("v").as("vb"))
+    val cosine = dot(col("va"), col("vb")) / (norm(col("va")) * norm(col("vb")))
+    cand.join(va, "a").join(vb, "b")
+      .withColumn("score", round(cosine, 6))
+      .filter(col("score") >= tau)
+      .select(col("a"), col("b"), col("score"))
+  }
+
+  def nearDupPairsSql(tau: Double = 0.95): String = {
+    val anyTable = (0 until N_TABLES)
+      .map(t => s"${bucketSqlOf("a", t, PLANES_PER_TABLE)} = ${bucketSqlOf("b", t, PLANES_PER_TABLE)}")
+      .mkString("(", " OR ", ")")
+    s"""WITH corpus AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 100000, [embedding[1] * CAST(0.5 AS FLOAT)] || embedding[2:${DIM}]
+       |  FROM embeddings WHERE vec_id % 10 = 0
+       |)
+       |SELECT a.vec_id AS a, b.vec_id AS b,
+       |       ROUND($dotSql / (${normSql("a")} * ${normSql("b")}), 6) AS score
+       |FROM corpus a JOIN corpus b
+       |  ON a.vec_id < b.vec_id AND $anyTable
+       |WHERE $dotSql / (${normSql("a")} * ${normSql("b")}) >= $tau""".stripMargin
+  }
+
   /** Bucket histogram (shape diagnostics for the ANN path). */
   def bucketHistogram(spark: SparkSession, sfDir: String): DataFrame =
     vectors(spark, sfDir).withColumn("bucket", bucket(col("v")))
