@@ -48,6 +48,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(800))
   }
 
+  test("POI catalog query: catalog and area cover both broadcast; point side never sort-merges") {
+    val p = plan(graft.query.PoiCatalog.poisOf(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("bucketed pair generators never produce a cartesian plan") {
+    for (q <- Seq("q_text_simhash_pairs", "q_embed_neardup", "q_embed_ivf", "q_text_minhash_pairs")) {
+      val p = plan(SparkEntry.queries(q)(spark, sfDir))
+      assert(!p.contains("CartesianProduct"), s"$q:\n${p.take(600)}")
+      // the deliberate exception: IVF centroid assignment is an n x K
+      // cross-vs-broadcast product (the quantizer's indexing cost), so only
+      // forbid BroadcastNestedLoop for the pure LSH/banding generators
+      if (q != "q_embed_ivf") assert(!p.contains("BroadcastNestedLoop"), s"$q:\n${p.take(600)}")
+    }
+  }
+
   test("salted PIP variant shuffles instead of broadcasting the big side") {
     val p = plan(GeoQueries.pipLookupSalted(spark, sfDir))
     assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"), p.take(800))
