@@ -384,15 +384,18 @@ object TextOps {
   /** 32-bit SimHash over word hashes: bit b is 1 iff the sum of (+1/-1)
     * votes from each word's hash bit b is positive. */
   def simhash(spark: SparkSession, sfDir: String): DataFrame = {
-    val wh = transform(split(col("text"), " "), w => h32(w))
+    // the word-hash array is a SEPARATE projection so the md5-per-word
+    // transform is evaluated once per row — inlining it into all 32 bit
+    // expressions (round-1 shape) recomputed every word hash 32 times and
+    // dominated the query
     val bits = (0 until 32).map { b =>
-      val vote = aggregate(wh, lit(0L), (acc, h) =>
+      val vote = aggregate(col("wh"), lit(0L), (acc, h) =>
         acc + when(shiftright(h, b) % 2 === 1, 1L).otherwise(-1L))
       when(vote > 0, lit(1L) * (1L << b)).otherwise(0L)
     }
-    corpus(spark, sfDir).select(
-      col("doc_id"),
-      bits.reduce(_ + _).as("simhash"))
+    spreadCorpus(spark, corpus(spark, sfDir))
+      .withColumn("wh", transform(split(col("text"), " "), w => h32(w)))
+      .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
   }
 
   val simhashSql: String = {
@@ -408,36 +411,49 @@ object TextOps {
 
   /**
    * SimHash near-dup PAIRS via Hamming-band LSH: the 32-bit simhash splits
-   * into 4 byte bands; docs sharing ANY band are candidates (pigeonhole —
-   * a pair within Hamming distance 3 has at most 3 flipped bits across 4
-   * bands, so at least one band is identical); exact refine keeps
-   * bit_count(xor) <= maxHam. Candidate generation is a bucketed equi-join
-   * on (band, byte) — never all-pairs; at corpus scale band buckets are
-   * balanced by the hash bits.
+   * into 2 bands of 16 bits; docs sharing EITHER band are candidates
+   * (pigeonhole — a pair within Hamming distance 1 has at most 1 flipped
+   * bit, so one band is identical); exact refine keeps bit_count(xor) <= 1.
+   *
+   * WHY ham <= 1 and 16-bit bands: on this shared-vocabulary corpus the
+   * simhash bits are heavily correlated — a looser ham <= 3 threshold is
+   * satisfied by ~2% of ALL doc pairs (126k pairs at sf0.1), i.e. the
+   * OUTPUT itself is quadratic, and the 8-bit bands it needs put 28% of the
+   * corpus into one bucket. 16-bit bands measured at sf0.1: max bucket 355
+   * (of 5,900 docs), 0.38M candidate rows vs 8.5M — the dedup threshold
+   * (exact + one-bit-drift dups) at sublinear candidate volume. A wider
+   * Hamming radius r needs r+1 bands of 32/(r+1) bits — same plan, hotter
+   * buckets; pick the radius the data's bit entropy supports.
    */
-  def simhashPairs(spark: SparkSession, sfDir: String, maxHam: Int = 3): DataFrame = {
+  def simhashPairs(spark: SparkSession, sfDir: String, maxHam: Int = 1): DataFrame = {
+    require(maxHam <= 1, "2-band scheme guarantees completeness only for hamming <= 1")
     val sh = simhash(spark, sfDir)
-    val bandStructs = array((0 until 4).map { b =>
-      struct(lit(b).as("band"), (shiftright(col("simhash"), 8 * b) % 256).as("bkey"))
+    val bandStructs = array((0 until 2).map { b =>
+      struct(lit(b).as("band"), (shiftright(col("simhash"), 16 * b) % 65536).as("bkey"))
     }: _*)
     val bands = sh.select(col("doc_id"), col("simhash"), explode(bandStructs).as("bs"))
       .select(col("doc_id"), col("simhash"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
     val l = bands.select(col("band"), col("bkey"), col("doc_id").as("a"), col("simhash").as("sha"))
     val r = bands.select(col("band"), col("bkey"), col("doc_id").as("b"), col("simhash").as("shb"))
-    l.join(r, Seq("band", "bkey")).filter(col("a") < col("b"))
+    // shuffle self-join: both sides shuffle on (band, bkey) with identical
+    // child plans, so Spark REUSES one exchange and the signatures are
+    // computed once — a broadcast join would evaluate the whole simhash
+    // pipeline a second time to build its hashed relation (and at real
+    // scale the bands table can't broadcast anyway)
+    l.hint("shuffle_hash").join(r, Seq("band", "bkey")).filter(col("a") < col("b"))
       .select("a", "b", "sha", "shb").distinct()
       .withColumn("hamming", bit_count(col("sha").bitwiseXOR(col("shb"))).cast("int"))
       .filter(col("hamming") <= maxHam)
       .select(col("a"), col("b"), col("hamming"))
   }
 
-  def simhashPairsSql(maxHam: Int = 3): String = {
+  def simhashPairsSql(maxHam: Int = 1): String = {
     val wh = s"list_transform(str_split(text, ' '), w -> ${h32Sql("w")})"
     val bits = (0 until 32).map { b =>
       s"CASE WHEN list_sum(list_transform($wh, h -> CASE WHEN (h >> $b) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << b} ELSE 0 END"
     }.mkString(" + ")
-    val bandSelects = (0 until 4).map { b =>
-      s"SELECT doc_id, simhash, $b AS band, (simhash >> ${8 * b}) % 256 AS bkey FROM sig"
+    val bandSelects = (0 until 2).map { b =>
+      s"SELECT doc_id, simhash, $b AS band, (simhash >> ${16 * b}) % 65536 AS bkey FROM sig"
     }.mkString("\n  UNION ALL\n  ")
     withCorpus(
       s"""sig AS (
