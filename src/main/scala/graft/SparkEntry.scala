@@ -80,6 +80,7 @@ object SparkEntry {
     // multimodal media plumbing (stubbed decode, real batching)
     "q_media_decode" -> ((s, d) => graft.media.MediaOps.decodeMedia(s, d)),
     "q_media_tiles" -> ((s, d) => graft.media.MediaOps.mediaTiles(s, d)),
+    "q_media_frames" -> ((s, d) => graft.media.MediaOps.frameSample(s, d)),
     // tag whitelist (T10/T11) + distinct stats (G7 exact twin)
     "q_tag_whitelist" -> ((s, d) => graft.index.TagOps.tagWhitelist(s, d)),
     "q_cell_distinct" -> ((s, d) => graft.index.TagOps.distinctTagsByCell(s, d)),
@@ -129,6 +130,7 @@ object SparkEntry {
     "q_stream_window" -> graft.streaming.StreamNormalize.windowedCellCountsSql,
     "q_media_decode" -> graft.media.MediaOps.decodeMediaSql,
     "q_media_tiles" -> graft.media.MediaOps.mediaTilesSql(),
+    "q_media_frames" -> graft.media.MediaOps.frameSampleSql(),
     "q_tag_whitelist" -> graft.index.TagOps.tagWhitelistSql,
     "q_cell_distinct" -> graft.index.TagOps.distinctTagsByCellSql,
   )

@@ -76,6 +76,46 @@ object MediaOps {
         |       CAST(1 + (CAST('0x' || substr(digest, 5, 2) AS BIGINT) & 15) AS INTEGER) AS n_frames
         |FROM media""".stripMargin
 
+  /**
+   * Frame sampling + resize plan (the video half of the multimodal
+   * pipeline): up to `maxFrames` evenly-spaced frames per media (step =
+   * ceil(n_frames / maxFrames)), each with its aspect-preserving resize to
+   * `targetSide` on the long edge (integer arithmetic) and a deterministic
+   * frame fingerprint standing in for the decoded frame bytes (codecs are
+   * offline; the real deployment swaps the fingerprint for the frame
+   * tensor). Decode stays the batched mapPartitions stage; sampling and
+   * resize are pure Catalyst ops AFTER it — at 100 TB the explode
+   * multiplies rows only by ≤ maxFrames and never re-touches the payload.
+   */
+  def frameSample(spark: SparkSession, sfDir: String, maxFrames: Int = 4, targetSide: Int = 224): DataFrame = {
+    val dec = decodeMedia(spark, sfDir)
+    val step = greatest(lit(1), ceil(col("n_frames") / lit(maxFrames)).cast("int"))
+    dec
+      .select(col("pid"), col("media_ref"), col("width"), col("height"),
+        explode(sequence(lit(0), col("n_frames") - 1, step)).as("frame_idx"))
+      .select(
+        col("pid"), col("frame_idx"),
+        expr(s"CAST((width * $targetSide) DIV GREATEST(width, height) AS INTEGER)").as("out_w"),
+        expr(s"CAST((height * $targetSide) DIV GREATEST(width, height) AS INTEGER)").as("out_h"),
+        md5(concat(col("media_ref"), lit(":"), col("frame_idx").cast("string")).cast("binary")).as("frame_fp"))
+  }
+
+  def frameSampleSql(maxFrames: Int = 4, targetSide: Int = 224): String =
+    graft.query.GeoQueries.withWorld(
+      """media AS (
+        |  SELECT pid, 'blob://p/' || CAST(pid % 1000 AS VARCHAR) AS media_ref,
+        |         CAST(64 + (CAST('0x' || substr(md5('blob://p/' || CAST(pid % 1000 AS VARCHAR)), 1, 2) AS BIGINT) & 127) AS INTEGER) AS width,
+        |         CAST(64 + (CAST('0x' || substr(md5('blob://p/' || CAST(pid % 1000 AS VARCHAR)), 3, 2) AS BIGINT) & 127) AS INTEGER) AS height,
+        |         CAST(1 + (CAST('0x' || substr(md5('blob://p/' || CAST(pid % 1000 AS VARCHAR)), 5, 2) AS BIGINT) & 15) AS INTEGER) AS n_frames
+        |  FROM pts WHERE is_media
+        |)""".stripMargin) +
+      s"""SELECT pid, CAST(f.frame_idx AS INTEGER) AS frame_idx,
+         |       CAST((width * $targetSide) // GREATEST(width, height) AS INTEGER) AS out_w,
+         |       CAST((height * $targetSide) // GREATEST(width, height) AS INTEGER) AS out_h,
+         |       md5(media_ref || ':' || CAST(f.frame_idx AS VARCHAR)) AS frame_fp
+         |FROM media
+         |CROSS JOIN LATERAL (SELECT UNNEST(RANGE(0, n_frames, GREATEST(1, CAST(CEIL(n_frames / ${maxFrames}.0) AS INTEGER)))) AS frame_idx) f""".stripMargin
+
   /** Feature-extract + tile co-location: decoded media bucketed to slippy
     * tiles (join back to the point table for coordinates) — the
     * raster-side half of the raster<->vector assignment. */
