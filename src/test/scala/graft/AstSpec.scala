@@ -88,6 +88,22 @@ class AstSpec extends SparkSpec {
     }
   }
 
+  test("Nearby derives its ring from the radius: large radii return every match, absurd ones are rejected") {
+    import graft.gen.GeoWorld
+    val (qlon, qlat) = (6.0, 51.0)
+    val r = 400000.0 // round-1 fixed k=6 ring guaranteed only ~190 km
+    val Right(df) = AstTranslator.translate(spark, sfDir, Nearby(qlon, qlat, r)): @unchecked
+    val got = df.select("pid").collect().map(_.getLong(0)).toSet
+    val brute = GeoWorld.points(spark, sfDir).select("pid", "lon", "lat").collect()
+      .filter(p => graft.geom.Geo.haversineM(p.getDouble(1), p.getDouble(2), qlon, qlat) <= r)
+      .map(_.getLong(0)).toSet
+    assert(got === brute)
+    assert(got.size > 100) // the radius genuinely reaches beyond the old fixed ring
+    // a planet-scale radius at this resolution needs an absurd ring -> error, not silence
+    val huge = AstTranslator.translate(spark, sfDir, Nearby(qlon, qlat, 2.0e7))
+    assert(huge.left.exists(_.isInstanceOf[TranslateError.CouldNotCreateInputQuery]))
+  }
+
   test("invalid admin level is a CouldNotCreateInputQuery, not an exception") {
     val r = AstTranslator.translate(spark, sfDir, AreaByCoordinates(42, 0, 0))
     assert(r.left.exists(_.isInstanceOf[TranslateError.CouldNotCreateInputQuery]))
