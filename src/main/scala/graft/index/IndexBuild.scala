@@ -74,6 +74,49 @@ object IndexBuild {
          |CROSS JOIN LATERAL (SELECT UNNEST(RANGE(${CellSql.iy("t.lat0", r)}, ${CellSql.iy("t.lat1", r)} + 1)) AS y) ys""".stripMargin
   }
 
+  // -------------------------------- bucketed co-located join (north-star)
+
+  /**
+   * Write the mapping and feature tables BUCKETED by cell (hash-bucketed,
+   * sorted within buckets): two tables bucketed the same way join WITHOUT
+   * any exchange — at 100 TB this converts every recurring (cell, id)
+   * lookup join (S5) from a full shuffle of both sides into a zero-shuffle
+   * sort-merge over co-located buckets. The pre-shuffle is paid ONCE at
+   * write time, amortised over every subsequent join (the Spark analog of
+   * the reference keeping both Cassandra tables partitioned by cell).
+   */
+  def writeBucketedIndex(spark: SparkSession, sfDir: String, buckets: Int = 16): Unit = {
+    init(spark)
+    // drop catalog entries AND any stale warehouse directories (a previous
+    // JVM's managed-table location blocks CREATE even after DROP)
+    Seq("graft_mapping_b", "graft_features_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      def rm(f: java.io.File): Unit = { Option(f.listFiles).foreach(_.foreach(rm)); f.delete() }
+      val loc = new java.io.File(wh, t)
+      if (loc.exists) rm(loc)
+    }
+    mappingTable(spark, sfDir)
+      .write.bucketBy(buckets, "cell").sortBy("cell")
+      .mode("overwrite").format("parquet").saveAsTable("graft_mapping_b")
+    GeoWorld.points(spark, sfDir)
+      .withColumn("cell", CellFunctions.zcell(col("lon"), col("lat"), lit(RES_MID)))
+      .write.bucketBy(buckets, "cell").sortBy("cell")
+      .mode("overwrite").format("parquet").saveAsTable("graft_features_b")
+  }
+
+  /** The co-located (cell, id) fetch join over the bucketed tables — its
+    * physical plan must contain NO shuffle exchange (asserted in
+    * PipelineSpec). The merge hint forces the join shape the tables would
+    * get at 100 TB anyway (neither side broadcastable); at toy scale the
+    * planner would broadcast and skip the bucketing being demonstrated. */
+  def bucketedFetch(spark: SparkSession): DataFrame = {
+    val m = spark.table("graft_mapping_b")
+    val f = spark.table("graft_features_b").select(col("cell"), col("pid").as("fpid"), col("name"))
+    m.hint("merge").join(f, m("cell") === f("cell") && m("pid") === f("fpid"))
+      .select(m("cell"), m("pid"), col("name"))
+  }
+
   // ------------------------------------- T4: relation assembly (2 joins)
 
   /**

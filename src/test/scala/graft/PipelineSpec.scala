@@ -116,6 +116,25 @@ class PipelineSpec extends SparkSpec {
     assert(fetch.count() > 0)
   }
 
+  test("bucketed tables join with ZERO shuffle exchanges (co-located S5 fetch)") {
+    import graft.index.IndexBuild
+    IndexBuild.writeBucketedIndex(spark, sfDir, buckets = 8)
+    // the tables are bucketed by cell; the fetch joins on (cell, pid) — a
+    // SUPERSET of the bucket key. Since 3.4 Spark only treats subset
+    // partitioning as co-partitioning when this knob is off (the deliberate
+    // bucketed-layout deployment setting):
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    try {
+      val fetch = IndexBuild.bucketedFetch(spark)
+      val plan = fetch.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n${plan.take(1500)}")
+      assert(plan.contains("SortMergeJoin"), plan.take(1500))
+      assert(plan.contains("Bucketed: true"), plan.take(1500))
+      assert(fetch.count() === graft.gen.GeoWorld.points(spark, sfDir).count())
+    } finally spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "true")
+  }
+
   test("salted cell join returns exactly the broadcast join's rows") {
     val broadcastRows = GeoQueries.pipLookup(spark, sfDir, level = 6)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
