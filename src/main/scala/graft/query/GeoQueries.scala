@@ -264,7 +264,12 @@ object GeoQueries {
    * At 10^12 points this is: one broadcast per iteration (nearly always one
    * pass — ring 3 already guarantees ~90 km) + one scan-join-agg.
    */
-  def knn(spark: SparkSession, sfDir: String, k: Int = 5, pruneM: Double = 600000.0): DataFrame = {
+  def knn(spark: SparkSession, sfDir: String, k: Int = 5, pruneM: Double = 600000.0): DataFrame =
+    knnForProbes(spark, sfDir, probes(spark, sfDir), k, pruneM)
+
+  /** kNN against an arbitrary probe set (qid, qlon, qlat) — see [[knn]]. */
+  private[graft] def knnForProbes(spark: SparkSession, sfDir: String, probeDf: DataFrame,
+      k: Int, pruneM: Double): DataFrame = {
     init(spark)
     import spark.implicits._
     val pts = GeoWorld.points(spark, sfDir).select(
@@ -282,7 +287,7 @@ object GeoQueries {
     }
 
     var ringK = 3
-    var pending = probes(spark, sfDir)
+    var pending = probeDf
     val done = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var iter = 0
     while (pending != null && iter < 16) {

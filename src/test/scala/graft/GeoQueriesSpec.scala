@@ -117,6 +117,28 @@ class GeoQueriesSpec extends SparkSpec {
     }
   }
 
+  test("kNN ring widening: a sparse-corner probe triggers iteration and stays exact") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // probe at the world's far corner: the initial 3-ring holds few (or no)
+    // points there, so the exactness proof fails and the ring must widen —
+    // the iteration path the standard probe set never exercises
+    val corner = spark.createDataFrame(
+      java.util.List.of(Row(9001L, 39.9, 65.9), Row(9002L, -19.9, 65.9)),
+      StructType(Seq(StructField("qid", LongType), StructField("qlon", DoubleType),
+        StructField("qlat", DoubleType))))
+    val got = GeoQueries.knnForProbes(spark, sfDir, corner, k = 5, pruneM = 600000.0)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val pts = GeoWorld.points(spark, sfDir).select("pid", "lon", "lat").collect()
+    val brute = (for {
+      (qid, qlon, qlat) <- Seq((9001L, 39.9, 65.9), (9002L, -19.9, 65.9))
+      top = pts.map(p => (graft.geom.Geo.haversineM(p.getDouble(1), p.getDouble(2), qlon, qlat), p.getLong(0)))
+        .filter(_._1 <= 600000.0).sortBy(identity).take(5)
+      ((_, pid), i) <- top.zipWithIndex
+    } yield (qid, i + 1, pid)).toSet
+    assert(got === brute)
+  }
+
   test("radius query: cell-ring join result equals brute-force haversine filter") {
     val viaCells = GeoQueries.radius(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
