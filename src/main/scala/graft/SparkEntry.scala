@@ -45,6 +45,7 @@ object SparkEntry {
     "q_vertex_cover" -> ((s, d) => GeoQueries.vertexCoverTable(s, d)),
     // counts / search (S8 / S10)
     "q_counts_by_cell" -> ((s, d) => GeoQueries.countsByCell(s, d)),
+    "q_counts_by_cell_tag" -> ((s, d) => GeoQueries.countsByCellTag(s, d)),
     "q_name_search" -> ((s, d) => GeoQueries.nameSearch(s, d)),
     // relation-by-name full chain (Q2): search -> mapping -> fetch -> tag -> dedup
     "q_area_by_name" -> ((s, d) => GeoQueries.areaByNameChain(s, d)),
@@ -103,6 +104,7 @@ object SparkEntry {
     "q_raster_vector" -> GeoQueries.rasterVectorSql(),
     "q_vertex_cover" -> GeoQueries.vertexCoverSql(),
     "q_counts_by_cell" -> GeoQueries.countsByCellSql,
+    "q_counts_by_cell_tag" -> GeoQueries.countsByCellTagSql,
     "q_name_search" -> GeoQueries.nameSearchSql(),
     "q_area_by_name" -> GeoQueries.areaByNameChainSql(),
     "q_normalize" -> GeoQueries.normalizeSql,

@@ -465,6 +465,24 @@ object GeoQueries {
       s"""SELECT ${CellSql.encode("lon", "lat", RES_COARSE)} AS cell, COUNT(*) AS n
          |FROM pts GROUP BY 1""".stripMargin
 
+  /** Count-by-cell-and-tag (reference S8 `countBBTag`,
+    * OsmStorageService.scala:254-267 — the per-(cell, tag) cardinality the
+    * write-side uses for partition sizing). Same single-shuffle hash
+    * aggregate as countBB with the composite key. */
+  def countsByCellTag(spark: SparkSession, sfDir: String): DataFrame = {
+    init(spark)
+    GeoWorld.points(spark, sfDir)
+      .groupBy(
+        CellFunctions.zcell(col("lon"), col("lat"), lit(RES_COARSE)).as("cell"),
+        col("tag_k"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val countsByCellTagSql: String =
+    withWorld() +
+      s"""SELECT ${CellSql.encode("lon", "lat", RES_COARSE)} AS cell, tag_k, COUNT(*) AS n
+         |FROM pts GROUP BY 1, 2""".stripMargin
+
   /** Name search (reference S10 ES index collapsed to a predicate —
     * SURVEY.md S10: reference uses hits only, not ranking). */
   def nameSearch(spark: SparkSession, sfDir: String, q: String = "poi_1234"): DataFrame = {
