@@ -39,8 +39,14 @@ object SkewBench {
     }
   }
 
-  private def spread(spark: SparkSession, sfDir: String, salt: Int): (Double, Double, Double) = {
+  private def spread(spark: SparkSession, sfDir: String, salt: Int, aqe: Boolean = false): (Double, Double, Double) = {
     GeoWorld.registerUdfs(spark)
+    // AQE toggles are runtime confs: the third variant measures Spark's OWN
+    // skew mitigation (adaptive skew-join splitting) against the explicit salt
+    spark.conf.set("spark.sql.adaptive.enabled", aqe.toString)
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", aqe.toString)
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8m")
     val listener = new TaskTimes
     spark.sparkContext.addSparkListener(listener)
     try {
@@ -79,10 +85,13 @@ object SkewBench {
     spark.sparkContext.setLogLevel("WARN")
     val (medPlain, maxPlain, spreadPlain) = spread(spark, sfDir, salt = 1)
     val (medSalt, maxSalt, spreadSalt) = spread(spark, sfDir, salt = 8)
+    // Spark's own mitigation: AQE skew-join splitting, no explicit salt
+    val (medAqe, maxAqe, spreadAqe) = spread(spark, sfDir, salt = 1, aqe = true)
     val json =
       s"""{"metric":"salted-join task-time spread (max/median of the dominant [join] stage, hot-cell world)","sf":"$sfDir",
          |"plain":{"median_ms":$medPlain,"max_ms":$maxPlain,"spread":$spreadPlain},
-         |"salted8":{"median_ms":$medSalt,"max_ms":$maxSalt,"spread":$spreadSalt}}""".stripMargin.replace("\n", "")
+         |"salted8":{"median_ms":$medSalt,"max_ms":$maxSalt,"spread":$spreadSalt},
+         |"plain_aqe_skewjoin":{"median_ms":$medAqe,"max_ms":$maxAqe,"spread":$spreadAqe}}""".stripMargin.replace("\n", "")
     println(json)
     Files.writeString(Paths.get("BENCH_SKEW.json"), json + "\n")
     spark.stop()
