@@ -63,6 +63,29 @@ object StreamNormalize {
          |       COUNT(*) AS count
          |FROM spansf GROUP BY 1, 2""".stripMargin
 
+  /** Sliding-window variant (10-minute windows every 5 minutes): each span
+    * lands in exactly two overlapping windows. Same watermark/state story
+    * as the tumbling version; the oracle enumerates both window starts per
+    * row (Spark windows align to the epoch, and the synthetic base
+    * timestamp is a multiple of the slide, so starts line up exactly). */
+  def slidingCellCounts(docs: DataFrame): DataFrame =
+    normalize(docs)
+      .withColumn("ord", split(col("doc_id"), "_").getItem(1).cast("long") % 3600)
+      .withColumn("ts", expr("timestampadd(SECOND, ord, timestamp'2026-01-01 00:00:00')"))
+      .drop("ord")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("cell"))
+      .count()
+      .select(col("window.start").as("wstart"), col("cell"), col("count"))
+
+  val slidingCellCountsSql: String =
+    graft.query.GeoQueries.withWorld() +
+      s"""SELECT TIMESTAMP '2026-01-01 00:00:00' + ((((pid // 8) % 3600) // 300) * 300 - w.off) * INTERVAL 1 SECOND AS wstart,
+         |       ${graft.cell.CellSql.encode("lon", "lat", CellIndex.RES_MID)} AS cell,
+         |       COUNT(*) AS count
+         |FROM spansf CROSS JOIN (SELECT UNNEST([0, 300]) AS off) w
+         |GROUP BY 1, 2""".stripMargin
+
   def windowedCellCounts(docs: DataFrame): DataFrame =
     normalize(docs)
       .withColumn("ord", split(col("doc_id"), "_").getItem(1).cast("long") % 3600)
