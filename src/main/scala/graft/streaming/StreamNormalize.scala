@@ -63,6 +63,22 @@ object StreamNormalize {
          |       COUNT(*) AS count
          |FROM spansf GROUP BY 1, 2""".stripMargin
 
+  /**
+   * Streaming exact dedup: an at-least-once source (replayed Kafka offsets,
+   * reprocessed files) re-delivers spans; `dropDuplicatesWithinWatermark`
+   * drops re-deliveries keyed by (doc_id, offset) while the watermark
+   * BOUNDS the dedup state — keys older than the watermark are evicted, so
+   * state is O(in-flight event-time window), never O(stream). This is the
+   * streaming face of the exact-dedup operator family.
+   */
+  def dedupSpans(docs: DataFrame): DataFrame =
+    normalize(docs)
+      .withColumn("ord", split(col("doc_id"), "_").getItem(1).cast("long") % 3600)
+      .withColumn("ts", expr("timestampadd(SECOND, ord, timestamp'2026-01-01 00:00:00')"))
+      .drop("ord")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("doc_id", "offset")
+
   /** Sliding-window variant (10-minute windows every 5 minutes): each span
     * lands in exactly two overlapping windows. Same watermark/state story
     * as the tumbling version; the oracle enumerates both window starts per

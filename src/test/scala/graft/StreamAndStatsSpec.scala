@@ -105,4 +105,23 @@ class StreamAndStatsSpec extends SparkSpec {
     assert(streamed === batch)
     assert(streamed.map(_._1).size > 1) // multiple event-time windows exist
   }
+
+  test("streaming dedup within watermark: a replayed source delivers each span once") {
+    val dir = Files.createTempDirectory("graft-sdedup").toString
+    val docs = GeoWorld.docs(spark, sfDir)
+    // the "at-least-once source": the SAME doc set delivered twice
+    docs.write.parquet(s"$dir/in/replay1")
+    docs.write.parquet(s"$dir/in/replay2")
+    val deduped = StreamNormalize.dedupSpans(
+      spark.readStream.schema(docs.schema).parquet(s"$dir/in/*"))
+    val q = deduped.writeStream
+      .format("memory").queryName("sdedup").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val nOut = spark.table("sdedup").count()
+    val nDistinct = docs.select(explode(col("spans"))).count()
+    assert(nOut === nDistinct, "each (doc_id, offset) must survive exactly once")
+    assert(spark.table("sdedup").select("doc_id", "offset").distinct().count() === nOut)
+  }
 }
