@@ -80,6 +80,8 @@ object SparkEntry {
       graft.streaming.StreamNormalize.windowedCellCounts(graft.gen.GeoWorld.docs(s, d))),
     "q_stream_sliding" -> ((s, d) =>
       graft.streaming.StreamNormalize.slidingCellCounts(graft.gen.GeoWorld.docs(s, d))),
+    "q_stream_session" -> ((s, d) =>
+      graft.streaming.StreamNormalize.sessionCellCounts(graft.gen.GeoWorld.docs(s, d))),
     // multimodal media plumbing (stubbed decode, real batching)
     "q_media_decode" -> ((s, d) => graft.media.MediaOps.decodeMedia(s, d)),
     "q_media_tiles" -> ((s, d) => graft.media.MediaOps.mediaTiles(s, d)),
@@ -133,6 +135,7 @@ object SparkEntry {
     "q_geojson" -> graft.index.IndexBuild.geojsonSql,
     "q_stream_window" -> graft.streaming.StreamNormalize.windowedCellCountsSql,
     "q_stream_sliding" -> graft.streaming.StreamNormalize.slidingCellCountsSql,
+    "q_stream_session" -> graft.streaming.StreamNormalize.sessionCellCountsSql,
     "q_media_decode" -> graft.media.MediaOps.decodeMediaSql,
     "q_media_tiles" -> graft.media.MediaOps.mediaTilesSql(),
     "q_media_frames" -> graft.media.MediaOps.frameSampleSql(),

@@ -102,6 +102,43 @@ object StreamNormalize {
          |FROM spansf CROSS JOIN (SELECT UNNEST([0, 300]) AS off) w
          |GROUP BY 1, 2""".stripMargin
 
+  /**
+   * SESSION windows per cell (60-second gap): consecutive events in a cell
+   * less than the gap apart merge into one session; the watermark closes
+   * and evicts sessions once event time passes them. Completes the window
+   * family (tumbling / sliding / session). The oracle is the classic
+   * gaps-and-islands sessionization (LAG + running sum of breaks).
+   */
+  def sessionCellCounts(docs: DataFrame): DataFrame =
+    normalize(docs)
+      .withColumn("ord", split(col("doc_id"), "_").getItem(1).cast("long") % 3600)
+      .withColumn("ts", expr("timestampadd(SECOND, ord, timestamp'2026-01-01 00:00:00')"))
+      .drop("ord")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "60 seconds"), col("cell"))
+      .count()
+      .select(col("session_window.start").as("session_start"), col("cell"), col("count"))
+
+  val sessionCellCountsSql: String =
+    graft.query.GeoQueries.withWorld(
+      s"""ev AS (
+         |  SELECT ${graft.cell.CellSql.encode("lon", "lat", CellIndex.RES_MID)} AS cell,
+         |         TIMESTAMP '2026-01-01 00:00:00' + ((pid // 8) % 3600) * INTERVAL 1 SECOND AS ts
+         |  FROM spansf
+         |)""".stripMargin,
+      """brk AS (
+        |  SELECT cell, ts,
+        |         CASE WHEN ts - LAG(ts) OVER (PARTITION BY cell ORDER BY ts) >= INTERVAL 60 SECOND
+        |              OR LAG(ts) OVER (PARTITION BY cell ORDER BY ts) IS NULL THEN 1 ELSE 0 END AS b
+        |  FROM ev
+        |)""".stripMargin,
+      """sess AS (
+        |  SELECT cell, ts, SUM(b) OVER (PARTITION BY cell ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM brk
+        |)""".stripMargin) +
+      """SELECT MIN(ts) AS session_start, cell, COUNT(*) AS count
+        |FROM sess GROUP BY cell, sid""".stripMargin
+
   def windowedCellCounts(docs: DataFrame): DataFrame =
     normalize(docs)
       .withColumn("ord", split(col("doc_id"), "_").getItem(1).cast("long") % 3600)
