@@ -28,6 +28,8 @@ object SparkEntry {
     "q_pip_salted" -> ((s, d) => GeoQueries.pipLookupSalted(s, d)),
     // containment join (Q5)
     "q_containment" -> ((s, d) => GeoQueries.containmentJoin(s, d)),
+    // fuzzy-within (0.9) decides metro->state membership end-to-end (Q9)
+    "q_metro_fuzzy" -> ((s, d) => GeoQueries.metroFuzzy(s, d)),
     // chained admin-ladder query (Q11: country -> ... -> community, 8 levels)
     "q_area_chain" -> ((s, d) => graft.api.AstTranslator.areaChain(s, d)),
     // POI queries (Q6 / Q7)
@@ -75,6 +77,7 @@ object SparkEntry {
     "q_cell_tag_table" -> ((s, d) => graft.index.IndexBuild.cellTagTable(s, d)),
     "q_relation_assemble" -> ((s, d) => graft.index.IndexBuild.relationAssemble(s, d)),
     "q_geojson" -> ((s, d) => graft.index.IndexBuild.geojson(s, d)),
+    "q_geojson_way" -> ((s, d) => graft.index.IndexBuild.geojsonWay(s, d)),
     // streaming surface: batch twin of the watermarked windowed aggregation
     "q_stream_window" -> ((s, d) =>
       graft.streaming.StreamNormalize.windowedCellCounts(graft.gen.GeoWorld.docs(s, d))),
@@ -98,6 +101,7 @@ object SparkEntry {
     "q_pip_district" -> GeoQueries.pipLookupSql(level = 8),
     "q_pip_salted" -> GeoQueries.pipLookupSql(level = 4),
     "q_containment" -> GeoQueries.containmentJoinSql(),
+    "q_metro_fuzzy" -> GeoQueries.metroFuzzySql,
     "q_area_chain" -> graft.api.AstTranslator.areaChainSql(),
     "q_poi_area" -> GeoQueries.poiFromAreaSql(),
     "q_poi_cell" -> GeoQueries.poiByCellSql(),
@@ -133,6 +137,7 @@ object SparkEntry {
     "q_cell_tag_table" -> graft.index.IndexBuild.cellTagTableSql,
     "q_relation_assemble" -> graft.index.IndexBuild.relationAssembleSql,
     "q_geojson" -> graft.index.IndexBuild.geojsonSql,
+    "q_geojson_way" -> graft.index.IndexBuild.geojsonWaySql,
     "q_stream_window" -> graft.streaming.StreamNormalize.windowedCellCountsSql,
     "q_stream_sliding" -> graft.streaming.StreamNormalize.slidingCellCountsSql,
     "q_stream_session" -> graft.streaming.StreamNormalize.sessionCellCountsSql,

@@ -136,10 +136,17 @@ object GeoWorld {
   def areas(spark: SparkSession, sfDir: String): DataFrame =
     areasCache.computeIfAbsent((spark, sfDir), _ => areasUncached(spark, sfDir).persist())
 
+  /** (n_nationkey, n_regionkey, idx) — each nation's vertical slot within
+    * its region (idx 0..4, 5 states stacked per country). */
+  private def nationsIdx(spark: SparkSession, sfDir: String): DataFrame = {
+    val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+    val rn = row_number().over(Window.partitionBy("n_regionkey").orderBy("n_nationkey")) - 1
+    nation.select(col("n_nationkey"), col("n_regionkey"), rn.as("idx"))
+  }
+
   private def areasUncached(spark: SparkSession, sfDir: String): DataFrame = {
     registerUdfs(spark)
     val region = spark.read.parquet(s"$sfDir/region.parquet")
-    val nation = spark.read.parquet(s"$sfDir/nation.parquet")
 
     val countries = region.select(
       (lit(200000L) + col("r_regionkey")).as("area_id"),
@@ -150,9 +157,7 @@ object GeoWorld {
       (lit(LON0) + ((col("r_regionkey") + 1) * 12000L) / 1000.0).as("lon1"),
       (lit(LAT0) + lit(36000L) / 1000.0).as("lat1"))
 
-    val rn = row_number().over(Window.partitionBy("n_regionkey").orderBy("n_nationkey")) - 1
-    val nations0 = nation.select(
-      col("n_nationkey"), col("n_regionkey"), rn.as("idx"))
+    val nations0 = nationsIdx(spark, sfDir)
     val states = nations0.select(
       (lit(400000L) + col("n_nationkey")).as("area_id"),
       concat(lit("state_"), col("n_nationkey").cast("string")).as("area_name"),
@@ -226,6 +231,71 @@ object GeoWorld {
        |  FROM nidx
        |  UNION ALL
        |${subSelects.mkString("\n  UNION ALL\n")}
+       |)""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- metros
+
+  /**
+   * Metro overlay rects — the test bed for the reference's FUZZY within
+   * branch (util/src/main/scala/io/plasmap/util/GeoCalculator.scala:131-149,
+   * behaviour pinned by GeoCalculatorSpec.scala:88-98 and the gh.issue#2
+   * fixtures): unlike every admin-ladder level, metros are NOT nested — two
+   * of the three per state deliberately straddle the state's north border,
+   * so their containment is decided by the ≥0.9-overlap fuzzy branch, not
+   * the exact one. Specs are (j, x0, x1, y0, y1) milli-degree offsets from
+   * the state origin (state = 12000 × 7200 mdeg):
+   *   j=0 fully inside            → exact `within`
+   *   j=1 95% inside (1900/2000)  → fuzzy-within fires (0.95 ≥ 0.9)
+   *   j=2 85% inside (1700/2000)  → below threshold, not within
+   * All edges stay integer milli-degrees / 1000.0, so the DuckDB oracle's
+   * rect-intersection arithmetic reproduces every overlap fraction with
+   * margins (0.95 / 0.85 / 1.0) far from the 0.9 threshold — JTS's
+   * shoelace-order rounding can never flip a decision.
+   */
+  val METRO_SPECS: Seq[(Int, Int, Int, Int, Int)] = Seq(
+    (0, 1000, 3000, 1000, 3000), // fully inside its state -> exact within
+    (1, 4000, 6000, 5300, 7300), // straddles north border, 95% inside -> fuzzy
+    (2, 7000, 9000, 5500, 7500)) // straddles north border, 85% inside -> out
+
+  /** Metro areas (3 per state, level 3, area_id = 300000 + nationkey*4 + j).
+    * Same column shape as [[areas]] including the wkb GC(MultiPolygon). */
+  def metros(spark: SparkSession, sfDir: String): DataFrame = {
+    registerUdfs(spark)
+    val specStructs = array(METRO_SPECS.map { case (j, x0, x1, y0, y1) =>
+      struct(lit(j).as("j"), lit(x0).as("x0"), lit(x1).as("x1"),
+        lit(y0).as("y0"), lit(y1).as("y1"))
+    }: _*)
+    val ord = col("n_nationkey") * 4 + col("sp.j")
+    nationsIdx(spark, sfDir)
+      .withColumn("sp", explode(specStructs))
+      .select(
+        (lit(300000L) + ord).as("area_id"),
+        concat(lit("metro_"), ord.cast("string")).as("area_name"),
+        lit(3).as("level"),
+        (lit(LON0) + (col("n_regionkey") * 12000L + col("sp.x0")) / 1000.0).as("lon0"),
+        (lit(LAT0) + (col("idx") * 7200L + col("sp.y0")) / 1000.0).as("lat0"),
+        (lit(LON0) + (col("n_regionkey") * 12000L + col("sp.x1")) / 1000.0).as("lon1"),
+        (lit(LAT0) + (col("idx") * 7200L + col("sp.y1")) / 1000.0).as("lat1"))
+      .withColumn("wkb", call_function("rect_area_wkb", col("lon0"), col("lat0"), col("lon1"), col("lat1")))
+  }
+
+  /** DuckDB CTE mirroring [[metros]] minus wkb (name `metros`) — generated
+    * from the SAME [[METRO_SPECS]]; references `nidx` from [[areasCte]]. */
+  val metrosCte: String = {
+    val vals = METRO_SPECS.map { case (j, x0, x1, y0, y1) =>
+      s"($j, $x0, $x1, $y0, $y1)"
+    }.mkString(", ")
+    s"""mspec(j, x0, x1, y0, y1) AS (VALUES $vals),
+       |metros AS (
+       |  SELECT CAST(300000 + n_nationkey * 4 + j AS BIGINT) AS area_id,
+       |         'metro_' || CAST(n_nationkey * 4 + j AS VARCHAR) AS area_name,
+       |         3 AS level,
+       |         $LON0 + (n_regionkey * 12000 + x0) / 1000.0 AS lon0,
+       |         $LAT0 + (idx * 7200 + y0) / 1000.0 AS lat0,
+       |         $LON0 + (n_regionkey * 12000 + x1) / 1000.0 AS lon1,
+       |         $LAT0 + (idx * 7200 + y1) / 1000.0 AS lat1
+       |  FROM nidx CROSS JOIN mspec
        |)""".stripMargin
   }
 

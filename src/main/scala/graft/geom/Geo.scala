@@ -72,6 +72,19 @@ object Geo {
     case _ => false
   }
 
+  /** The EXACT branch of [[within]] alone (no fuzzy fallback) — used to
+    * label which branch decided a membership (a pair where `within` is true
+    * but `withinExact` is false was admitted by the ≥0.9 fuzzy branch). */
+  def withinExact(inner: Geometry, outer: Geometry): Boolean = (inner, outer) match {
+    case (ig: GeometryCollection, og: GeometryCollection)
+        if !ig.isInstanceOf[MultiPolygon] && !og.isInstanceOf[MultiPolygon] =>
+      val outerMps = multiPolys(og)
+      multiPolys(ig).forall(p => outerMps.exists(q => p.within(q)))
+    case (p: Point, gc: GeometryCollection) if !gc.isInstanceOf[MultiPolygon] =>
+      multiPolys(gc).exists(_.contains(p))
+    case _ => false
+  }
+
   /** Fuzzy branch (GeoCalculator.scala:131-149): ratio uses the ORIGINAL
     * inner area as denominator but the precision-REDUCED geometries for the
     * intersection; any failure -> false for that pair. */

@@ -150,4 +150,8 @@ object GeoCache {
     * is unchanged exact/fuzzy logic from [[Geo.within]]). */
   def within(innerWkb: Array[Byte], outerWkb: Array[Byte]): Boolean =
     Geo.within(parsed(innerWkb).geom, parsed(outerWkb).geom)
+
+  /** [[Geo.withinExact]] with cached parses. */
+  def withinExact(innerWkb: Array[Byte], outerWkb: Array[Byte]): Boolean =
+    Geo.withinExact(parsed(innerWkb).geom, parsed(outerWkb).geom)
 }

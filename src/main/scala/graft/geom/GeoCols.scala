@@ -36,6 +36,11 @@ object GeoCols {
     spark.udf.register("geo_within", (inner: Array[Byte], outer: Array[Byte]) =>
       if (inner == null || outer == null) false
       else GeoCache.within(inner, outer))
+    // Exact-branch-only twin: labels WHICH branch admitted a pair (fuzzy =
+    // within && !withinExact). Runs on already-within candidates only.
+    spark.udf.register("geo_within_exact", (inner: Array[Byte], outer: Array[Byte]) =>
+      if (inner == null || outer == null) false
+      else GeoCache.withinExact(inner, outer))
     // Point-in-area refine: reference's (Point, GC) branch; prepared
     // members make each probe an indexed PIP test, not a WKB parse.
     spark.udf.register("geo_contains_point", (outer: Array[Byte], lon: Double, lat: Double) =>
@@ -45,6 +50,9 @@ object GeoCols {
 
   def geoWithin(inner: Column, outer: Column): Column =
     call_function("geo_within", inner, outer)
+
+  def geoWithinExact(inner: Column, outer: Column): Column =
+    call_function("geo_within_exact", inner, outer)
 
   def geoContainsPoint(outer: Column, lon: Column, lat: Column): Column =
     call_function("geo_contains_point", outer, lon, lat)

