@@ -133,8 +133,33 @@ object GeoWorld {
   private val areasCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  def areas(spark: SparkSession, sfDir: String): DataFrame =
+  /** Evict cache entries whose owning session is gone (round-2 verdict #5:
+    * a stopped session's persisted dim must not stay pinned in a long-lived
+    * multi-tenant driver JVM). Runs on every [[areas]] access — O(sessions),
+    * and the map only ever holds a handful of (session, sfDir) keys. The
+    * liveness predicate is injectable for tests (stopping a real
+    * SparkContext would kill the suite-shared one). */
+  private[graft] def purgeStoppedSessions(
+      stopped: ((SparkSession, String)) => Boolean = _._1.sparkContext.isStopped): Int = {
+    val it = areasCache.entrySet().iterator()
+    var n = 0
+    while (it.hasNext) {
+      val e = it.next()
+      if (stopped(e.getKey)) {
+        // release executor storage if the context is still up (no-op after stop)
+        try e.getValue.unpersist(blocking = false) catch { case _: Throwable => () }
+        it.remove(); n += 1
+      }
+    }
+    n
+  }
+
+  private[graft] def cachedAreaEntries: Int = areasCache.size()
+
+  def areas(spark: SparkSession, sfDir: String): DataFrame = {
+    purgeStoppedSessions()
     areasCache.computeIfAbsent((spark, sfDir), _ => areasUncached(spark, sfDir).persist())
+  }
 
   /** (n_nationkey, n_regionkey, idx) — each nation's vertical slot within
     * its region (idx 0..4, 5 states stacked per country). */

@@ -72,19 +72,18 @@ object GeoCache {
   private final case class IdKey(id: Long, disc: Long)
   private val byId = new ConcurrentHashMap[IdKey, Parsed]()
 
-  /** Id-keyed variant: skips byte-array keying entirely when the caller has
+  /** Id-keyed variant: skips byte-array HashMap keying when the caller has
     * a stable geometry id (broadcast boundary sets). The key folds in the
-    * WKB length + a 16-byte sample so two DIFFERENT geometry sets reusing
-    * the same area ids in one executor JVM (e.g. repeated scaling runs with
-    * different vertex counts) never serve each other's stale parse. */
+    * WKB length + a hash over ALL bytes, so two DIFFERENT geometry sets
+    * reusing the same area ids in one executor JVM (e.g. repeated scaling
+    * runs with different vertex counts) never serve each other's stale
+    * parse. Round-2 advice: the 16-byte sampled discriminator could collide
+    * for equal-length geometries agreeing on the sample points; the bytes
+    * are forced anyway and boundary WKBs are small, so a full-array hash
+    * costs noise next to the parse it guards. */
   def parsedById(id: Long, wkb: => Array[Byte]): Parsed = {
-    val b = wkb // force once; the sampled discriminator needs the bytes anyway
-    var disc = b.length.toLong
-    if (b.length > 0) {
-      val step = math.max(1, b.length / 16)
-      var i = 0
-      while (i < b.length) { disc = disc * 31 + b(i); i += step }
-    }
+    val b = wkb // force once; the discriminator needs the bytes anyway
+    val disc = (b.length.toLong << 32) ^ (java.util.Arrays.hashCode(b).toLong & 0xffffffffL)
     val key = IdKey(id, disc)
     val hit = byId.get(key)
     if (hit != null) return hit

@@ -66,11 +66,15 @@ class StageRunner(spark: SparkSession, workDir: String) {
       .orderBy("p").collect().map(_.getLong(1)).toSeq
     val rows = perPart.sum
     val schemaHash = back.schema.catalogString.hashCode
-    // content digest: bit_xor of per-row hashes — catches value changes that
-    // preserve row count + schema (cheap: one scan, map-side combined)
+    // content digest: SUM of per-row hashes, widened to decimal(38) so the
+    // sum neither overflows (ANSI) nor wraps — catches value changes that
+    // preserve row count + schema (cheap: one scan, map-side combined).
+    // MULTISET-sensitive where bit_xor was not: a row appearing an even
+    // number of times cancelled under xor, so a change confined to evenly
+    // duplicated rows kept the digest and wrongly skipped the stage.
     val contentHash = back
-      .select(xxhash64(back.columns.map(col).toIndexedSeq: _*).as("h"))
-      .agg(expr("bit_xor(h)")).collect()(0).get(0)
+      .select(xxhash64(back.columns.map(col).toIndexedSeq: _*).cast("decimal(38,0)").as("h"))
+      .agg(sum(col("h"))).collect()(0).get(0)
     val fp = s"$rows:$schemaHash:$contentHash"
     val manifest =
       s"""{"stage":"$stage","rows":$rows,"fp":"$fp","upstream":"$upstream","observed_rows":$observedRows,"els_per_sec":$elsPerSec,"partitions":[${perPart.mkString(",")}]}"""

@@ -117,26 +117,64 @@ class GeoQueriesSpec extends SparkSpec {
     }
   }
 
-  test("kNN ring widening: a sparse-corner probe triggers iteration and stays exact") {
+  test("kNN ring widening: sparse-corner + EMPTY-ring probes iterate and stay exact; no cached plans leak") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
-    // probe at the world's far corner: the initial 3-ring holds few (or no)
-    // points there, so the exactness proof fails and the ring must widen —
-    // the iteration path the standard probe set never exercises
+    // 9001/9002: far corners — the initial 3-ring holds few points, so the
+    //   exactness proof fails and the ring must widen.
+    // 9003: ~5° OUTSIDE the world — its 3-ring AND 6-ring contain ZERO
+    //   points although points exist within pruneM (round-2 ADVICE: this
+    //   probe silently vanished from the output instead of widening).
+    // 9004: ~15° outside — no point within pruneM at all; the proven-empty
+    //   answer is NO rows, reached once the ring guarantee covers pruneM.
+    val probeRows = Seq((9001L, 39.9, 65.9), (9002L, -19.9, 65.9),
+      (9003L, 45.0, 40.0), (9004L, 55.0, 40.0))
     val corner = spark.createDataFrame(
-      java.util.List.of(Row(9001L, 39.9, 65.9), Row(9002L, -19.9, 65.9)),
+      java.util.List.of(probeRows.map { case (q, x, y) => Row(q, x, y) }: _*),
       StructType(Seq(StructField("qid", LongType), StructField("qlon", DoubleType),
         StructField("qlat", DoubleType))))
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val got = GeoQueries.knnForProbes(spark, sfDir, corner, k = 5, pruneM = 600000.0)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     val pts = GeoWorld.points(spark, sfDir).select("pid", "lon", "lat").collect()
     val brute = (for {
-      (qid, qlon, qlat) <- Seq((9001L, 39.9, 65.9), (9002L, -19.9, 65.9))
+      (qid, qlon, qlat) <- probeRows
       top = pts.map(p => (graft.geom.Geo.haversineM(p.getDouble(1), p.getDouble(2), qlon, qlat), p.getLong(0)))
         .filter(_._1 <= 600000.0).sortBy(identity).take(5)
       ((_, pid), i) <- top.zipWithIndex
     } yield (qid, i + 1, pid)).toSet
     assert(got === brute)
+    assert(got.exists(_._1 == 9003L), "empty-3-ring probe must widen, not vanish")
+    assert(!got.exists(_._1 == 9004L), "out-of-prune probe must prove empty")
+    // round-2 verdict #3: the iteration caches must not outlive the call
+    val cachedAfter = spark.sparkContext.getPersistentRDDs.keySet
+    assert((cachedAfter -- cachedBefore).isEmpty, "knn leaked persisted RDDs")
+  }
+
+  test("metro fuzzy-within: exact metros flagged fuzzy=false, straddlers admitted by the 0.9 branch only") {
+    val rows = GeoQueries.metroFuzzy(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // 25 states x (j=0 exact + j=1 fuzzy); j=2 (85% inside) excluded
+    assert(rows.length === 50)
+    rows.foreach { case (metroId, stateId, fuzzy) =>
+      val ord = metroId - 300000L
+      val j = ord % 4
+      assert(stateId === 400000L + ord / 4, s"metro $metroId paired with wrong state")
+      assert(j === 0L || j === 1L, s"85%-overlap metro $metroId must not be within")
+      assert(fuzzy === (j == 1L), s"metro $metroId branch label wrong")
+    }
+  }
+
+  test("areas dim cache evicts dead sessions and rebuilds rather than reusing") {
+    GeoWorld.areas(spark, sfDir).count() // ensure populated
+    assert(GeoWorld.cachedAreaEntries >= 1)
+    // simulate every owning session having stopped (stopping the real
+    // suite-shared context would kill the remaining suites)
+    val purged = GeoWorld.purgeStoppedSessions(_ => true)
+    assert(purged >= 1 && GeoWorld.cachedAreaEntries === 0)
+    val rebuilt = GeoWorld.areas(spark, sfDir) // a fresh build, not a stale hit
+    assert(rebuilt.count() === 4730L)
+    assert(GeoWorld.cachedAreaEntries === 1)
   }
 
   test("radius query: cell-ring join result equals brute-force haversine filter") {

@@ -51,6 +51,40 @@ class PipelineSpec extends SparkSpec {
     assert(!b.skipped, "rows:schema fingerprint would wrongly skip here — content hash must not")
   }
 
+  test("content digest is multiset-sensitive: a change confined to EVENLY duplicated rows re-runs downstream") {
+    // round-2 advice: xor-combined per-row hashes cancel on even
+    // multiplicities — ("p","p","q","q") and ("r","r","q","q") hashed equal
+    val wd = Files.createTempDirectory("graft-fpdup").toString
+    val runner = new StageRunner(spark, wd)
+    def build(v: String) = (s: org.apache.spark.sql.SparkSession) => {
+      import s.implicits._
+      Seq(v, v, "q", "q").toDF("v")
+    }
+    runner.run("a", Seq.empty)(build("p"))
+    assert(!runner.run("b", Seq("a"))(_ => runner.read("a")).skipped)
+    Files.delete(Paths.get(s"$wd/a/manifest.json"))
+    runner.run("a", Seq.empty)(build("r")) // same rows+schema, both changed rows duplicated evenly
+    val b = runner.run("b", Seq("a"))(_ => runner.read("a"))
+    assert(!b.skipped, "even-multiplicity change must alter the digest")
+  }
+
+  test("GeoJSON property escape round-trips quotes and backslashes through a JSON parser") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val names = Seq("""he said "hi"""", """back\slash""", """both \" mixed""", "plain")
+    val df = names.toDF("name")
+    val schema = StructType(Seq(StructField("name", StringType)))
+    val back = df.select(
+      col("name"),
+      from_json(concat(lit("""{"name":""""),
+        graft.index.IndexBuild.jsonEscape(col("name")), lit(""""}""")), schema)
+        .getField("name").as("parsed"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    back.foreach { case (orig, parsed) =>
+      assert(parsed === orig, s"escape failed to round-trip [$orig]")
+    }
+  }
+
   test("a skipped stage requires its data to still exist (manifest alone is not enough)") {
     val wd = Files.createTempDirectory("graft-fpdata").toString
     val runner = new StageRunner(spark, wd)

@@ -60,14 +60,17 @@ class StreamAndStatsSpec extends SparkSpec {
     val spanRows = GeoWorld.docs(spark, sfDir)
       .select(col("doc_id"), size(col("spans")).cast("int").as("n_spans"), explode(col("spans")).as("s"))
       .select(col("doc_id"), col("s.offset").as("offset"), col("s.kind").as("kind"),
-        col("s.text").as("text"), col("s.media_ref").as("media_ref"), col("n_spans"))
+        col("s.text").as("text"), col("s.media_ref").as("media_ref"), col("n_spans"),
+        expr("timestampadd(SECOND, CAST(split(doc_id, '_')[1] AS BIGINT) % 3600, timestamp'2026-01-01 00:00:00')").as("ts"))
       .as[SpanIn]
     // micro-batch 1: spans with offset < 4 (multi-span docs are CUT MID-DOC);
-    // micro-batch 2 (after a query restart from checkpoint): the rest
+    // micro-batch 2 (after a query restart from checkpoint): the rest.
+    // Watermark 2h > the 1h event-time spread: batch-2 re-deliveries of old
+    // event times are NOT late, and no eviction fires mid-test.
     spanRows.filter(col("offset") < 4).write.parquet(s"$dir/in/b1")
     def runOnce(): Unit = {
       val in = spark.readStream.schema(spanRows.schema).parquet(s"$dir/in/*").as[SpanIn]
-      val q = StatefulAssemble.assemble(spark, in).writeStream
+      val q = StatefulAssemble.assemble(spark, in, watermark = "2 hours").writeStream
         .format("parquet").option("path", s"$dir/out").outputMode("append")
         .option("checkpointLocation", s"$dir/ckpt")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -78,13 +81,65 @@ class StreamAndStatsSpec extends SparkSpec {
     val afterB1 = spark.read.parquet(s"$dir/out").count()
     spanRows.filter(col("offset") >= 4).write.parquet(s"$dir/in/b2")
     runOnce() // restart: state recovered from the checkpoint
-    val got = spark.read.parquet(s"$dir/out").collect()
-      .map(r => (r.getString(0), r.getString(2))).toMap
+    val outRows = spark.read.parquet(s"$dir/out").collect()
+    assert(outRows.forall(_.getBoolean(3)), "no doc may be dead-lettered here")
+    val got = outRows.map(r => (r.getString(0), r.getString(2))).toMap
     val expected = graft.query.GeoQueries.spanRoundtrip(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getString(1))).toMap
     assert(got.size === expected.size)
     assert(afterB1 > 0 && afterB1 < got.size) // some docs really did span batches
     assert(got === expected) // stream fingerprints == batch spanRoundtrip fingerprints
+  }
+
+  test("stateful assembler: replayed spans dedup by offset; never-completing docs are evicted to dead-letter by event-time timeout") {
+    import spark.implicits._
+    import graft.streaming.{SpanIn, StatefulAssemble}
+    val dir = Files.createTempDirectory("graft-evict").toString
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(plusSec: Long) = new java.sql.Timestamp(t0.getTime + plusSec * 1000)
+    def span(doc: String, off: Int, n: Int, ts: java.sql.Timestamp) =
+      SpanIn(doc, off, "point", s"$doc-$off", "", n, ts)
+    // b1: doc_a misses span 1 forever; doc_b completes; doc_c gets span 0
+    // TWICE (at-least-once replay) + span 1 — the duplicate must NOT
+    // complete it early in place of the missing span 2
+    Seq(span("doc_a", 0, 2, at(0)),
+      span("doc_b", 0, 2, at(0)), span("doc_b", 1, 2, at(0)),
+      span("doc_c", 0, 3, at(0)), span("doc_c", 0, 3, at(0)), span("doc_c", 1, 3, at(0)))
+      .toDS().write.parquet(s"$dir/in/b1")
+    val schema = implicitly[org.apache.spark.sql.Encoder[SpanIn]].schema
+    def runOnce(): Unit = {
+      val in = spark.readStream.schema(schema).parquet(s"$dir/in/*").as[SpanIn]
+      val q = StatefulAssemble.assemble(spark, in, watermark = "5 seconds").writeStream
+        .format("parquet").option("path", s"$dir/out").outputMode("append")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    runOnce()
+    val afterB1 = spark.read.parquet(s"$dir/out").collect()
+    assert(afterB1.map(_.getString(0)).toSet === Set("doc_b"), "duplicate offset must not complete doc_c")
+    // b2: doc_c's real span 2 arrives (before its timeout) + a watermark tick
+    Seq(span("doc_c", 2, 3, at(0)), span("doc_z", 0, 1, at(600))).toDS()
+      .write.parquet(s"$dir/in/b2")
+    runOnce()
+    // b3: another tick pushes the watermark past doc_a's timeout -> eviction
+    Seq(span("doc_y", 0, 1, at(1200))).toDS().write.parquet(s"$dir/in/b3")
+    runOnce()
+    val out = spark.read.parquet(s"$dir/out").collect()
+      .map(r => (r.getString(0), (r.getInt(1), r.getString(2), r.getBoolean(3)))).toMap
+    // doc_c completed with the fingerprint of its 3 DISTINCT spans
+    val expectedC = StatefulAssemble.fingerprint(Seq(
+      (0, "point", "doc_c-0", ""), (1, "point", "doc_c-1", ""), (2, "point", "doc_c-2", "")))
+    assert(out("doc_c") === ((3, expectedC, true)))
+    // doc_a evicted as dead-letter with its partial buffer
+    assert(out("doc_a")._1 === 1 && !out("doc_a")._3, "doc_a must be dead-lettered")
+    assert(out("doc_b")._3 && out("doc_z")._3 && out("doc_y")._3)
+    // state drained: one more tick produces no further rows for a/c
+    Seq(span("doc_x", 0, 1, at(1800))).toDS().write.parquet(s"$dir/in/b4")
+    runOnce()
+    val finalCount = spark.read.parquet(s"$dir/out").count()
+    assert(finalCount === out.size + 1) // only doc_x was added
   }
 
   test("watermarked event-time windowed cell counts equal the batch windows") {

@@ -101,6 +101,36 @@ class TextVectorSpec extends SparkSpec {
     cand.unpersist()
   }
 
+  test("scale-aware LSH planes: P=16 holds near-dup recall while slashing the candidate fraction") {
+    import org.apache.spark.sql.functions._
+    // the helper's breakpoints: test corpora stay at the pinned default,
+    // 10^9 vectors get ~25 planes (2^25 buckets/table)
+    assert(VectorOps.planesFor(500) === 8)
+    assert(VectorOps.planesFor(2000) === 8)
+    assert(VectorOps.planesFor(1000000L) === 15)
+    assert(VectorOps.planesFor(1000000000L) === 25)
+    val vs = VectorOps.vectors(spark, sfDir)
+    val n = vs.count()
+    val dups = vs.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 100000L).as("qid"),
+        concat(array(element_at(col("v"), 1) * 0.5),
+          slice(col("v"), 2, VectorOps.DIM - 1)).as("qv"))
+    val nd = dups.count()
+    def measure(p: Int): (Double, Double) = {
+      val cand = VectorOps.lshCandidates(spark, vs, dups, planes = p).persist()
+      val recall = cand.filter(col("qid") - 100000L === col("vec_id")).count().toDouble / nd
+      val frac = cand.count().toDouble / (nd * n)
+      cand.unpersist()
+      (recall, frac)
+    }
+    val (r8, f8) = measure(8)
+    val (r16, f16) = measure(16)
+    // near-dups are angularly tight (cos ~0.998): doubling P keeps OR-of-4
+    // tables recall high while bucket counts grow 2^8-fold
+    assert(r16 >= 0.9, s"P=16 near-dup recall $r16 (P=8: $r8)")
+    assert(f16 < f8 * 0.5, s"P=16 candidate fraction $f16 must undercut P=8's $f8")
+  }
+
   test("LSH ANN results are a subset of brute-force cosine ranking universe") {
     val brute = VectorOps.cosineTopK(spark, sfDir, k = 50).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
