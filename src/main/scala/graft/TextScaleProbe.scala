@@ -30,6 +30,8 @@ object TextScaleProbe {
       val c = scaled(spark, sf, k).persist()
       val n = c.count()
       t(s"minhash_pairs k=$k n=$n")(graft.text.TextOps.minhashPairsOf(spark, c).count())
+      t(s"ngram_jaccard k=$k n=$n")(graft.text.TextOps.ngramJaccardOf(spark, c).count())
+      t(s"simhash_pairs k=$k n=$n")(graft.text.TextOps.simhashPairsOf(spark, c).count())
       c.unpersist()
     }
     spark.stop()

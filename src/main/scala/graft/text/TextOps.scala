@@ -342,9 +342,6 @@ object TextOps {
 
   /** Exploded distinct (doc_id, shingle) rows — the join-friendly shingle
     * set representation. */
-  private def distinctShingles(spark: SparkSession, sfDir: String): DataFrame =
-    distinctShinglesOf(spark, corpus(spark, sfDir))
-
   private[graft] def distinctShinglesOf(spark: SparkSession, c: DataFrame): DataFrame = {
     registerTextUdfs(spark)
     spreadCorpus(spark, c).select(col("doc_id"), col("lang"), col("source"),
@@ -399,7 +396,11 @@ object TextOps {
     * at 10^9 docs. 64 bits give 2×32-bit bands for ham ≤ 1, a 2^32
     * (~4.3×10^9) bucket ceiling per band — candidate volume stays ~linear
     * until corpora far beyond 10^9 docs. */
-  def simhash(spark: SparkSession, sfDir: String): DataFrame = {
+  def simhash(spark: SparkSession, sfDir: String): DataFrame =
+    simhashOf(spark, corpus(spark, sfDir))
+
+  /** 64-bit signature over an arbitrary (doc_id, text, ...) corpus. */
+  def simhashOf(spark: SparkSession, c: DataFrame): DataFrame = {
     // the per-word md5 array is a SEPARATE projection so the digest is
     // evaluated once per word per row — inlining it into all 64 bit
     // expressions (round-1 shape) recomputed every word hash 64 times and
@@ -412,7 +413,7 @@ object TextOps {
         acc + when(shiftright(h, b % 32) % 2 === 1, 1L).otherwise(-1L))
       when(vote > 0, lit(1L << b)).otherwise(lit(0L))
     }
-    spreadCorpus(spark, corpus(spark, sfDir))
+    spreadCorpus(spark, c)
       .withColumn("wm", transform(split(col("text"), " "), w => md5(w.cast("binary"))))
       .withColumn("wl", transform(col("wm"), m => conv(substring(m, 1, 8), 16, 10).cast("long")))
       .withColumn("wu", transform(col("wm"), m => conv(substring(m, 9, 8), 16, 10).cast("long")))
@@ -446,15 +447,19 @@ object TextOps {
    * bands capped at 2^16 buckets (candidate volume ~n²/65,536 — quadratic
    * at 10^9 docs); 32-bit bands raise the ceiling to 2^32 (~4.3×10^9)
    * buckets per band, keeping candidates ~linear to corpora well past 10^9.
-   * Measured at sf0.1 (6,499 docs incl. injected dups): max band bucket 2,
-   * 6,742 candidate rows vs 21.1M all-pairs (band keys are near-unique —
-   * only true near-dups collide). A wider Hamming radius r needs r+1 bands
-   * of 64/(r+1) bits — same plan, hotter buckets; pick the radius the
-   * data's bit entropy supports.
+   * Measured at sf0.1 (6,170 docs incl. injected dups): max band bucket 11,
+   * 2,518 candidate rows vs 19.0M all-pairs — 32-bit band keys are
+   * near-unique, essentially only true near-dups collide (the 16-bit bands
+   * measured max bucket 355 / 0.38M candidates on the same corpus). A wider
+   * Hamming radius r needs r+1 bands of 64/(r+1) bits — same plan, hotter
+   * buckets; pick the radius the data's bit entropy supports.
    */
-  def simhashPairs(spark: SparkSession, sfDir: String, maxHam: Int = 1): DataFrame = {
+  def simhashPairs(spark: SparkSession, sfDir: String, maxHam: Int = 1): DataFrame =
+    simhashPairsOf(spark, corpus(spark, sfDir), maxHam)
+
+  def simhashPairsOf(spark: SparkSession, c: DataFrame, maxHam: Int = 1): DataFrame = {
     require(maxHam <= 1, "2-band scheme guarantees completeness only for hamming <= 1")
-    val sh = simhash(spark, sfDir)
+    val sh = simhashOf(spark, c)
     val bandStructs = array((0 until 2).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("simhash"), 32 * b).bitwiseAND(lit(4294967295L)).as("bkey"))
@@ -526,21 +531,33 @@ object TextOps {
     * (the same bound `interCounts` gives minhashPairs, reached here by
     * df-capping instead of LSH-candidate scoping).
     */
-  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    val ds = distinctShingles(spark, sfDir)
-    // within-group shingle document frequency; keep only informative shingles
+  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    ngramJaccardOf(spark, corpus(spark, sfDir))
+
+  /** The capped informative-shingle universe: distinct (doc_id, lang,
+    * source, sh) rows whose shingle's within-group df ≤ [[NGRAM_DF_CAP]]. */
+  private[graft] def cappedShingles(spark: SparkSession, c: DataFrame): DataFrame = {
+    val ds = distinctShinglesOf(spark, c)
     val keep = ds.groupBy("lang", "source", "sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= NGRAM_DF_CAP)
       .select("lang", "source", "sh")
-    val capped = ds.join(keep, Seq("lang", "source", "sh"))
-    val sizes = capped.groupBy("doc_id").count()
-    // shared-shingle pairs within (lang, source) groups: relational
-    // intersection counts instead of quadratic per-pair array scans
-    val inter = capped.select(col("lang"), col("source"), col("doc_id").as("a"), col("sh"))
+    ds.join(keep, Seq("lang", "source", "sh"))
+  }
+
+  /** Shared-capped-shingle pair counts — the bounded self-join (≤ cap² rows
+    * per shingle; exposed for the stop-shingle regression test). */
+  private[graft] def ngramInter(capped: DataFrame): DataFrame =
+    capped.select(col("lang"), col("source"), col("doc_id").as("a"), col("sh"))
       .join(capped.select(col("lang"), col("source"), col("doc_id").as("b"), col("sh")), Seq("lang", "source", "sh"))
       .filter(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("ninter"))
-    inter
+
+  def ngramJaccardOf(spark: SparkSession, c: DataFrame): DataFrame = {
+    val capped = cappedShingles(spark, c)
+    val sizes = capped.groupBy("doc_id").count()
+    // shared-shingle pairs within (lang, source) groups: relational
+    // intersection counts instead of quadratic per-pair array scans
+    ngramInter(capped)
       .join(sizes.select(col("doc_id").as("a"), col("count").as("na")), "a")
       .join(sizes.select(col("doc_id").as("b"), col("count").as("nb")), "b")
       .select(col("a"), col("b"),

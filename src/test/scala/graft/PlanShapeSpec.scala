@@ -69,4 +69,15 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan(GeoQueries.pipLookupSalted(spark, sfDir))
     assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"), p.take(800))
   }
+
+  test("metro fuzzy-within: principal-cell candidates broadcast, never a geometry cross product") {
+    val p = plan(GeoQueries.metroFuzzy(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p.take(800))
+  }
+
+  test("ngram jaccard df-cap plan: equi-joins only (no cartesian), cap aggregation present") {
+    val p = plan(graft.text.TextOps.ngramJaccard(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p.take(800))
+  }
 }

@@ -51,6 +51,29 @@ class TextVectorSpec extends SparkSpec {
     pairs.foreach(r => assert(r.getDouble(2) < 0.2, s"unrelated docs scored ${r.getDouble(2)}"))
   }
 
+  test("ngram jaccard df-cap: a corpus-wide stop shingle does no quadratic work, true near-dups still pair") {
+    import spark.implicits._
+    // 200 docs share the stop shingle "lorem ipsum dolor" (df = 200 > cap 64);
+    // doc 500 duplicates doc 0's text, so (0, 500) share their RARE shingles.
+    // The round-2 self-join would pay 200*199/2 = 19900 rows for the stop
+    // shingle alone; the df-capped join must generate intersections ONLY for
+    // the duplicated pair.
+    val base = (0 until 200).map(i =>
+      (i.toLong, s"lorem ipsum dolor u${i}a u${i}b u${i}c u${i}d u${i}e", "en", "s"))
+    val c = (base :+ ((500L, base.head._2, "en", "s")))
+      .toDF("doc_id", "text", "lang", "source")
+    val capped = TextOps.cappedShingles(spark, c)
+    assert(capped.filter(col("sh") === "lorem ipsum dolor").count() === 0,
+      "over-cap shingle must leave the informative universe")
+    val inter = TextOps.ngramInter(capped).collect()
+    assert(inter.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((0L, 500L)),
+      "only the true duplicate pair may generate intersection work")
+    val pairs = TextOps.ngramJaccardOf(spark, c).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq === Seq((0L, 500L, 1.0)),
+      "duplicate docs share ALL capped shingles -> jaccard 1.0")
+  }
+
   test("SimHash of a near-duplicate is within small Hamming distance of the original") {
     val sh = TextOps.simhash(spark, sfDir).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val nearIds = sh.keys.filter(id => id < 10000 && sh.contains(id + 10000))
