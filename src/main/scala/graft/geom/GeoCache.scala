@@ -72,19 +72,40 @@ object GeoCache {
   private final case class IdKey(id: Long, disc: Long)
   private val byId = new ConcurrentHashMap[IdKey, Parsed]()
 
+  // Full-array discriminator hashes, memoized by ARRAY IDENTITY per thread:
+  // the id-keyed callers present the SAME broadcast byte[] object for a
+  // given area on every candidate row, so the full hash is computed once
+  // per (thread, geometry) and every subsequent lookup is an identity hit.
+  // Hashing the full blob PER ROW instead was a measured disaster: the
+  // round-3 first cut did exactly that and the 2048-vertex scaling
+  // boundaries (33 KB WKB × 936M candidate rows) turned the 142 s scaling
+  // job into a ~5× slower one. A caller that passes a fresh copy each call
+  // degrades to per-call hashing but stays CORRECT.
+  private val tlDiscCache: ThreadLocal[java.util.IdentityHashMap[Array[Byte], java.lang.Long]] =
+    ThreadLocal.withInitial(() => new java.util.IdentityHashMap[Array[Byte], java.lang.Long]())
+
+  private def fullDisc(b: Array[Byte]): Long = {
+    val m = tlDiscCache.get()
+    var d = m.get(b)
+    if (d == null) {
+      d = (b.length.toLong << 32) ^ (java.util.Arrays.hashCode(b).toLong & 0xffffffffL)
+      if (m.size() >= MAX_ENTRIES) m.clear()
+      m.put(b, d)
+    }
+    d
+  }
+
   /** Id-keyed variant: skips byte-array HashMap keying when the caller has
     * a stable geometry id (broadcast boundary sets). The key folds in the
-    * WKB length + a hash over ALL bytes, so two DIFFERENT geometry sets
-    * reusing the same area ids in one executor JVM (e.g. repeated scaling
-    * runs with different vertex counts) never serve each other's stale
-    * parse. Round-2 advice: the 16-byte sampled discriminator could collide
-    * for equal-length geometries agreeing on the sample points; the bytes
-    * are forced anyway and boundary WKBs are small, so a full-array hash
-    * costs noise next to the parse it guards. */
+    * WKB length + a hash over ALL bytes (identity-memoized, see
+    * [[fullDisc]]), so two DIFFERENT geometry sets reusing the same area
+    * ids in one executor JVM (e.g. repeated scaling runs with different
+    * vertex counts) never serve each other's stale parse — round-2 advice:
+    * the old 16-byte sampled discriminator could collide for equal-length
+    * geometries agreeing on the sample points. */
   def parsedById(id: Long, wkb: => Array[Byte]): Parsed = {
     val b = wkb // force once; the discriminator needs the bytes anyway
-    val disc = (b.length.toLong << 32) ^ (java.util.Arrays.hashCode(b).toLong & 0xffffffffL)
-    val key = IdKey(id, disc)
+    val key = IdKey(id, fullDisc(b))
     val hit = byId.get(key)
     if (hit != null) return hit
     val p = parsed(b)

@@ -60,6 +60,12 @@ object VectorOps {
     spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), emb(col("embedding")).as("v"), col("label"))
 
+  /** Corpus cardinality for sizing dials (planesFor): a bare count on the
+    * parquet — answered from footer row counts, no data pages. The dial is
+    * logarithmic, so an approximate count is always acceptable. */
+  private def rawCount(spark: SparkSession, sfDir: String): Long =
+    spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+
   /** Probe vectors: every 100th id. */
   def probes(spark: SparkSession, sfDir: String): DataFrame =
     vectors(spark, sfDir).filter(col("vec_id") % 100 === 0)
@@ -160,7 +166,7 @@ object VectorOps {
   def lshTopK(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
     val vs = vectors(spark, sfDir)
     val pr = probes(spark, sfDir)
-    val cands = lshCandidates(spark, vs, pr)
+    val cands = lshCandidates(spark, vs, pr, planesFor(rawCount(spark, sfDir)))
     val cosine = dot(col("v"), col("qv")) / (norm(col("v")) * norm(col("qv")))
     topKByScore(spark, k,
       cands.join(vs.select(col("vec_id"), col("v")), "vec_id")
@@ -169,11 +175,11 @@ object VectorOps {
   }
 
   /** Distinct (qid, vec_id) candidate pairs from the union of all tables.
-    * `planes <= 0` → scale P with the corpus size via [[planesFor]] (a
-    * count(*) against the parquet footer, negligible vs the join). */
+    * `planes` comes from [[planesFor]] at the call sites (a footer-only
+    * parquet count, so the sizing job reads no data pages). */
   private[graft] def lshCandidates(spark: SparkSession, vs: DataFrame, pr: DataFrame,
-      planes: Int = -1): DataFrame = {
-    val p0 = if (planes > 0) planes else planesFor(vs.count())
+      planes: Int = PLANES_PER_TABLE): DataFrame = {
+    val p0 = planes
     val perTable = (0 until N_TABLES).map { t =>
       val v = vs.select(col("vec_id"), bucketOf(col("v"), t, p0).as("bucket"))
       val p = pr.select(col("qid"), bucketOf(col("qv"), t, p0).as("bucket"))
@@ -340,7 +346,9 @@ object VectorOps {
    */
   def nearDupPairs(spark: SparkSession, sfDir: String, tau: Double = 0.95): DataFrame = {
     val c = dedupCorpus(spark, sfDir)
-    val planes = planesFor(c.count()) // scale-aware default, = 8 on test corpora
+    // scale-aware default (= 8 on test corpora): size from the base-table
+    // footer count × 1.1 (the injected-dup fraction) — never a corpus scan
+    val planes = planesFor(rawCount(spark, sfDir) * 11L / 10L)
     val perTable = (0 until N_TABLES).map { t =>
       val b = c.select(col("vec_id"), bucketOf(col("v"), t, planes).as("bucket"))
       b.select(col("bucket"), col("vec_id").as("a"))
