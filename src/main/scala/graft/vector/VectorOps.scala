@@ -61,10 +61,15 @@ object VectorOps {
       .select(col("vec_id"), emb(col("embedding")).as("v"), col("label"))
 
   /** Corpus cardinality for sizing dials (planesFor): a bare count on the
-    * parquet — answered from footer row counts, no data pages. The dial is
-    * logarithmic, so an approximate count is always acceptable. */
+    * parquet — answered from footer row counts, no data pages — memoized
+    * per (session, dir) so repeated catalog queries don't re-run even that
+    * job. The dial is logarithmic, so an approximate count is acceptable. */
+  private val rawCountCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]()
+
   private def rawCount(spark: SparkSession, sfDir: String): Long =
-    spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    rawCountCache.computeIfAbsent((spark, sfDir),
+      _ => spark.read.parquet(s"$sfDir/embeddings.parquet").count())
 
   /** Probe vectors: every 100th id. */
   def probes(spark: SparkSession, sfDir: String): DataFrame =

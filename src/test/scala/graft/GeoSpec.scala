@@ -28,6 +28,23 @@ class GeoSpec extends AnyFunSuite {
     assert(GeoCache.containsCoordById(7777L, rightRect, 10.5, 10.5))
   }
 
+  test("metro straddler geometry is decided BY the threshold: a different FUZZY_THRESHOLD flips it") {
+    // the q_metro_fuzzy j=1 shape: 2.0-wide rect, 95% inside its state —
+    // admitted at 0.90, rejected at 0.96, so the catalog row set provably
+    // tracks Geo.FUZZY_THRESHOLD (and withinExact labels the branch)
+    val state = gc(Geo.rect(0, 0, 12, 7.2))
+    val metro = gc(Geo.rect(4, 5.3, 6, 7.3)) // 1.9/2.0 = 0.95 inside
+    def mps(g: org.locationtech.jts.geom.GeometryCollection) = Geo.multiPolys(g)
+    assert(Geo.within(metro, state))
+    assert(!Geo.withinExact(metro, state)) // fuzzy branch, not exact
+    assert(Geo.fuzzyWithin(mps(metro), mps(state), 0.90))
+    assert(!Geo.fuzzyWithin(mps(metro), mps(state), 0.96)) // flips
+    // the j=2 shape (85% inside) is below the default threshold
+    val metro2 = gc(Geo.rect(7, 5.5, 9, 7.5))
+    assert(!Geo.within(metro2, state))
+    assert(Geo.fuzzyWithin(mps(metro2), mps(state), 0.80)) // but not inherently
+  }
+
   test("shifted unit square pins the fuzzy 0.90 threshold (reference :88-98)") {
     val base = gc(square(0, 0, 1))
     // identical -> exact within
