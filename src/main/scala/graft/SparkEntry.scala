@@ -43,6 +43,7 @@ object SparkEntry {
     // tiling (north-star raster/vector)
     "q_tile_assign" -> ((s, d) => GeoQueries.tileAssign(s, d)),
     "q_raster_vector" -> ((s, d) => GeoQueries.rasterVector(s, d)),
+    "q_tile_pyramid" -> ((s, d) => GeoQueries.tilePyramid(s, d)),
     // vertex-based cell cover over non-rect geometry (T14)
     "q_vertex_cover" -> ((s, d) => GeoQueries.vertexCoverTable(s, d)),
     // counts / search (S8 / S10)
@@ -67,6 +68,9 @@ object SparkEntry {
     "q_text_simhash_pairs" -> ((s, d) => graft.text.TextOps.simhashPairs(s, d)),
     "q_embed_neardup" -> ((s, d) => graft.vector.VectorOps.nearDupPairs(s, d)),
     "q_text_ngram_jaccard" -> ((s, d) => graft.text.TextOps.ngramJaccard(s, d)),
+    "q_text_chunks" -> ((s, d) => graft.text.TextOps.chunks(s, d)),
+    "q_text_repetition" -> ((s, d) => graft.text.TextOps.repetition(s, d)),
+    "q_sample_stratified" -> ((s, d) => graft.text.TextOps.stratifiedSample(s, d)),
     // similarity search over embeddings
     "q_embed_topk" -> ((s, d) => graft.vector.VectorOps.cosineTopK(s, d)),
     "q_embed_lsh_ann" -> ((s, d) => graft.vector.VectorOps.lshTopK(s, d)),
@@ -110,6 +114,7 @@ object SparkEntry {
     "q_radius" -> GeoQueries.radiusSql(),
     "q_tile_assign" -> GeoQueries.tileAssignSql(),
     "q_raster_vector" -> GeoQueries.rasterVectorSql(),
+    "q_tile_pyramid" -> GeoQueries.tilePyramidSql(),
     "q_vertex_cover" -> GeoQueries.vertexCoverSql(),
     "q_counts_by_cell" -> GeoQueries.countsByCellSql,
     "q_counts_by_cell_tag" -> GeoQueries.countsByCellTagSql,
@@ -129,6 +134,9 @@ object SparkEntry {
     "q_text_simhash_pairs" -> graft.text.TextOps.simhashPairsSql(),
     "q_embed_neardup" -> graft.vector.VectorOps.nearDupPairsSql(),
     "q_text_ngram_jaccard" -> graft.text.TextOps.ngramJaccardSql,
+    "q_text_chunks" -> graft.text.TextOps.chunksSql,
+    "q_text_repetition" -> graft.text.TextOps.repetitionSql,
+    "q_sample_stratified" -> graft.text.TextOps.stratifiedSampleSql,
     "q_embed_topk" -> graft.vector.VectorOps.cosineTopKSql(),
     "q_embed_lsh_ann" -> graft.vector.VectorOps.lshTopKSql(),
     "q_embed_ivf" -> graft.vector.VectorOps.ivfTopKSql(),

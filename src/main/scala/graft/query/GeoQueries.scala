@@ -472,6 +472,35 @@ object GeoQueries {
         sum(when(col("is_media"), 0L).otherwise(1L)).as("n_vector"))
   }
 
+  /**
+   * Multi-zoom tile PYRAMID build — what a slippy-map tile server actually
+   * materialises: per-tile counts at every zoom of a range, in ONE pass
+   * (explode the zoom list per point, then a single hash aggregate on
+   * (z, tx, ty)). At 10^12 docs this is one scan + one shuffle whose key
+   * count is Σ_z 4^z tiles — the alternative (a groupBy per zoom) rescans
+   * the corpus |zooms| times. Coarser zooms could also roll up from the
+   * finest level (4:1 child→parent sums); the explode form keeps one
+   * codegen span and no intermediate materialisation.
+   */
+  def tilePyramid(spark: SparkSession, sfDir: String, zooms: Seq[Int] = Seq(5, 6, 7)): DataFrame = {
+    init(spark)
+    spark.udf.register("tile_x", (lon: Double, zz: Int) => CellIndex.tileX(lon, zz))
+    spark.udf.register("tile_y", (lat: Double, zz: Int) => CellIndex.tileY(lat, zz))
+    GeoWorld.points(spark, sfDir)
+      .select(col("lon"), col("lat"), explode(array(zooms.map(lit): _*)).as("z"))
+      .groupBy(col("z"),
+        call_function("tile_x", col("lon"), col("z")).as("tx"),
+        call_function("tile_y", col("lat"), col("z")).as("ty"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  def tilePyramidSql(zooms: Seq[Int] = Seq(5, 6, 7)): String =
+    withWorld() +
+      zooms.map { z =>
+        s"""SELECT $z AS z, ${CellSql.tileX("lon", z)} AS tx, ${CellSql.tileY("lat", z)} AS ty, COUNT(*) AS n
+           |FROM pts GROUP BY 1, 2, 3""".stripMargin
+      }.mkString("\nUNION ALL\n")
+
   def rasterVectorSql(z: Int = 7): String =
     withWorld() +
       s"""SELECT $z AS z,

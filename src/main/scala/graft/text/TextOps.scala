@@ -506,6 +506,103 @@ object TextOps {
          |FROM cand WHERE bit_count(xor(sha, shb)) <= $maxHam""".stripMargin
   }
 
+  // ----------------------------------------------- chunking / repetition
+
+  final val CHUNK_WORDS = 64
+  final val CHUNK_STRIDE = 48 // 16-word overlap between adjacent chunks
+
+  /**
+   * Context-window chunking — the standard LLM-pretraining preprocessing
+   * step: each document becomes overlapping [[CHUNK_WORDS]]-word windows at
+   * [[CHUNK_STRIDE]] word stride (tail window may be shorter; every word is
+   * covered and adjacent chunks overlap by CHUNK_WORDS - CHUNK_STRIDE
+   * words). One row per chunk with its word span, BPE-ish token estimate
+   * and a portable md5 fingerprint (the chunk-level dedup key).
+   *
+   * Map-only: explode over a per-row `sequence()` of starts — no shuffle at
+   * any scale; chunk count is rows × ceil(words/stride).
+   */
+  def chunks(spark: SparkSession, sfDir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val n = size(words)
+    val starts = sequence(lit(0), n - 1, lit(CHUNK_STRIDE))
+    corpus(spark, sfDir)
+      .select(col("doc_id"), words.as("w"), explode(starts).as("start"))
+      .select(
+        col("doc_id"),
+        (col("start") / CHUNK_STRIDE).cast("int").as("chunk_idx"),
+        col("start").cast("int").as("start_word"),
+        size(slice(col("w"), col("start") + 1, lit(CHUNK_WORDS))).as("n_words"),
+        aggregate(slice(col("w"), col("start") + 1, lit(CHUNK_WORDS)), lit(0L),
+          (acc, x) => acc + floor((length(x) + 3) / 4).cast("long")).as("n_tokens"),
+        md5(concat_ws(" ", slice(col("w"), col("start") + 1, lit(CHUNK_WORDS))).cast("binary")).as("fp"))
+  }
+
+  val chunksSql: String =
+    withCorpus(
+      s"""ch AS (
+         |  SELECT doc_id, str_split(text, ' ') AS w, UNNEST(range(0, len(str_split(text, ' ')), $CHUNK_STRIDE)) AS start
+         |  FROM corpus
+         |)""".stripMargin) +
+      s"""SELECT doc_id,
+         |       CAST(start // $CHUNK_STRIDE AS INTEGER) AS chunk_idx,
+         |       CAST(start AS INTEGER) AS start_word,
+         |       CAST(len(w[start + 1 : start + $CHUNK_WORDS]) AS INTEGER) AS n_words,
+         |       CAST(list_sum(list_transform(w[start + 1 : start + $CHUNK_WORDS], x -> (length(x) + 3) // 4)) AS BIGINT) AS n_tokens,
+         |       md5(array_to_string(w[start + 1 : start + $CHUNK_WORDS], ' ')) AS fp
+         |FROM ch""".stripMargin
+
+  /** Intra-document repetition ratio — the Gopher-style quality signal: the
+    * share of a doc's 3-word shingles that are repeats of an earlier one
+    * (1 - distinct/total). Map-only; high values mark boilerplate/spam. */
+  def repetition(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingles(col("text"))
+    corpus(spark, sfDir).select(
+      col("doc_id"),
+      size(sh).as("n_shingles"),
+      round(lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh).cast("double"), 6)
+        .as("rep_ratio"))
+  }
+
+  val repetitionSql: String =
+    withCorpus() +
+      s"""SELECT doc_id,
+         |       CAST(len($shinglesSql) AS INTEGER) AS n_shingles,
+         |       ROUND(1.0 - CAST(len(list_distinct($shinglesSql)) AS DOUBLE) / CAST(len($shinglesSql) AS DOUBLE), 6) AS rep_ratio
+         |FROM corpus""".stripMargin
+
+  // ---------------------------------------------------- stratified sample
+
+  /** Per-(lang) sampling percentage — the data-mixing weights a corpus
+    * build applies per stratum. */
+  val SAMPLE_PCT: Map[String, Int] =
+    Map("en" -> 50, "de" -> 25, "es" -> 10, "fr" -> 10)
+
+  /**
+   * Deterministic stratified sampling for data mixing: keep a doc iff
+   * h32(doc_id) mod 100 < pct(lang). Hash-based (not rand()) so the sample
+   * is REPRODUCIBLE across runs/engines and stable under re-partitioning —
+   * the property a 100 TB corpus build needs for resumable sampling.
+   * Map-only, no shuffle.
+   */
+  def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val pct = SAMPLE_PCT.foldLeft(lit(5)) { case (acc, (l, p)) =>
+      when(col("lang") === l, p).otherwise(acc)
+    }
+    corpus(spark, sfDir)
+      .filter(h32(col("doc_id").cast("string")) % 100 < pct)
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
+  val stratifiedSampleSql: String = {
+    val pct = SAMPLE_PCT.foldLeft("5") { case (acc, (l, p)) =>
+      s"CASE WHEN lang = '$l' THEN $p ELSE $acc END"
+    }
+    withCorpus() +
+      s"""SELECT doc_id, lang, source FROM corpus
+         |WHERE ${h32Sql("CAST(doc_id AS VARCHAR)")} % 100 < ($pct)""".stripMargin
+  }
+
   // ------------------------------------------------------- ngram jaccard
 
   /** Max within-group document frequency a shingle may have and still count

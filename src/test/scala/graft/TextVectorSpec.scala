@@ -166,6 +166,37 @@ class TextVectorSpec extends SparkSpec {
     assert(overlap > 0.3, s"ANN/brute overlap $overlap suspiciously low")
   }
 
+  test("chunking covers every word with the declared stride/overlap; sampling hits its stratum rates") {
+    import org.apache.spark.sql.functions._
+    val ch = TextOps.chunks(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    val byDoc = ch.groupBy(_._1)
+    val nWords = TextOps.corpus(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(byDoc.keySet === nWords.keySet) // every doc chunked
+    byDoc.foreach { case (doc, cs) =>
+      val sorted = cs.sortBy(_._2)
+      // starts advance by exactly the stride and cover all words
+      assert(sorted.map(_._3).toSeq === (0 until nWords(doc) by TextOps.CHUNK_STRIDE))
+      val covered = sorted.map(c => c._3 + c._4).max
+      assert(covered === nWords(doc), s"doc $doc covered $covered of ${nWords(doc)} words")
+      sorted.foreach(c => assert(c._4 <= TextOps.CHUNK_WORDS))
+    }
+    // deterministic stratified sample: per-lang rates within a loose band
+    val total = TextOps.corpus(spark, sfDir).groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = TextOps.stratifiedSample(spark, sfDir).groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    TextOps.SAMPLE_PCT.foreach { case (lang, pct) =>
+      val rate = kept.getOrElse(lang, 0L).toDouble / total(lang)
+      assert(math.abs(rate - pct / 100.0) < 0.15, s"$lang rate $rate vs ${pct / 100.0}")
+    }
+    // and re-running yields the identical sample (hash-based, not rand())
+    val again = TextOps.stratifiedSample(spark, sfDir).collect().map(_.getLong(0)).toSet
+    assert(again === TextOps.stratifiedSample(spark, sfDir).collect().map(_.getLong(0)).toSet)
+  }
+
   test("language-ID heuristic is deterministic and covers the corpus") {
     val l = TextOps.langId(spark, sfDir)
     assert(l.count() === TextOps.corpus(spark, sfDir).count())
