@@ -89,6 +89,9 @@ object SparkEntry {
       graft.streaming.StreamNormalize.slidingCellCounts(graft.gen.GeoWorld.docs(s, d))),
     "q_stream_session" -> ((s, d) =>
       graft.streaming.StreamNormalize.sessionCellCounts(graft.gen.GeoWorld.docs(s, d))),
+    // stream-static enrich join: continuous PIP over the ingest stream
+    "q_stream_enrich" -> ((s, d) =>
+      graft.streaming.StreamNormalize.enrichedAreaCountsOf(s, d)),
     // multimodal media plumbing (stubbed decode, real batching)
     "q_media_decode" -> ((s, d) => graft.media.MediaOps.decodeMedia(s, d)),
     "q_media_tiles" -> ((s, d) => graft.media.MediaOps.mediaTiles(s, d)),
@@ -149,6 +152,7 @@ object SparkEntry {
     "q_stream_window" -> graft.streaming.StreamNormalize.windowedCellCountsSql,
     "q_stream_sliding" -> graft.streaming.StreamNormalize.slidingCellCountsSql,
     "q_stream_session" -> graft.streaming.StreamNormalize.sessionCellCountsSql,
+    "q_stream_enrich" -> graft.streaming.StreamNormalize.enrichedAreaCountsSql,
     "q_media_decode" -> graft.media.MediaOps.decodeMediaSql,
     "q_media_tiles" -> graft.media.MediaOps.mediaTilesSql(),
     "q_media_frames" -> graft.media.MediaOps.frameSampleSql(),

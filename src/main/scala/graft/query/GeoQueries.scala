@@ -105,7 +105,7 @@ object GeoQueries {
   // ------------------------------------------------------------------ PIP
 
   /** Areas of one admin level with their exploded cover-cell join keys. */
-  private def areaCells(spark: SparkSession, sfDir: String, level: Int, res: Int): DataFrame =
+  private[graft] def areaCells(spark: SparkSession, sfDir: String, level: Int, res: Int): DataFrame =
     GeoWorld.areas(spark, sfDir).filter(col("level") === level)
       .withColumn("cell", explode(GeoWorld.coverCells(col("lon0"), col("lat0"), col("lon1"), col("lat1"), res)))
 

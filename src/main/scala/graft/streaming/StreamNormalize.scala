@@ -148,4 +148,57 @@ object StreamNormalize {
       .groupBy(window(col("ts"), "5 minutes"), col("cell"))
       .count()
       .select(col("window.start").as("wstart"), col("cell"), col("count"))
+
+  /**
+   * Streaming ENRICH join: the unbounded span stream joined STREAM-STATIC
+   * against the small admin-area dimension (the reference's PIP lookup —
+   * Queries.scala:304-315 — run continuously over the ingest stream), then
+   * aggregated into watermarked event-time windows per area.
+   *
+   * Scale story: a stream-static inner join keeps NO join state — the
+   * static side is broadcast into each micro-batch, so the per-batch plan
+   * is scan → codegen cell-encode → broadcast hash join → exact refine →
+   * partial agg → state-store merge. The only state is the windowed
+   * aggregation itself, bounded by the watermark to open windows × areas.
+   * At 100 TB/day the stream side never shuffles before the final agg.
+   *
+   * `areaDim` is [[graft.query.GeoQueries.areaCells]] output (area rows
+   * exploded by coarse cover cell); candidates equi-join on the coarse
+   * cell and are refined with the exact containment predicate — identical
+   * semantics to the batch PIP lookup.
+   */
+  def enrichedAreaCounts(docs: DataFrame, areaDim: DataFrame): DataFrame =
+    normalize(docs)
+      .withColumn("cell", CellFunctions.zcell(col("lon"), col("lat"), lit(CellIndex.RES_COARSE)))
+      .join(broadcast(areaDim.select("cell", "area_id", "wkb")), "cell")
+      .filter(graft.geom.GeoCols.geoContainsPoint(col("wkb"), col("lon"), col("lat")))
+      .withColumn("ord", split(col("doc_id"), "_").getItem(1).cast("long") % 3600)
+      .withColumn("ts", expr("timestampadd(SECOND, ord, timestamp'2026-01-01 00:00:00')"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("area_id"))
+      .count()
+      .select(col("window.start").as("wstart"), col("area_id"), col("count"))
+
+  /** Batch twin over the catalog tables (level-4 states at the coarse
+    * cover resolution) — the driver's `q_stream_enrich` entry point. */
+  def enrichedAreaCountsOf(spark: SparkSession, sfDir: String): DataFrame = {
+    GeoWorld.registerUdfs(spark)
+    enrichedAreaCounts(
+      GeoWorld.docs(spark, sfDir),
+      graft.query.GeoQueries.areaCells(spark, sfDir, level = 4, CellIndex.RES_COARSE))
+  }
+
+  /** DuckDB twin of [[enrichedAreaCounts]]: rect containment is exact
+    * arithmetic (same predicate the PIP oracle uses), windows reproduce
+    * the deterministic event-time synthesis. */
+  val enrichedAreaCountsSql: String =
+    graft.query.GeoQueries.withWorld() +
+      s"""SELECT TIMESTAMP '2026-01-01 00:00:00' + (((pid // 8) % 3600) // 300) * 300 * INTERVAL 1 SECOND AS wstart,
+         |       a.area_id,
+         |       COUNT(*) AS count
+         |FROM spansf p JOIN areas a
+         |  ON a.level = 4
+         | AND p.lon > a.lon0 AND p.lon < a.lon1
+         | AND p.lat > a.lat0 AND p.lat < a.lat1
+         |GROUP BY 1, 2""".stripMargin
 }

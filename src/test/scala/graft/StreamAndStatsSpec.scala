@@ -161,6 +161,28 @@ class StreamAndStatsSpec extends SparkSpec {
     assert(streamed.map(_._1).size > 1) // multiple event-time windows exist
   }
 
+  test("stream-static enrich join: windowed per-area counts equal the batch twin") {
+    val dir = Files.createTempDirectory("graft-enrich").toString
+    val docs = GeoWorld.docs(spark, sfDir)
+    docs.write.mode("overwrite").parquet(s"$dir/in")
+    val areaDim = graft.query.GeoQueries.areaCells(spark, sfDir, 4, graft.cell.CellIndex.RES_COARSE)
+    val stream = StreamNormalize.enrichedAreaCounts(
+      spark.readStream.schema(docs.schema).parquet(s"$dir/in"), areaDim)
+    assert(stream.isStreaming, "the enrich join must stay a streaming plan")
+    val q = stream.writeStream
+      .format("memory").queryName("enrich").outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("enrich").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = StreamNormalize.enrichedAreaCounts(docs, areaDim).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+    assert(streamed.map(_._1).size > 1, "multiple event-time windows")
+    assert(streamed.map(_._2).size > 1, "multiple areas enriched")
+  }
+
   test("streaming dedup within watermark: a replayed source delivers each span once") {
     val dir = Files.createTempDirectory("graft-sdedup").toString
     val docs = GeoWorld.docs(spark, sfDir)
