@@ -64,6 +64,8 @@ object SparkEntry {
     "q_text_fingerprint" -> ((s, d) => graft.text.TextOps.fingerprint(s, d)),
     "q_text_minhash_sig" -> ((s, d) => graft.text.TextOps.minhashSignatures(s, d)),
     "q_text_minhash_pairs" -> ((s, d) => graft.text.TextOps.minhashPairs(s, d)),
+    // near-dup pairs -> connected components -> canonical survivor per cluster
+    "q_text_dup_clusters" -> ((s, d) => graft.text.DedupGraph.dupClusters(s, d)),
     "q_text_simhash" -> ((s, d) => graft.text.TextOps.simhash(s, d)),
     "q_text_simhash_pairs" -> ((s, d) => graft.text.TextOps.simhashPairs(s, d)),
     "q_embed_neardup" -> ((s, d) => graft.vector.VectorOps.nearDupPairs(s, d)),
@@ -133,6 +135,7 @@ object SparkEntry {
     "q_text_fingerprint" -> graft.text.TextOps.fingerprintSql,
     "q_text_minhash_sig" -> graft.text.TextOps.minhashSignaturesSql,
     "q_text_minhash_pairs" -> graft.text.TextOps.minhashPairsSql,
+    "q_text_dup_clusters" -> graft.text.DedupGraph.dupClustersSql,
     "q_text_simhash" -> graft.text.TextOps.simhashSql,
     "q_text_simhash_pairs" -> graft.text.TextOps.simhashPairsSql(),
     "q_embed_neardup" -> graft.vector.VectorOps.nearDupPairsSql(),

@@ -56,6 +56,11 @@ object TextOps {
   def withCorpus(extra: String*): String =
     (Seq("WITH " + corpusCte) ++ extra).mkString(",\n") + "\n"
 
+  /** Same, but a `WITH RECURSIVE` list (DuckDB allows non-recursive CTEs
+    * to share the list with a recursive one). */
+  def withCorpusRecursive(extra: String*): String =
+    (Seq("WITH RECURSIVE " + corpusCte) ++ extra).mkString(",\n") + "\n"
+
   // ----------------------------------------------------------- exact dedup
 
   /** Exact dedup by content hash (hash-groupBy; at scale this is a single
@@ -348,12 +353,15 @@ object TextOps {
       explode(call_function("shingle_set", col("text"))).as("sh"))
   }
 
-  val minhashPairsSql: String = {
+  /** The minhash-pair derivation as composable CTEs ending in
+    * `pairs(a, b, jaccard)` — shared by [[minhashPairsSql]] and the
+    * duplicate-cluster oracle ([[DedupGraph.dupClustersSql]]). */
+  private[graft] val pairCtes: Seq[String] = {
     val bandKeys = (0 until BANDS).map { b =>
       val parts = (0 until ROWS_PER_BAND).map(r => s"CAST(mh_${b * ROWS_PER_BAND + r} AS VARCHAR)").mkString(" || ',' || ")
       s"SELECT doc_id, $b AS band, md5($parts) AS bkey FROM sig"
     }.mkString("\n  UNION ALL\n  ")
-    withCorpus(
+    Seq(
       s"""sig AS (
          |  SELECT doc_id, ${minhashColsSql.mkString(",\n       ")}
          |  FROM corpus
@@ -367,14 +375,19 @@ object TextOps {
          |)""".stripMargin,
       s"""sh AS (
          |  SELECT doc_id, list_distinct($shinglesSql) AS sh FROM corpus
-         |)""".stripMargin) +
-      """SELECT c.a, c.b,
-        |       ROUND(CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE)
-        |             / CAST(len(sa.sh) + len(sb.sh) - len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE), 6) AS jaccard
-        |FROM cand c
-        |JOIN sh sa ON sa.doc_id = c.a
-        |JOIN sh sb ON sb.doc_id = c.b""".stripMargin
+         |)""".stripMargin,
+      """pairs AS (
+        |  SELECT c.a, c.b,
+        |         ROUND(CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE)
+        |               / CAST(len(sa.sh) + len(sb.sh) - len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE), 6) AS jaccard
+        |  FROM cand c
+        |  JOIN sh sa ON sa.doc_id = c.a
+        |  JOIN sh sb ON sb.doc_id = c.b
+        |)""".stripMargin)
   }
+
+  val minhashPairsSql: String =
+    withCorpus(pairCtes: _*) + "SELECT a, b, jaccard FROM pairs"
 
   // -------------------------------------------------------------- simhash
 
