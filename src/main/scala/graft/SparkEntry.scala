@@ -66,6 +66,12 @@ object SparkEntry {
     "q_text_minhash_pairs" -> ((s, d) => graft.text.TextOps.minhashPairs(s, d)),
     // near-dup pairs -> connected components -> canonical survivor per cluster
     "q_text_dup_clusters" -> ((s, d) => graft.text.DedupGraph.dupClusters(s, d)),
+    // eval-set n-gram leakage flagging (broadcast semi-join)
+    "q_text_decontaminate" -> ((s, d) => graft.text.Hygiene.decontaminate(s, d)),
+    // fresh-batch digest anti-join vs the ingested corpus
+    "q_text_incr_dedup" -> ((s, d) => graft.text.Hygiene.incrDedup(s, d)),
+    // email/phone scrubbing with portable-regex parity
+    "q_text_redact" -> ((s, d) => graft.text.Hygiene.redact(s, d)),
     "q_text_simhash" -> ((s, d) => graft.text.TextOps.simhash(s, d)),
     "q_text_simhash_pairs" -> ((s, d) => graft.text.TextOps.simhashPairs(s, d)),
     "q_embed_neardup" -> ((s, d) => graft.vector.VectorOps.nearDupPairs(s, d)),
@@ -136,6 +142,9 @@ object SparkEntry {
     "q_text_minhash_sig" -> graft.text.TextOps.minhashSignaturesSql,
     "q_text_minhash_pairs" -> graft.text.TextOps.minhashPairsSql,
     "q_text_dup_clusters" -> graft.text.DedupGraph.dupClustersSql,
+    "q_text_decontaminate" -> graft.text.Hygiene.decontaminateSql,
+    "q_text_incr_dedup" -> graft.text.Hygiene.incrDedupSql,
+    "q_text_redact" -> graft.text.Hygiene.redactSql,
     "q_text_simhash" -> graft.text.TextOps.simhashSql,
     "q_text_simhash_pairs" -> graft.text.TextOps.simhashPairsSql(),
     "q_embed_neardup" -> graft.vector.VectorOps.nearDupPairsSql(),

@@ -179,7 +179,7 @@ object TextOps {
       .otherwise(array(text))
   }
 
-  private val shinglesSql: String =
+  private[graft] val shinglesSql: String =
     """CASE WHEN len(str_split(text, ' ')) >= 3
       |     THEN list_transform(range(1, len(str_split(text, ' ')) - 1),
       |                         i -> array_to_string((str_split(text, ' '))[i:i+2], ' '))

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.Hygiene
+
+/** Semantic checks for the corpus-hygiene operators: the deterministic
+  * injections must be caught, and only them. */
+class HygieneSpec extends SparkSpec {
+
+  test("decontaminate: exact copies of eval docs are fully contaminated; eval docs themselves excluded") {
+    val out = Hygiene.decontaminate(spark, sfDir)
+    val rows = out.collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val evalIds = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") % 13 === 5).select("doc_id").collect().map(_.getLong(0))
+    assert(evalIds.nonEmpty)
+    // the +20000 exact copy of an eval doc shares every shingle -> frac 1.0
+    evalIds.filter(_ % 11 == 0).foreach { id =>
+      assert(rows.get(id + 20000).contains(1.0), s"exact copy of eval doc $id not fully flagged")
+    }
+    // eval docs are not their own contamination hits
+    evalIds.foreach(id => assert(!rows.contains(id)))
+  }
+
+  test("decontaminate probes via a broadcast of the eval shingles (no corpus-sized shuffle join)") {
+    val plan = Hygiene.decontaminate(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "eval-shingle probe should be broadcast")
+  }
+
+  test("incremental dedup keeps exactly the genuinely-new batch docs") {
+    val survivors = Hygiene.incrDedup(spark, sfDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val expected = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") % 3 === 0 && col("doc_id") % 6 =!= 0)
+      .collect().map(_.getLong(0) + 50000).toSet
+    assert(survivors === expected)
+  }
+
+  test("redact scrubs the injected trailer and leaves clean docs byte-identical") {
+    val out = Hygiene.redact(spark, sfDir)
+    val c = graft.text.TextOps.corpus(spark, sfDir)
+    // clean docs: no PII flags, fp == md5 of the untouched text
+    val joined = out.join(c, "doc_id")
+      .select(col("doc_id"), col("had_email"), col("had_phone"),
+        (col("clean_fp") === md5(col("text").cast("binary"))).as("untouched"),
+        (col("clean_fp") === md5(concat(col("text"),
+          lit(" contact <EMAIL> or <PHONE>")).cast("binary"))).as("scrubbed"))
+      .collect()
+    joined.foreach { r =>
+      val id = r.getLong(0)
+      if (id % 4 == 0) {
+        assert(r.getBoolean(1) && r.getBoolean(2), s"doc $id PII flags missing")
+        assert(r.getBoolean(4), s"doc $id trailer not scrubbed to placeholders")
+      } else {
+        assert(!r.getBoolean(1) && !r.getBoolean(2) && r.getBoolean(3), s"clean doc $id altered")
+      }
+    }
+  }
+}
