@@ -66,6 +66,8 @@ object SparkEntry {
     "q_text_minhash_pairs" -> ((s, d) => graft.text.TextOps.minhashPairs(s, d)),
     // near-dup pairs -> connected components -> canonical survivor per cluster
     "q_text_dup_clusters" -> ((s, d) => graft.text.DedupGraph.dupClusters(s, d)),
+    // z-order region query: a coarse cell as ONE contiguous fine-id range
+    "q_zorder_range" -> ((s, d) => graft.index.ZLayout.zRangeCount(s, d)),
     // eval-set n-gram leakage flagging (broadcast semi-join)
     "q_text_decontaminate" -> ((s, d) => graft.text.Hygiene.decontaminate(s, d)),
     // fresh-batch digest anti-join vs the ingested corpus
@@ -142,6 +144,7 @@ object SparkEntry {
     "q_text_minhash_sig" -> graft.text.TextOps.minhashSignaturesSql,
     "q_text_minhash_pairs" -> graft.text.TextOps.minhashPairsSql,
     "q_text_dup_clusters" -> graft.text.DedupGraph.dupClustersSql,
+    "q_zorder_range" -> graft.index.ZLayout.zRangeCountSql,
     "q_text_decontaminate" -> graft.text.Hygiene.decontaminateSql,
     "q_text_incr_dedup" -> graft.text.Hygiene.incrDedupSql,
     "q_text_redact" -> graft.text.Hygiene.redactSql,
