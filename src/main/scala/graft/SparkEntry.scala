@@ -66,6 +66,10 @@ object SparkEntry {
     "q_text_minhash_pairs" -> ((s, d) => graft.text.TextOps.minhashPairs(s, d)),
     // near-dup pairs -> connected components -> canonical survivor per cluster
     "q_text_dup_clusters" -> ((s, d) => graft.text.DedupGraph.dupClusters(s, d)),
+    // sequence packing via a distributed two-phase prefix sum
+    "q_text_seq_pack" -> ((s, d) => graft.text.Packing.seqPack(s, d)),
+    // as-of enrichment: union + LOCF window, one shuffle on the entity key
+    "q_asof_enrich" -> ((s, d) => graft.query.AsOf.purchasesWithProfile(s, d)),
     // z-order region query: a coarse cell as ONE contiguous fine-id range
     "q_zorder_range" -> ((s, d) => graft.index.ZLayout.zRangeCount(s, d)),
     // eval-set n-gram leakage flagging (broadcast semi-join)
@@ -144,6 +148,8 @@ object SparkEntry {
     "q_text_minhash_sig" -> graft.text.TextOps.minhashSignaturesSql,
     "q_text_minhash_pairs" -> graft.text.TextOps.minhashPairsSql,
     "q_text_dup_clusters" -> graft.text.DedupGraph.dupClustersSql,
+    "q_text_seq_pack" -> graft.text.Packing.seqPackSql,
+    "q_asof_enrich" -> graft.query.AsOf.purchasesWithProfileSql,
     "q_zorder_range" -> graft.index.ZLayout.zRangeCountSql,
     "q_text_decontaminate" -> graft.text.Hygiene.decontaminateSql,
     "q_text_incr_dedup" -> graft.text.Hygiene.incrDedupSql,

@@ -1,0 +1,87 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing — the last hop before a pretraining run: concatenate
+  * every document's tokens in a deterministic order and chop the stream
+  * into fixed-capacity training sequences (GPT-style packing, doc
+  * boundaries ignored). Each doc's placement is fully determined by the
+  * global token offset of its first token, so the operator reduces to a
+  * grouped PREFIX SUM over (lang, doc_id) order.
+  *
+  * A naive `SUM OVER (PARTITION BY lang ORDER BY doc_id)` puts an entire
+  * language — at 100 TB, the corpus — into ONE window partition. This
+  * implementation is the distributed two-phase scan instead:
+  *   1. per (lang, id-bucket of 1024 docs) token sums — a map-side-combined
+  *      aggregate, n/1024 rows;
+  *   2. bucket base offsets — the same window but over the 1024×-smaller
+  *      aggregate (10^6 rows per lang at 10^9 docs; nest another level if
+  *      that ever dominates);
+  *   3. within-bucket cumsum (≤1024 rows per partition) + the bucket base.
+  * Every stage is bounded-partition work; no corpus-sized sort lands on a
+  * single task.
+  */
+object Packing {
+
+  /** Training-sequence capacity in tokens. */
+  final val CAP = 2048L
+  /** Docs per prefix-sum bucket (power of two: bucket = doc_id >> 10). */
+  final val BUCKET_SHIFT = 10
+
+  /** BPE-ish token estimate (same formula as [[TextOps.tokenCount]]); every
+    * doc consumes at least one slot so packing positions always advance. */
+  private def nTokens: Column =
+    greatest(lit(1L), aggregate(split(col("text"), " "), lit(0L),
+      (acc, w) => acc + floor((length(w) + 3) / 4).cast("long")))
+
+  private[graft] def tokenized(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.corpus(spark, sfDir).select(
+      col("doc_id"), col("lang"), nTokens.as("n_tokens"),
+      shiftright(col("doc_id"), BUCKET_SHIFT).as("bkt"))
+
+  /** Global token offset per doc in (lang, doc_id) order — two-phase. */
+  private[graft] def withOffsets(docs: DataFrame): DataFrame = {
+    val perBkt = docs.groupBy("lang", "bkt").agg(sum("n_tokens").as("bt"))
+    val wBkt = Window.partitionBy("lang").orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = perBkt.select(col("lang"), col("bkt"),
+      coalesce(sum("bt").over(wBkt), lit(0L)).as("base"))
+    val wDoc = Window.partitionBy("lang", "bkt").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.join(bases, Seq("lang", "bkt"))
+      .withColumn("off", col("base") + coalesce(sum("n_tokens").over(wDoc), lit(0L)))
+  }
+
+  /** Packing assignment per doc: the sequence its first token lands in,
+    * the offset inside that sequence, and the last sequence it touches
+    * (docs straddle capacity boundaries by design). */
+  def seqPack(spark: SparkSession, sfDir: String): DataFrame =
+    withOffsets(tokenized(spark, sfDir)).select(
+      col("doc_id"), col("lang"), col("n_tokens"),
+      floor(col("off") / CAP).as("seq_id"),
+      (col("off") % CAP).as("seq_off"),
+      floor((col("off") + col("n_tokens") - 1) / CAP).as("end_seq"))
+
+  /** Oracle: the single-window restatement — DuckDB may run the whole
+    * corpus through one window; the engine side must not. */
+  val seqPackSql: String =
+    TextOps.withCorpus(
+      """toks AS (
+        |  SELECT doc_id, lang,
+        |         GREATEST(1, CAST(list_sum(list_transform(str_split(text, ' '), w -> (length(w) + 3) // 4)) AS BIGINT)) AS n_tokens
+        |  FROM corpus
+        |)""".stripMargin,
+      """offs AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |         COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM toks
+        |)""".stripMargin) +
+      s"""SELECT doc_id, lang, n_tokens,
+         |       CAST(FLOOR(off / $CAP.0) AS BIGINT) AS seq_id,
+         |       off % $CAP AS seq_off,
+         |       CAST(FLOOR((off + n_tokens - 1) / $CAP.0) AS BIGINT) AS end_seq
+         |FROM offs""".stripMargin
+}
