@@ -66,6 +66,8 @@ object SparkEntry {
     "q_text_minhash_pairs" -> ((s, d) => graft.text.TextOps.minhashPairs(s, d)),
     // near-dup pairs -> connected components -> canonical survivor per cluster
     "q_text_dup_clusters" -> ((s, d) => graft.text.DedupGraph.dupClusters(s, d)),
+    // the composite curation pass over all verified hygiene/dedup stages
+    "q_text_curate" -> ((s, d) => graft.text.Curate.curate(s, d)),
     // sequence packing via a distributed two-phase prefix sum
     "q_text_seq_pack" -> ((s, d) => graft.text.Packing.seqPack(s, d)),
     // as-of enrichment: union + LOCF window, one shuffle on the entity key
@@ -148,6 +150,7 @@ object SparkEntry {
     "q_text_minhash_sig" -> graft.text.TextOps.minhashSignaturesSql,
     "q_text_minhash_pairs" -> graft.text.TextOps.minhashPairsSql,
     "q_text_dup_clusters" -> graft.text.DedupGraph.dupClustersSql,
+    "q_text_curate" -> graft.text.Curate.curateSql,
     "q_text_seq_pack" -> graft.text.Packing.seqPackSql,
     "q_asof_enrich" -> graft.query.AsOf.purchasesWithProfileSql,
     "q_zorder_range" -> graft.index.ZLayout.zRangeCountSql,

@@ -124,41 +124,54 @@ object DedupGraph {
   def dupClusters(spark: SparkSession, sfDir: String): DataFrame =
     dupClustersOf(spark, TextOps.corpus(spark, sfDir))
 
-  def dupClustersOf(spark: SparkSession, c: DataFrame): DataFrame = {
+  /** Cluster members ranked by the survivor rule: `(root, node, rn)` with
+    * rn = 1 for the canonical doc. */
+  private[graft] def memberRanks(spark: SparkSession, c: DataFrame): DataFrame = {
     val pairs = TextOps.minhashPairsOf(spark, c).filter(col("jaccard") >= MIN_JACCARD)
     val comp = connectedComponents(pairs.select(col("a").as("u"), col("b").as("v")))
     val mem = comp.join(c.select(col("doc_id").as("node"), length(col("text")).as("tl")), "node")
     val w = Window.partitionBy("root").orderBy(col("tl").desc, col("node"))
     mem.withColumn("rn", row_number().over(w))
+  }
+
+  def dupClustersOf(spark: SparkSession, c: DataFrame): DataFrame =
+    memberRanks(spark, c)
       .groupBy("root")
       .agg(count(lit(1)).as("n_docs"),
         min(when(col("rn") === 1, col("node"))).as("keep_id"))
-  }
 
-  /** DuckDB oracle: same pairs (shared CTEs), components via recursive
-    * min-label reachability (exact transitive closure — fine at oracle
-    * scale), same survivor rule. */
+  /** Every non-canonical cluster member — the docs a curation pass drops. */
+  private[graft] def dupDrops(spark: SparkSession, c: DataFrame): DataFrame =
+    memberRanks(spark, c).filter(col("rn") =!= 1).select(col("node").as("doc_id"))
+
+  /** The cluster derivation as composable CTEs (appended to
+    * [[TextOps.pairCtes]], requires a `WITH RECURSIVE` list) ending in
+    * `mem(root, node, tl, rn)`: components via recursive min-label
+    * reachability (exact transitive closure — fine at oracle scale), same
+    * survivor rule. */
+  private[graft] val clusterCtes: Seq[String] =
+    TextOps.pairCtes ++ Seq(
+      s"""edges AS (
+         |  SELECT a AS u, b AS v FROM pairs WHERE jaccard >= $MIN_JACCARD
+         |  UNION
+         |  SELECT b AS u, a AS v FROM pairs WHERE jaccard >= $MIN_JACCARD
+         |)""".stripMargin,
+      """reach(node, r) AS (
+        |  SELECT u, u FROM edges
+        |  UNION
+        |  SELECT w.node, e.v FROM reach w JOIN edges e ON e.u = w.r
+        |)""".stripMargin,
+      """comp AS (
+        |  SELECT node, MIN(r) AS root FROM reach GROUP BY node
+        |)""".stripMargin,
+      """mem AS (
+        |  SELECT c.root, c.node, length(t.text) AS tl,
+        |         ROW_NUMBER() OVER (PARTITION BY c.root ORDER BY length(t.text) DESC, c.node) AS rn
+        |  FROM comp c JOIN corpus t ON t.doc_id = c.node
+        |)""".stripMargin)
+
   val dupClustersSql: String =
-    TextOps.withCorpusRecursive(
-      TextOps.pairCtes ++ Seq(
-        s"""edges AS (
-           |  SELECT a AS u, b AS v FROM pairs WHERE jaccard >= $MIN_JACCARD
-           |  UNION
-           |  SELECT b AS u, a AS v FROM pairs WHERE jaccard >= $MIN_JACCARD
-           |)""".stripMargin,
-        """reach(node, r) AS (
-          |  SELECT u, u FROM edges
-          |  UNION
-          |  SELECT w.node, e.v FROM reach w JOIN edges e ON e.u = w.r
-          |)""".stripMargin,
-        """comp AS (
-          |  SELECT node, MIN(r) AS root FROM reach GROUP BY node
-          |)""".stripMargin,
-        """mem AS (
-          |  SELECT c.root, c.node, length(t.text) AS tl,
-          |         ROW_NUMBER() OVER (PARTITION BY c.root ORDER BY length(t.text) DESC, c.node) AS rn
-          |  FROM comp c JOIN corpus t ON t.doc_id = c.node
-          |)""".stripMargin): _*) +
+    TextOps.withCorpusRecursive(clusterCtes: _*) +
       """SELECT root, COUNT(*) AS n_docs, MIN(CASE WHEN rn = 1 THEN node END) AS keep_id
         |FROM mem GROUP BY root""".stripMargin
 }

@@ -41,26 +41,32 @@ object Hygiene {
         round(col("n_hits").cast("double") / col("n_sh").cast("double"), 6).as("frac"))
   }
 
+  /** The decontamination derivation as composable CTEs ending in
+    * `contam(doc_id, n_hits, frac)`. */
+  private[graft] val decontCtes: Seq[String] = Seq(
+    s"""evalsh AS (
+       |  SELECT DISTINCT UNNEST(list_distinct(${TextOps.shinglesSql})) AS sh
+       |  FROM documents WHERE doc_id % 13 = 5
+       |)""".stripMargin,
+    s"""docsh AS (
+       |  SELECT doc_id, UNNEST(list_distinct(${TextOps.shinglesSql})) AS sh
+       |  FROM corpus
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE doc_id % 13 = 5)
+       |)""".stripMargin,
+    """dsz AS (
+      |  SELECT doc_id, COUNT(*) AS n_sh FROM docsh GROUP BY 1
+      |)""".stripMargin,
+    """contam AS (
+      |  SELECT d.doc_id, COUNT(*) AS n_hits,
+      |         ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(ANY_VALUE(s.n_sh) AS DOUBLE), 6) AS frac
+      |  FROM docsh d
+      |  JOIN evalsh e USING (sh)
+      |  JOIN dsz s ON s.doc_id = d.doc_id
+      |  GROUP BY d.doc_id
+      |)""".stripMargin)
+
   val decontaminateSql: String =
-    TextOps.withCorpus(
-      s"""evalsh AS (
-         |  SELECT DISTINCT UNNEST(list_distinct(${TextOps.shinglesSql})) AS sh
-         |  FROM documents WHERE doc_id % 13 = 5
-         |)""".stripMargin,
-      s"""docsh AS (
-         |  SELECT doc_id, UNNEST(list_distinct(${TextOps.shinglesSql})) AS sh
-         |  FROM corpus
-         |  WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE doc_id % 13 = 5)
-         |)""".stripMargin,
-      """sizes AS (
-        |  SELECT doc_id, COUNT(*) AS n_sh FROM docsh GROUP BY 1
-        |)""".stripMargin) +
-      """SELECT d.doc_id, COUNT(*) AS n_hits,
-        |       ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(ANY_VALUE(s.n_sh) AS DOUBLE), 6) AS frac
-        |FROM docsh d
-        |JOIN evalsh e USING (sh)
-        |JOIN sizes s ON s.doc_id = d.doc_id
-        |GROUP BY d.doc_id""".stripMargin
+    TextOps.withCorpus(decontCtes: _*) + "SELECT doc_id, n_hits, frac FROM contam"
 
   // --------------------------------------------------- incremental dedup
 

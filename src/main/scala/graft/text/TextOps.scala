@@ -90,7 +90,7 @@ object TextOps {
     size(filter(split(col("text"), " "), w => w.isInCollection(set))).cast("long").as(s"${lang}_hits")
   }
 
-  private def hitsSql(lang: String): String = {
+  private[graft] def hitsSql(lang: String): String = {
     val in = stopwords(lang).map(w => s"'$w'").mkString(", ")
     s"len(list_filter(str_split(text, ' '), w -> w IN ($in)))"
   }

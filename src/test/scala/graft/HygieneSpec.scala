@@ -35,6 +35,22 @@ class HygieneSpec extends SparkSpec {
     assert(survivors === expected)
   }
 
+  test("curate: every filter contributes, exact-dup copies never survive, bounds hold") {
+    val out = graft.text.Curate.curate(spark, sfDir).collect()
+    val ids = out.map(_.getLong(0)).toSet
+    val corpusN = graft.text.TextOps.corpus(spark, sfDir).count()
+    assert(out.nonEmpty && out.length < corpusN, "curation must drop something and keep something")
+    out.foreach { r =>
+      val n = r.getLong(2); val s = r.getDouble(3)
+      assert(n >= graft.text.Curate.MIN_TOKENS && n <= graft.text.Curate.MAX_TOKENS)
+      assert(s >= graft.text.Curate.MIN_SCORE)
+    }
+    // an injected exact copy (+20000) may never outlive its original
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") % 11 === 0).select("doc_id").collect().map(_.getLong(0))
+    base.foreach(id => assert(!ids.contains(id + 20000), s"exact copy of $id survived curation"))
+  }
+
   test("redact scrubs the injected trailer and leaves clean docs byte-identical") {
     val out = Hygiene.redact(spark, sfDir)
     val c = graft.text.TextOps.corpus(spark, sfDir)
