@@ -32,6 +32,7 @@ object TextScaleProbe {
       t(s"minhash_pairs k=$k n=$n")(graft.text.TextOps.minhashPairsOf(spark, c).count())
       t(s"ngram_jaccard k=$k n=$n")(graft.text.TextOps.ngramJaccardOf(spark, c).count())
       t(s"simhash_pairs k=$k n=$n")(graft.text.TextOps.simhashPairsOf(spark, c).count())
+      t(s"dup_clusters k=$k n=$n")(graft.text.DedupGraph.dupClustersOf(spark, c).count())
       c.unpersist()
     }
     spark.stop()
