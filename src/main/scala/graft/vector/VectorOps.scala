@@ -292,6 +292,46 @@ object VectorOps {
   private[graft] def centroidsOf(spark: SparkSession, sfDir: String): DataFrame =
     centroids(spark, sfDir)
 
+  /** Lloyd (spherical k-means) refinement of the coarse quantizer: assign
+    * every vector to its nearest centroid by cosine, recompute each
+    * centroid as the mean of its members, repeat. Cosine is invariant to
+    * centroid norm, so the plain mean IS the spherical centroid and the
+    * quantizer objective (mean 1−cos to the assigned centroid) is
+    * non-increasing per iteration — pinned in TextVectorSpec.
+    *
+    * Tested-only (no oracle): float mean reduction order is
+    * IEEE-nondeterministic across engines. Centers live on the driver
+    * between iterations exactly like Spark MLlib's KMeans — K ≈ √n rows is
+    * the one driver-side structure an IVF index keeps (≈ 31k rows at 10^9
+    * vectors). Empty clusters are dropped (standard policy); the
+    * assignment pass per iteration is the same n × K quantizer cost the
+    * index build pays once. */
+  def trainCentroids(spark: SparkSession, vs: DataFrame, init: DataFrame, iters: Int): DataFrame = {
+    import spark.implicits._
+    var cents = init.select(col("cid"), col("cv"))
+    for (_ <- 0 until iters) {
+      val assign = nearestCentroids(spark, vs, "vec_id", "v", cents, 1)
+      val rows = assign.join(vs.select(col("vec_id"), col("v")), "vec_id")
+        .select(col("cid"), posexplode(col("v")))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("col")).as("m"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("cv"))
+        .as[(Long, Seq[Double])].collect()
+      cents = rows.toSeq.toDF("cid", "cv")
+    }
+    cents
+  }
+
+  /** Mean quantization error (1 − cosine to the assigned centroid). */
+  def quantizerObjective(spark: SparkSession, vs: DataFrame, cents: DataFrame): Double = {
+    val cosine = dot(col("v"), col("cv")) / (norm(col("v")) * norm(col("cv")))
+    nearestCentroids(spark, vs, "vec_id", "v", cents, 1)
+      .join(vs.select(col("vec_id"), col("v")), "vec_id")
+      .join(broadcast(cents), "cid")
+      .agg(avg(lit(1.0) - cosine)).head.getDouble(0)
+  }
+
   def ivfTopKSql(k: Int = 10, nprobe: Int = IVF_NPROBE): String = {
     def sim(x: String, y: String) =
       s"list_sum(list_transform(range(1, ${DIM + 1}), i -> CAST($x.embedding[i] AS DOUBLE) * CAST($y.embedding[i] AS DOUBLE))) / (${normSql(x)} * ${normSql(y)})"

@@ -49,6 +49,32 @@ class DedupGraphSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.size <= before + 1)
   }
 
+  test("randomized: components match a union-find reference on 40 random graphs at once") {
+    // 40 random graphs packed disjointly (node ids offset by 1000 per
+    // trial) -> ONE distributed CC run cross-checked against a driver-side
+    // union-find. Seeded sampling stands in for scalacheck's forAll.
+    val rnd = new scala.util.Random(20260816L)
+    val edges = (0 until 40).flatMap { trial =>
+      val base = trial * 1000L
+      val n = 2 + rnd.nextInt(30)
+      Seq.fill(rnd.nextInt(50))((base + rnd.nextInt(n), base + rnd.nextInt(n)))
+        .filter(e => e._1 != e._2)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val idx = nodes.zipWithIndex.toMap
+    val parent = Array.tabulate(nodes.size)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(idx(a)), find(idx(b)))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = nodes.indices.groupBy(find).iterator.flatMap { case (_, mem) =>
+      val mn = mem.map(nodes).min
+      mem.map(i => nodes(i) -> mn)
+    }.toMap
+    assert(cc(edges) === expected)
+  }
+
   test("survivor rule: longest member wins, ties break to smallest doc_id") {
     import spark.implicits._
     // cluster {1,2,3}: doc 2 longest; cluster {7,8}: equal length -> keep 7.

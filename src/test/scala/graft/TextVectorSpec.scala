@@ -154,6 +154,20 @@ class TextVectorSpec extends SparkSpec {
     assert(f16 < f8 * 0.5, s"P=16 candidate fraction $f16 must undercut P=8's $f8")
   }
 
+  test("Lloyd refinement: quantizer objective non-increasing, no cluster collapse") {
+    val vs = VectorOps.vectors(spark, sfDir)
+    val init = VectorOps.centroidsOf(spark, sfDir)
+    val obj0 = VectorOps.quantizerObjective(spark, vs, init)
+    val t1 = VectorOps.trainCentroids(spark, vs, init, 1)
+    val obj1 = VectorOps.quantizerObjective(spark, vs, t1)
+    val t2 = VectorOps.trainCentroids(spark, vs, t1, 1)
+    val obj2 = VectorOps.quantizerObjective(spark, vs, t2)
+    assert(obj1 <= obj0 + 1e-12 && obj2 <= obj1 + 1e-12,
+      s"objective must not increase: $obj0 -> $obj1 -> $obj2")
+    assert(obj1 < obj0, "first Lloyd step should strictly improve the sampled quantizer")
+    assert(t2.count() >= init.count() / 2, "catastrophic cluster collapse")
+  }
+
   test("LSH ANN results are a subset of brute-force cosine ranking universe") {
     val brute = VectorOps.cosineTopK(spark, sfDir, k = 50).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
