@@ -43,9 +43,44 @@ object DedupGraph {
     * pure shuffles, no collect. The loop materializes each round (persist +
     * count) and releases the previous one; the fixpoint check is exact
     * (equal counts + empty except), not a hash heuristic.
+    *
+    * Hybrid dispatch: below `driverSideMax` edges the star rounds'
+    * per-action scheduling overhead dwarfs the work — a driver-side
+    * union-find (path-halving) answers in milliseconds (the same
+    * driver-side-iteration call the kNN ring loop makes, bounded by the
+    * same collect-fits-on-driver argument). Above it, the distributed star
+    * rounds run; both paths are cross-checked in DedupGraphSpec.
     */
-  def connectedComponents(edges0: DataFrame): DataFrame = {
+  def connectedComponents(edges0: DataFrame, driverSideMax: Long = 5000000L): DataFrame = {
     val spark = edges0.sparkSession
+    val canon0 = canonical(edges0).persist()
+    val nEdges = canon0.count()
+    if (nEdges <= driverSideMax) {
+      import spark.implicits._
+      val es = canon0.as[(Long, Long)].collect()
+      canon0.unpersist()
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x0: Long): Long = {
+        var x = x0
+        while (parent.getOrDefault(x, x) != x) {
+          val p = parent.get(x)
+          parent.put(x, parent.getOrDefault(p, p)) // path halving
+          x = parent.getOrDefault(x, x)
+        }
+        x
+      }
+      es.foreach { case (u, v) =>
+        val (ru, rv) = (find(u), find(v))
+        if (ru != rv) parent.put(math.max(ru, rv), math.min(ru, rv))
+      }
+      val nodes: Seq[Long] = es.iterator.flatMap(e => Iterator(e._1, e._2)).toSet.toSeq
+      val members: Seq[(Long, Long)] = nodes.map(x => (find(x), x))
+      return members.toDF("root", "node")
+    }
+    distributedComponents(spark, canon0)
+  }
+
+  private def distributedComponents(spark: SparkSession, canon0: DataFrame): DataFrame = {
     // Rebase each round on a LogicalRDD: the star operators reference their
     // input plan 4×, so carrying logical plans across rounds grows the tree
     // 4^k — analysis alone OOMs after ~10 rounds. Materializing to an RDD
@@ -56,7 +91,8 @@ object DedupGraph {
       out.count()
       out
     }
-    var edges = materialize(canonical(edges0))
+    var edges = materialize(canon0)
+    canon0.unpersist()
     var n = edges.count()
     val spent = scala.collection.mutable.ListBuffer(edges)
     var converged = n == 0

@@ -7,18 +7,20 @@ import graft.text.DedupGraph
   * graph shapes the corpus never produces. */
 class DedupGraphSpec extends SparkSpec {
 
-  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+  private def cc(edges: Seq[(Long, Long)], driverSideMax: Long = 5000000L): Map[Long, Long] = {
     import spark.implicits._
-    DedupGraph.connectedComponents(edges.toDF("u", "v"))
+    DedupGraph.connectedComponents(edges.toDF("u", "v"), driverSideMax)
       .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
   }
 
-  test("chain graph collapses to one min-rooted component (the O(log n) case)") {
+  test("chain graph collapses to one min-rooted component on BOTH paths (the O(log n) case)") {
     // 1-2-3-...-40: worst case for naive propagation (diameter 39)
     val edges = (1L until 40L).map(i => (i, i + 1))
-    val m = cc(edges)
-    assert(m.keySet === (1L to 40L).toSet)
-    assert(m.values.toSet === Set(1L))
+    for (max <- Seq(0L, Long.MaxValue)) { // distributed stars / driver union-find
+      val m = cc(edges, max)
+      assert(m.keySet === (1L to 40L).toSet)
+      assert(m.values.toSet === Set(1L))
+    }
   }
 
   test("disjoint components keep separate roots; cliques and stars both converge") {
@@ -43,7 +45,7 @@ class DedupGraphSpec extends SparkSpec {
 
   test("iteration caches are released after connectedComponents returns") {
     val before = spark.sparkContext.getPersistentRDDs.size
-    val out = cc((1L until 30L).map(i => (i, i + 1)))
+    val out = cc((1L until 30L).map(i => (i, i + 1)), driverSideMax = 0L)
     assert(out.nonEmpty)
     // only the returned membership cache may remain; iteration rounds must not
     assert(spark.sparkContext.getPersistentRDDs.size <= before + 1)
@@ -72,7 +74,8 @@ class DedupGraphSpec extends SparkSpec {
       val mn = mem.map(nodes).min
       mem.map(i => nodes(i) -> mn)
     }.toMap
-    assert(cc(edges) === expected)
+    assert(cc(edges, driverSideMax = 0L) === expected, "distributed star rounds")
+    assert(cc(edges) === expected, "driver-side union-find")
   }
 
   test("survivor rule: longest member wins, ties break to smallest doc_id") {
