@@ -66,6 +66,10 @@ object SparkEntry {
     "q_text_minhash_pairs" -> ((s, d) => graft.text.TextOps.minhashPairs(s, d)),
     // near-dup pairs -> connected components -> canonical survivor per cluster
     "q_text_dup_clusters" -> ((s, d) => graft.text.DedupGraph.dupClusters(s, d)),
+    // exact grouped quantiles (approx-sketch twin pinned in tests)
+    "q_len_quantiles" -> ((s, d) => graft.text.Stats.lenQuantiles(s, d)),
+    // every rollup level of (lang, source) in one aggregate pass
+    "q_corpus_rollup" -> ((s, d) => graft.text.Stats.corpusRollup(s, d)),
     // the composite curation pass over all verified hygiene/dedup stages
     "q_text_curate" -> ((s, d) => graft.text.Curate.curate(s, d)),
     // sequence packing via a distributed two-phase prefix sum
@@ -150,6 +154,8 @@ object SparkEntry {
     "q_text_minhash_sig" -> graft.text.TextOps.minhashSignaturesSql,
     "q_text_minhash_pairs" -> graft.text.TextOps.minhashPairsSql,
     "q_text_dup_clusters" -> graft.text.DedupGraph.dupClustersSql,
+    "q_len_quantiles" -> graft.text.Stats.lenQuantilesSql,
+    "q_corpus_rollup" -> graft.text.Stats.corpusRollupSql,
     "q_text_curate" -> graft.text.Curate.curateSql,
     "q_text_seq_pack" -> graft.text.Packing.seqPackSql,
     "q_asof_enrich" -> graft.query.AsOf.purchasesWithProfileSql,

@@ -51,6 +51,22 @@ class HygieneSpec extends SparkSpec {
     base.foreach(id => assert(!ids.contains(id + 20000), s"exact copy of $id survived curation"))
   }
 
+  test("percentile_approx sketch lands inside the exact p85..p95 rank window") {
+    // the sketch's guarantee is on RANK, and it returns a real data value
+    // (no interpolation) — so bound it by the exact quantiles one rank
+    // window out, not by relative value error.
+    // corpus-level with a deliberately COARSE sketch (accuracy 20 -> rank
+    // error ~5% of 618 ranks) — per-group n here is so small the sketch
+    // would be exact and the test vacuous.
+    val r = graft.text.TextOps.corpus(spark, sfDir)
+      .select(length(col("text")).cast("double").as("len"))
+      .agg(expr("percentile(len, 0.85)").as("lo"), expr("percentile(len, 0.95)").as("hi"),
+        expr("percentile_approx(len, 0.9, 20)").as("a90"))
+      .head()
+    val (lo, hi, a) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    assert(a >= lo - 1e-9 && a <= hi + 1e-9, s"approx $a outside exact [$lo, $hi]")
+  }
+
   test("redact scrubs the injected trailer and leaves clean docs byte-identical") {
     val out = Hygiene.redact(spark, sfDir)
     val c = graft.text.TextOps.corpus(spark, sfDir)
