@@ -74,6 +74,8 @@ object SparkEntry {
     "q_text_curate" -> ((s, d) => graft.text.Curate.curate(s, d)),
     // sequence packing via a distributed two-phase prefix sum
     "q_text_seq_pack" -> ((s, d) => graft.text.Packing.seqPack(s, d)),
+    // conversion funnel: first signup -> first subsequent purchase per user
+    "q_funnel" -> ((s, d) => graft.query.AsOf.conversionFunnel(s, d)),
     // as-of enrichment: union + LOCF window, one shuffle on the entity key
     "q_asof_enrich" -> ((s, d) => graft.query.AsOf.purchasesWithProfile(s, d)),
     // z-order region query: a coarse cell as ONE contiguous fine-id range
@@ -159,6 +161,7 @@ object SparkEntry {
     "q_text_curate" -> graft.text.Curate.curateSql,
     "q_text_seq_pack" -> graft.text.Packing.seqPackSql,
     "q_asof_enrich" -> graft.query.AsOf.purchasesWithProfileSql,
+    "q_funnel" -> graft.query.AsOf.conversionFunnelSql,
     "q_zorder_range" -> graft.index.ZLayout.zRangeCountSql,
     "q_text_decontaminate" -> graft.text.Hygiene.decontaminateSql,
     "q_text_incr_dedup" -> graft.text.Hygiene.incrDedupSql,

@@ -47,6 +47,41 @@ object AsOf {
         col("pv").as("purchase_value"), col("signup_value"))
   }
 
+  /** Conversion funnel: per user, first signup and the first purchase at or
+    * after it — conversion flag plus seconds-to-convert. One aggregate per
+    * stream (map-side min) and a broadcast-sized join keyed on user; never
+    * an event-level self-join. */
+  def conversionFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val firstSignup = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("signup_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"))
+    val firstConv = purchases.join(firstSignup, "user_id")
+      .filter(col("p_ts") >= col("signup_ts"))
+      .groupBy("user_id").agg(min("p_ts").as("conv_ts"))
+    firstSignup.join(firstConv, Seq("user_id"), "left")
+      .select(col("user_id"), col("signup_ts"),
+        col("conv_ts").isNotNull.as("converted"),
+        (unix_timestamp(col("conv_ts")) - unix_timestamp(col("signup_ts"))).as("secs_to_convert"))
+  }
+
+  val conversionFunnelSql: String =
+    """WITH fs AS (
+      |  SELECT user_id, MIN(ts) AS signup_ts
+      |  FROM events WHERE event_type = 'signup' GROUP BY 1
+      |),
+      |fc AS (
+      |  SELECT p.user_id, MIN(p.ts) AS conv_ts
+      |  FROM events p JOIN fs ON fs.user_id = p.user_id
+      |  WHERE p.event_type = 'purchase' AND p.ts >= fs.signup_ts
+      |  GROUP BY 1
+      |)
+      |SELECT fs.user_id, fs.signup_ts,
+      |       fc.conv_ts IS NOT NULL AS converted,
+      |       CAST(epoch(date_trunc('second', fc.conv_ts)) - epoch(date_trunc('second', fs.signup_ts)) AS BIGINT) AS secs_to_convert
+      |FROM fs LEFT JOIN fc ON fc.user_id = fs.user_id""".stripMargin
+
   val purchasesWithProfileSql: String =
     """WITH upd AS (
       |  SELECT user_id, ts, arg_max(value, event_id) AS sv
