@@ -41,6 +41,23 @@ class PackingAsOfSpec extends SparkSpec {
     }
   }
 
+  test("packing plan: no corpus-sized window partition (lang-only windows sit over the bucket aggregate)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val plan = Packing.seqPack(spark, sfDir).queryExecution.optimizedPlan
+    val wins = plan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty)
+    wins.foreach { w =>
+      val ps = w.partitionSpec.map(_.toString)
+      if (!ps.exists(_.contains("bkt"))) {
+        // a window partitioned by language alone would put the whole corpus
+        // in one task — it is only allowed over the 1024x-smaller per-bucket
+        // aggregate
+        assert(w.child.collectFirst { case a: Aggregate => a }.isDefined,
+          s"lang-only window over non-aggregated input:\n$w")
+      }
+    }
+  }
+
   test("as-of join: inclusive match, latest-update-wins ties, NULL before first update") {
     import spark.implicits._
     def ts(m: Int) = new Timestamp(m * 60000L)
