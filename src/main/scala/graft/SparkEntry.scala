@@ -86,6 +86,9 @@ object SparkEntry {
     "q_text_decontaminate" -> ((s, d) => graft.text.Hygiene.decontaminate(s, d)),
     // fresh-batch digest anti-join vs the ingested corpus
     "q_text_incr_dedup" -> ((s, d) => graft.text.Hygiene.incrDedup(s, d)),
+    // the reference's approx->exact Bloom-guarded dedup (same semantics,
+    // map-side routing: only might-seen rows pay the anti-join shuffle)
+    "q_text_bloom_dedup" -> ((s, d) => graft.text.Hygiene.bloomIncrDedup(s, d)),
     // email/phone scrubbing with portable-regex parity
     "q_text_redact" -> ((s, d) => graft.text.Hygiene.redact(s, d)),
     "q_text_simhash" -> ((s, d) => graft.text.TextOps.simhash(s, d)),
@@ -168,6 +171,7 @@ object SparkEntry {
     "q_zorder_range" -> graft.index.ZLayout.zRangeCountSql,
     "q_text_decontaminate" -> graft.text.Hygiene.decontaminateSql,
     "q_text_incr_dedup" -> graft.text.Hygiene.incrDedupSql,
+    "q_text_bloom_dedup" -> graft.text.Hygiene.incrDedupSql, // identical semantics by design
     "q_text_redact" -> graft.text.Hygiene.redactSql,
     "q_text_simhash" -> graft.text.TextOps.simhashSql,
     "q_text_simhash_pairs" -> graft.text.TextOps.simhashPairsSql(),

@@ -81,18 +81,33 @@ object Hygiene {
     * daily-batch-vs-historical-corpus run is exactly this plan with the
     * corpus side read from the digest index instead of raw text.
     */
-  def incrDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
-    val batch = docs.filter(col("doc_id") % 3 === 0).select(
-      (col("doc_id") + 50000).as("doc_id"),
-      when(col("doc_id") % 6 === 0, col("text"))
-        .otherwise(concat(lit("fresh crawl: "), col("text"))).as("text"))
-    val seen = TextOps.corpus(spark, sfDir)
+  /** The deterministic fresh-crawl batch (doc_id % 3 slice re-keyed at
+    * +50000; every second doc is a verbatim re-crawl). */
+  private[graft] def freshBatch(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+      .filter(col("doc_id") % 3 === 0).select(
+        (col("doc_id") + 50000).as("doc_id"),
+        when(col("doc_id") % 6 === 0, col("text"))
+          .otherwise(concat(lit("fresh crawl: "), col("text"))).as("text"))
+
+  private[graft] def seenDigests(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.corpus(spark, sfDir)
       .select(md5(col("text").cast("binary")).as("fp")).distinct()
+
+  /** The dedup transform itself — works identically on a batch or a
+    * STREAMING `batch` side (stream-static join against the digest index:
+    * left outer + null filter, the anti-join shape Structured Streaming
+    * supports stream-static; ZERO join state — the static side is
+    * (re)broadcast per micro-batch). Streaming parity is pinned in
+    * HygieneSpec. */
+  private[graft] def incrDedupOf(batch: DataFrame, seen: DataFrame): DataFrame =
     batch.withColumn("fp", md5(col("text").cast("binary")))
-      .join(seen, Seq("fp"), "left_anti")
+      .join(seen.withColumn("seen", lit(true)), Seq("fp"), "left_outer")
+      .filter(col("seen").isNull)
       .select("doc_id", "fp")
-  }
+
+  def incrDedup(spark: SparkSession, sfDir: String): DataFrame =
+    incrDedupOf(freshBatch(spark, sfDir), seenDigests(spark, sfDir))
 
   val incrDedupSql: String =
     TextOps.withCorpus(
@@ -104,6 +119,30 @@ object Hygiene {
         |)""".stripMargin) +
       """SELECT doc_id, md5(text) AS fp FROM batch b
         |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE md5(c.text) = md5(b.text))""".stripMargin
+
+  /** Bloom-guarded incremental dedup — the reference's approximate→exact
+    * dedup pattern (`query-engine/src/main/scala/io/plasmap/query/engine/
+    * Queries.scala:297,330,340` guards every fan-out with
+    * `deduplicate(expectedItems, fpp)`, a Bloom filter) restated for
+    * batch-vs-corpus: a Bloom filter over the corpus digests is broadcast
+    * and splits the batch map-side into DEFINITELY-new rows (no negative
+    * false — emitted without any join) and might-seen candidates; only the
+    * candidates pay the exact anti-join shuffle. Output is EXACTLY
+    * [[incrDedup]] (the Bloom only routes; the anti-join settles every
+    * maybe), so both share one oracle. At fpp 0.01 a mostly-novel crawl
+    * batch shuffles ~1% of its rows instead of all of them. */
+  def bloomIncrDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val batch = freshBatch(spark, sfDir)
+      .withColumn("fp", md5(col("text").cast("binary")))
+    val seen = seenDigests(spark, sfDir)
+    val bf = seen.stat.bloomFilter("fp", math.max(1000L, seen.count()), 0.01)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val mightSeen = udf((s: String) => bfB.value.mightContainString(s))
+    val definitelyNew = batch.filter(!mightSeen(col("fp")))
+    val maybes = batch.filter(mightSeen(col("fp")))
+    definitelyNew.unionByName(maybes.join(seen, Seq("fp"), "left_anti"))
+      .select("doc_id", "fp")
+  }
 
   // -------------------------------------------------------- PII redaction
 

@@ -51,6 +51,39 @@ class HygieneSpec extends SparkSpec {
     base.foreach(id => assert(!ids.contains(id + 20000), s"exact copy of $id survived curation"))
   }
 
+  test("bloom-guarded dedup: identical output to the exact anti-join, only maybes shuffled") {
+    val plain = graft.text.Hygiene.incrDedup(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val bloom = graft.text.Hygiene.bloomIncrDedup(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(bloom === plain && bloom.nonEmpty)
+    // routing: at fpp 0.01 nearly all genuinely-new rows bypass the join
+    val batch = graft.text.Hygiene.freshBatch(spark, sfDir)
+      .withColumn("fp", org.apache.spark.sql.functions.md5(col("text").cast("binary")))
+    val seen = graft.text.Hygiene.seenDigests(spark, sfDir)
+    val bf = seen.stat.bloomFilter("fp", math.max(1000L, seen.count()), 0.01)
+    val maybes = batch.collect().count(r => bf.mightContainString(r.getString(2)))
+    val trueDups = batch.join(seen, "fp").count()
+    assert(maybes <= trueDups + math.ceil(0.05 * batch.count()).toLong,
+      s"bloom routed $maybes rows to the join for $trueDups true dups")
+  }
+
+  test("incremental dedup runs stream-static with zero join state and batch-identical output") {
+    val dir = "/tmp/graft-stream-dedup"
+    val batch = graft.text.Hygiene.freshBatch(spark, sfDir)
+    batch.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+    val out = graft.text.Hygiene.incrDedupOf(stream, graft.text.Hygiene.seenDigests(spark, sfDir))
+    val q = out.writeStream.format("memory").queryName("incr_dedup_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("incr_dedup_stream")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val expected = graft.text.Hygiene.incrDedup(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed === expected && streamed.nonEmpty)
+  }
+
   test("percentile_approx sketch lands inside the exact p85..p95 rank window") {
     // the sketch's guarantee is on RANK, and it returns a real data value
     // (no interpolation) — so bound it by the exact quantiles one rank
