@@ -74,6 +74,8 @@ object SparkEntry {
     "q_text_curate" -> ((s, d) => graft.text.Curate.curate(s, d)),
     // sequence packing via a distributed two-phase prefix sum
     "q_text_seq_pack" -> ((s, d) => graft.text.Packing.seqPack(s, d)),
+    // image near-dup pairs: perceptual hash + Hamming-band LSH (media modality)
+    "q_media_phash_pairs" -> ((s, d) => graft.media.MediaOps.phashPairs(s, d)),
     // per-level spatial measures: exact deg^2 area + geodesic edge length
     "q_area_stats" -> ((s, d) => graft.query.GeoMeasures.areaStats(s, d)),
     // conversion funnel: first signup -> first subsequent purchase per user
@@ -168,6 +170,7 @@ object SparkEntry {
     "q_asof_enrich" -> graft.query.AsOf.purchasesWithProfileSql,
     "q_funnel" -> graft.query.AsOf.conversionFunnelSql,
     "q_area_stats" -> graft.query.GeoMeasures.areaStatsSql,
+    "q_media_phash_pairs" -> graft.media.MediaOps.phashPairsSql,
     "q_zorder_range" -> graft.index.ZLayout.zRangeCountSql,
     "q_text_decontaminate" -> graft.text.Hygiene.decontaminateSql,
     "q_text_incr_dedup" -> graft.text.Hygiene.incrDedupSql,

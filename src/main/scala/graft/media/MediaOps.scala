@@ -119,6 +119,85 @@ object MediaOps {
   /** Feature-extract + tile co-location: decoded media bucketed to slippy
     * tiles (join back to the point table for coordinates) — the
     * raster-side half of the raster<->vector assignment. */
+  /** Media rows per perceptual-hash group (consecutive pid range). */
+  final val PHASH_GROUP = 50L
+
+  /** 64-bit perceptual hash per media row. A real pipeline computes a DCT
+    * pHash from decoded pixels; offline the hash is SYNTHESIZED from the
+    * deterministic payload identity so the DEDUP layer is fully exercised
+    * and oracle-checkable: media in the same pid-group share a base hash
+    * (two md5 halves of the group tag), and non-canonical members
+    * (`pid % 10 != 0`) flip one documented bit (position `group % 63` —
+    * bit 63 avoided: DuckDB's `<<` is overflow-checked). Within a group
+    * Hamming ≤ 1; across groups ~32 (md5 avalanche). */
+  def phashes(spark: SparkSession, sfDir: String): DataFrame =
+    mediaTable(spark, sfDir).select(
+      col("pid"),
+      expr(s"""(
+        |  (CAST(conv(substr(md5(CAST('img_' || CAST(CAST(pid / $PHASH_GROUP AS BIGINT) AS STRING) AS BINARY)), 9, 8), 16, 10) AS BIGINT) << 32)
+        |  | CAST(conv(substr(md5(CAST('img_' || CAST(CAST(pid / $PHASH_GROUP AS BIGINT) AS STRING) AS BINARY)), 1, 8), 16, 10) AS BIGINT)
+        |) ^ (
+        |  CASE WHEN pid % 10 != 0
+        |       THEN shiftleft(CAST(1 AS BIGINT), CAST(CAST(pid / $PHASH_GROUP AS BIGINT) % 63 AS INT))
+        |       ELSE CAST(0 AS BIGINT) END
+        |)""".stripMargin).as("ph"))
+
+  /** Image near-duplicate pairs at Hamming ≤ 1 — the SimHash Hamming-band
+    * plan applied to the media modality: 2×32-bit bands (2^32-bucket
+    * ceiling, the round-2 lesson), per-band equi-join, exact popcount
+    * refine on candidates only. */
+  def phashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val ph = phashes(spark, sfDir)
+    val bandStructs = array(
+      struct(lit(0).as("band"), expr("(ph >> 32) & 4294967295").as("bkey")),
+      struct(lit(1).as("band"), expr("ph & 4294967295").as("bkey")))
+    val bands = ph.select(col("pid"), explode(bandStructs).as("bs"))
+      .select(col("pid"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
+    val cand = bands.select(col("band"), col("bkey"), col("pid").as("a"))
+      .join(bands.select(col("band"), col("bkey"), col("pid").as("b")), Seq("band", "bkey"))
+      .filter(col("a") < col("b")).select("a", "b").distinct()
+    cand
+      .join(ph.select(col("pid").as("a"), col("ph").as("pha")), "a")
+      .join(ph.select(col("pid").as("b"), col("ph").as("phb")), "b")
+      .withColumn("ham", expr("CAST(bit_count(pha ^ phb) AS BIGINT)"))
+      .filter(col("ham") <= 1)
+      .select("a", "b", "ham")
+  }
+
+  val phashPairsSql: String = {
+    val g = s"CAST(pid // $PHASH_GROUP AS VARCHAR)"
+    // DuckDB's << is overflow-CHECKED, so the 64-bit assembly reinterprets
+    // the high half as signed 32-bit and multiplies: identical bit pattern
+    // to Spark's wrapping `hi << 32 | lo`, never out of BIGINT range.
+    val hi = s"CAST('0x' || substr(md5('img_' || $g), 9, 8) AS BIGINT)"
+    val lo = s"CAST('0x' || substr(md5('img_' || $g), 1, 8) AS BIGINT)"
+    graft.query.GeoQueries.withWorld(
+      s"""phh AS (
+         |  SELECT pid,
+         |         xor(
+         |           (CASE WHEN $hi >= 2147483648 THEN $hi - 4294967296 ELSE $hi END) * 4294967296 + $lo,
+         |           CASE WHEN pid % 10 != 0
+         |                THEN CAST(1 AS BIGINT) << CAST((pid // $PHASH_GROUP) % 63 AS INT)
+         |                ELSE CAST(0 AS BIGINT) END
+         |         ) AS ph
+         |  FROM pts WHERE is_media
+         |)""".stripMargin,
+      """pbands AS (
+        |  SELECT pid, 0 AS band, (ph >> 32) & 4294967295 AS bkey FROM phh
+        |  UNION ALL
+        |  SELECT pid, 1 AS band, ph & 4294967295 AS bkey FROM phh
+        |)""".stripMargin,
+      """pcand AS (
+        |  SELECT DISTINCT l.pid AS a, r.pid AS b
+        |  FROM pbands l JOIN pbands r ON l.band = r.band AND l.bkey = r.bkey AND l.pid < r.pid
+        |)""".stripMargin) +
+      """SELECT c.a, c.b, CAST(bit_count(xor(pa.ph, pb.ph)) AS BIGINT) AS ham
+        |FROM pcand c
+        |JOIN phh pa ON pa.pid = c.a
+        |JOIN phh pb ON pb.pid = c.b
+        |WHERE bit_count(xor(pa.ph, pb.ph)) <= 1""".stripMargin
+  }
+
   def mediaTiles(spark: SparkSession, sfDir: String, z: Int = 7): DataFrame = {
     val dec = decodeMedia(spark, sfDir)
     val t = graft.query.GeoQueries.tileAssign(spark, sfDir, z)

@@ -68,6 +68,27 @@ class PipelineSpec extends SparkSpec {
     assert(!b.skipped, "even-multiplicity change must alter the digest")
   }
 
+  test("phash pairs: every within-group media pair surfaces, no cross-group pair does") {
+    import org.apache.spark.sql.functions._
+    val pairs = graft.media.MediaOps.phashPairs(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.nonEmpty)
+    val G = graft.media.MediaOps.PHASH_GROUP
+    pairs.foreach { case (a, b, ham) =>
+      assert(a / G === b / G, s"cross-group pair ($a, $b)")
+      val expected = if ((a % 10 == 0) == (b % 10 == 0)) 0L else 1L
+      assert(ham === expected, s"pair ($a, $b) ham $ham, expected $expected")
+    }
+    // recall: every within-group pair of media pids must be present
+    val byGroup = graft.media.MediaOps.mediaTable(spark, sfDir)
+      .select("pid").collect().map(_.getLong(0)).groupBy(_ / G)
+    val expectedPairs = byGroup.values.flatMap { ms0 =>
+      val ms = ms0.toSeq
+      for (a <- ms; b <- ms if a < b) yield (a, b)
+    }.toSet
+    assert(pairs.map(p => (p._1, p._2)).toSet === expectedPairs)
+  }
+
   test("GeoJSON property escape round-trips quotes and backslashes through a JSON parser") {
     import spark.implicits._
     import org.apache.spark.sql.types._
