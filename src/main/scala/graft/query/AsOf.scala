@@ -4,33 +4,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Spatial measure aggregates over the admin ladder: per level — area in
-  * exact degree² arithmetic (integer-milli-degree corners keep both
-  * engines bit-equal) and geodesic east-west edge length via the shared
-  * haversine (reference analog: `util/src/main/scala/io/plasmap/util/
-  * GeoCalculator.scala` bbox math). Map-only over the 4,730-row dim +
-  * one tiny aggregate. */
-object GeoMeasures {
-  import graft.geom.GeoCols
-
-  def areaStats(spark: SparkSession, sfDir: String): DataFrame =
-    graft.gen.GeoWorld.areas(spark, sfDir)
-      .select(col("level"),
-        ((col("lon1") - col("lon0")) * (col("lat1") - col("lat0"))).as("deg2"),
-        GeoCols.haversineM(col("lon0"), col("lat0"), col("lon1"), col("lat0")).as("ew_m"))
-      .groupBy("level")
-      .agg(count(lit(1)).as("n_areas"),
-        round(sum("deg2"), 6).as("deg2_sum"),
-        round(avg("ew_m"), 3).as("ew_mean_m"))
-
-  val areaStatsSql: String =
-    GeoQueries.withWorld() +
-      s"""SELECT level, COUNT(*) AS n_areas,
-         |       ROUND(SUM((lon1 - lon0) * (lat1 - lat0)), 6) AS deg2_sum,
-         |       ROUND(AVG(${GeoCols.haversineSql("lon0", "lat0", "lon1", "lat0")}), 3) AS ew_mean_m
-         |FROM areas GROUP BY level""".stripMargin
-}
-
 /** As-of (temporal) join over the event stream: attach to each fact the
   * most recent dimension observation at or before its timestamp — the
   * canonical enrichment for slowly-changing state (user profile, price,
@@ -62,16 +35,23 @@ object AsOf {
       .agg(max_by(col("value"), col("event_id")).as("sv"))
     val pur = ev.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    // the carried payload is a STRUCT, non-null for every update row even
+    // when the update's VALUE is null — ignoreNulls then skips only fact
+    // rows, so the latest update always wins exactly like ASOF JOIN
+    // (a bare `last(sv, ignoreNulls)` would wrongly resurrect an older
+    // non-null value past a newer null-valued update)
     val tagged = upd.select(col("user_id"), col("ts"), lit(0).as("side"),
-        lit(null).cast("long").as("event_id"), lit(null).cast("double").as("pv"), col("sv"))
+        lit(null).cast("long").as("event_id"), lit(null).cast("double").as("pv"),
+        struct(col("sv")).as("upd"))
       .unionByName(pur.select(col("user_id"), col("ts"), lit(1).as("side"),
-        col("event_id"), col("value").as("pv"), lit(null).cast("double").as("sv")))
+        col("event_id"), col("value").as("pv"),
+        lit(null).cast("struct<sv:double>").as("upd")))
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("side"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    tagged.withColumn("signup_value", last(col("sv"), ignoreNulls = true).over(w))
+    tagged.withColumn("last_upd", last(col("upd"), ignoreNulls = true).over(w))
       .filter(col("side") === 1)
       .select(col("event_id"), col("user_id"),
-        col("pv").as("purchase_value"), col("signup_value"))
+        col("pv").as("purchase_value"), col("last_upd.sv").as("signup_value"))
   }
 
   /** Conversion funnel: per user, first signup and the first purchase at or

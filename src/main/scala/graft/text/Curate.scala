@@ -34,8 +34,15 @@ object Curate {
     val c = TextOps.corpus(spark, sfDir)
     val toks = TextOps.tokenCount(spark, sfDir).select("doc_id", "n_tokens")
     val qual = TextOps.qualityScore(spark, sfDir).select("doc_id", "score")
+    // the eval slice itself must never reach the training corpus —
+    // decontaminate() deliberately excludes eval docs from ITS output (they
+    // are not "contaminated", they are the benchmark), so curation drops
+    // them explicitly alongside the docs that overlap them
+    val evalDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") % 13 === 5).select("doc_id")
     val contaminated = Hygiene.decontaminate(spark, sfDir)
       .filter(col("frac") >= MAX_CONTAM_FRAC).select("doc_id")
+      .unionByName(evalDocs)
     val exactDrops = c
       .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
       .join(TextOps.exactDedup(spark, sfDir).select("fp", "keep_id"), "fp")
@@ -55,24 +62,15 @@ object Curate {
   val curateSql: String =
     TextOps.withCorpusRecursive(
       DedupGraph.clusterCtes ++ Hygiene.decontCtes ++ Seq(
-        """toks AS (
-          |  SELECT doc_id,
-          |         CAST(list_sum(list_transform(str_split(text, ' '), w -> (length(w) + 3) // 4)) AS BIGINT) AS n_tokens
-          |  FROM corpus
-          |)""".stripMargin,
-        s"""qual AS (
-           |  SELECT doc_id,
-           |         ROUND(LEAST(1.0, CAST(n_words AS DOUBLE) / 200.0) * 0.5 + stop_hits / CAST(n_words AS DOUBLE) * 0.5, 6) AS score
-           |  FROM (SELECT doc_id,
-           |               len(str_split(text, ' ')) AS n_words,
-           |               CAST(${TextOps.hitsSql("en")} AS DOUBLE) AS stop_hits
-           |        FROM corpus)
-           |)""".stripMargin,
+        TextOps.toksCte,
+        TextOps.qualCte,
+        TextOps.exDupGroupsCte,
+        // same shape as the engine side: corpus joined to the dup groups,
+        // non-keep members dropped
         """exdrop AS (
-          |  SELECT doc_id FROM (
-          |    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep
-          |    FROM corpus
-          |  ) WHERE doc_id <> keep
+          |  SELECT c.doc_id FROM corpus c
+          |  JOIN exgroups g ON md5(c.text) = g.fp
+          |  WHERE c.doc_id <> g.keep_id
           |)""".stripMargin): _*) +
       s"""SELECT c.doc_id, c.lang, t.n_tokens, q.score
          |FROM corpus c
@@ -81,6 +79,7 @@ object Curate {
          |WHERE t.n_tokens BETWEEN $MIN_TOKENS AND $MAX_TOKENS
          |  AND q.score >= $MIN_SCORE
          |  AND c.doc_id NOT IN (SELECT doc_id FROM contam WHERE frac >= $MAX_CONTAM_FRAC)
+         |  AND c.doc_id NOT IN (SELECT doc_id FROM documents WHERE doc_id % 13 = 5)
          |  AND c.doc_id NOT IN (SELECT doc_id FROM exdrop)
          |  AND c.doc_id NOT IN (SELECT node FROM mem WHERE rn <> 1)""".stripMargin
 }

@@ -134,7 +134,10 @@ object Hygiene {
   def bloomIncrDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val batch = freshBatch(spark, sfDir)
       .withColumn("fp", md5(col("text").cast("binary")))
-    val seen = seenDigests(spark, sfDir)
+    // one corpus digest pass serves the count, the Bloom build, and the
+    // final anti-join (left persisted for the lazy join; ContextCleaner
+    // reclaims it once the result is consumed and dereferenced)
+    val seen = seenDigests(spark, sfDir).persist()
     val bf = seen.stat.bloomFilter("fp", math.max(1000L, seen.count()), 0.01)
     val bfB = spark.sparkContext.broadcast(bf)
     val mightSeen = udf((s: String) => bfB.value.mightContainString(s))

@@ -68,14 +68,11 @@ object Packing {
     * corpus through one window; the engine side must not. */
   val seqPackSql: String =
     TextOps.withCorpus(
-      """toks AS (
-        |  SELECT doc_id, lang,
-        |         GREATEST(1, CAST(list_sum(list_transform(str_split(text, ' '), w -> (length(w) + 3) // 4)) AS BIGINT)) AS n_tokens
-        |  FROM corpus
-        |)""".stripMargin,
+      TextOps.toksCte,
+      // every doc consumes ≥1 slot (matches the engine-side GREATEST)
       """offs AS (
-        |  SELECT doc_id, lang, n_tokens,
-        |         COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |  SELECT doc_id, lang, GREATEST(1, n_tokens) AS n_tokens,
+        |         COALESCE(SUM(GREATEST(1, n_tokens)) OVER (PARTITION BY lang ORDER BY doc_id
         |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
         |  FROM toks
         |)""".stripMargin) +

@@ -72,10 +72,17 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
       .filter(col("n_docs") > 1)
 
+  /** Duplicate-group CTE (`exgroups(fp, n_docs, keep_id)`) — shared by the
+    * standalone query and the curation composite so the keep rule lives in
+    * exactly one place per engine. */
+  private[graft] val exDupGroupsCte: String =
+    """exgroups AS (
+      |  SELECT md5(text) AS fp, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+      |  FROM corpus GROUP BY 1 HAVING COUNT(*) > 1
+      |)""".stripMargin
+
   val exactDedupSql: String =
-    withCorpus() +
-      """SELECT md5(text) AS fp, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
-        |FROM corpus GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin
+    withCorpus(exDupGroupsCte) + "SELECT fp, n_docs, keep_id FROM exgroups"
 
   // ------------------------------------------------------------- langid
 
@@ -138,15 +145,20 @@ object TextOps {
       round(least(lit(1.0), nWords.cast("double") / 200.0) * 0.5 + stopRatio * 0.5, 6).as("score"))
   }
 
+  /** Quality-score CTE (`qual`) — shared with the curation composite. */
+  private[graft] val qualCte: String =
+    s"""qual AS (
+       |  SELECT doc_id, n_words,
+       |         ROUND(stop_hits / CAST(n_words AS DOUBLE), 6) AS stop_ratio,
+       |         ROUND(LEAST(1.0, CAST(n_words AS DOUBLE) / 200.0) * 0.5 + stop_hits / CAST(n_words AS DOUBLE) * 0.5, 6) AS score
+       |  FROM (SELECT doc_id,
+       |               len(str_split(text, ' ')) AS n_words,
+       |               CAST(${hitsSql("en")} AS DOUBLE) AS stop_hits
+       |        FROM corpus)
+       |)""".stripMargin
+
   val qualityScoreSql: String =
-    withCorpus() +
-      s"""SELECT doc_id, n_words,
-         |       ROUND(stop_hits / CAST(n_words AS DOUBLE), 6) AS stop_ratio,
-         |       ROUND(LEAST(1.0, CAST(n_words AS DOUBLE) / 200.0) * 0.5 + stop_hits / CAST(n_words AS DOUBLE) * 0.5, 6) AS score
-         |FROM (SELECT doc_id,
-         |             len(str_split(text, ' ')) AS n_words,
-         |             CAST(${hitsSql("en")} AS DOUBLE) AS stop_hits
-         |      FROM corpus)""".stripMargin
+    withCorpus(qualCte) + "SELECT doc_id, n_words, stop_ratio, score FROM qual"
 
   /** Token counting: whitespace words + a BPE-ish ceil(len/4) subword
     * estimate per word. */
@@ -158,12 +170,18 @@ object TextOps {
       aggregate(words, lit(0L), (acc, w) => acc + floor((length(w) + 3) / 4).cast("long")).as("n_tokens"))
   }
 
+  /** Token-count CTE (`toks`, carries lang for downstream grouping) —
+    * shared with the curation composite and sequence packing. */
+  private[graft] val toksCte: String =
+    """toks AS (
+      |  SELECT doc_id, lang,
+      |         len(str_split(text, ' ')) AS n_words,
+      |         CAST(list_sum(list_transform(str_split(text, ' '), w -> (length(w) + 3) // 4)) AS BIGINT) AS n_tokens
+      |  FROM corpus
+      |)""".stripMargin
+
   val tokenCountSql: String =
-    withCorpus() +
-      """SELECT doc_id,
-        |       len(str_split(text, ' ')) AS n_words,
-        |       CAST(list_sum(list_transform(str_split(text, ' '), w -> (length(w) + 3) // 4)) AS BIGINT) AS n_tokens
-        |FROM corpus""".stripMargin
+    withCorpus(toksCte) + "SELECT doc_id, n_words, n_tokens FROM toks"
 
   // -------------------------------------------------------- fingerprinting
 

@@ -49,6 +49,10 @@ class HygieneSpec extends SparkSpec {
     val base = spark.read.parquet(s"$sfDir/documents.parquet")
       .filter(col("doc_id") % 11 === 0).select("doc_id").collect().map(_.getLong(0))
     base.foreach(id => assert(!ids.contains(id + 20000), s"exact copy of $id survived curation"))
+    // the eval/benchmark slice itself must never reach the training corpus
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") % 13 === 5).select("doc_id").collect().map(_.getLong(0))
+      .foreach(id => assert(!ids.contains(id), s"eval doc $id leaked into the curated corpus"))
   }
 
   test("bloom-guarded dedup: identical output to the exact anti-join, only maybes shuffled") {

@@ -73,7 +73,14 @@ class PackingAsOfSpec extends SparkSpec {
       (10L, ts(10), 2L, "signup", 300.0, "{}"),
       (11L, ts(15), 2L, "purchase", 4.0, "{}"),
       (12L, ts(7), 3L, "purchase", 5.0, "{}"),
+      // user 4: a NEWER null-valued signup must win over the older 400.0 —
+      // ASOF returns the latest row's value, null or not (LOCF must not
+      // resurrect the older value past it)
+      (13L, ts(1), 4L, "signup", 400.0, "{}"),
+      (14L, ts(2), 4L, "signup", Double.NaN, "{}"),
+      (15L, ts(3), 4L, "purchase", 6.0, "{}"),
     ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("value", when(isnan(col("value")), lit(null)).otherwise(col("value")))
     val dir = "/tmp/graft-asof-events"
     ev.coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
     val out = AsOf.purchasesWithProfile(spark, dir)
@@ -81,7 +88,8 @@ class PackingAsOfSpec extends SparkSpec {
     assert(out === Map(
       7L -> Some(200.0), 8L -> Some(200.0),
       9L -> None, 11L -> Some(300.0),
-      12L -> None))
+      12L -> None,
+      15L -> None))
   }
 
   test("as-of plan is one keyed shuffle + window — no range join, no nested loop") {

@@ -58,7 +58,10 @@ class ZLayoutSpec extends SparkSpec {
   }
 
   test("region scan over the clustered index pushes the range to parquet and matches the recompute") {
-    val zDir = "/tmp/graft-zsort"
+    // self-sufficient: writes its own layout rather than depending on the
+    // first test's output (order/staleness coupling)
+    val zDir = "/tmp/graft-zsort-scan"
+    ZLayout.clusteredWrite(ZLayout.fineCells(spark, sfDir), "cell", zDir, nFiles)
     val scan = spark.read.parquet(zDir)
       .filter(col("cell") >= ZLayout.zLo && col("cell") < ZLayout.zHi)
     val plan = scan.queryExecution.executedPlan.toString

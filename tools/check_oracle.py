@@ -34,6 +34,11 @@ def main(sf_dir, out_dir, only=None):
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only is not None:
+        unknown = only - set(oracle)
+        if unknown:
+            print(f"FAIL: filter names not in oracle_sql.json: {sorted(unknown)}")
+            return 1
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
         if only is not None and name not in only:
