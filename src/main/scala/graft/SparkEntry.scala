@@ -95,14 +95,18 @@ object SparkEntry {
     "q_text_redact" -> ((s, d) => graft.text.Hygiene.redact(s, d)),
     "q_text_simhash" -> ((s, d) => graft.text.TextOps.simhash(s, d)),
     "q_text_simhash_pairs" -> ((s, d) => graft.text.TextOps.simhashPairs(s, d)),
-    "q_embed_neardup" -> ((s, d) => graft.vector.VectorOps.nearDupPairs(s, d)),
+    // planes pinned to the oracle's fixed count (parity at every SF;
+    // planesFor is the deployment dial)
+    "q_embed_neardup" -> ((s, d) => graft.vector.VectorOps.nearDupPairs(s, d,
+      planesOpt = Some(graft.vector.VectorOps.PLANES_PER_TABLE))),
     "q_text_ngram_jaccard" -> ((s, d) => graft.text.TextOps.ngramJaccard(s, d)),
     "q_text_chunks" -> ((s, d) => graft.text.TextOps.chunks(s, d)),
     "q_text_repetition" -> ((s, d) => graft.text.TextOps.repetition(s, d)),
     "q_sample_stratified" -> ((s, d) => graft.text.TextOps.stratifiedSample(s, d)),
     // similarity search over embeddings
     "q_embed_topk" -> ((s, d) => graft.vector.VectorOps.cosineTopK(s, d)),
-    "q_embed_lsh_ann" -> ((s, d) => graft.vector.VectorOps.lshTopK(s, d)),
+    "q_embed_lsh_ann" -> ((s, d) => graft.vector.VectorOps.lshTopK(s, d,
+      planes = Some(graft.vector.VectorOps.PLANES_PER_TABLE))),
     "q_embed_ivf" -> ((s, d) => graft.vector.VectorOps.ivfTopK(s, d)),
     "q_embed_buckets" -> ((s, d) => graft.vector.VectorOps.bucketHistogram(s, d)),
     // index builders (T7/T9) + relation assembly (T4) + GeoJSON (Q18)

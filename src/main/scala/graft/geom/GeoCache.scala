@@ -81,8 +81,15 @@ object GeoCache {
   // boundaries (33 KB WKB × 936M candidate rows) turned the 142 s scaling
   // job into a ~5× slower one. A caller that passes a fresh copy each call
   // degrades to per-call hashing but stays CORRECT.
-  private val tlDiscCache: ThreadLocal[java.util.IdentityHashMap[Array[Byte], java.lang.Long]] =
-    ThreadLocal.withInitial(() => new java.util.IdentityHashMap[Array[Byte], java.lang.Long]())
+  //
+  // WeakHashMap, not IdentityHashMap: byte[] equals/hashCode ARE reference
+  // identity, so lookup semantics are unchanged, but keys do not pin the
+  // arrays — a non-identity-stable caller's fresh copies (or a finished
+  // run's broadcast blobs) become collectable instead of accumulating up
+  // to MAX_ENTRIES × |WKB| strong bytes per executor thread. The
+  // MAX_ENTRIES clear() stays as the bound on pathological LIVE sets.
+  private val tlDiscCache: ThreadLocal[java.util.WeakHashMap[Array[Byte], java.lang.Long]] =
+    ThreadLocal.withInitial(() => new java.util.WeakHashMap[Array[Byte], java.lang.Long]())
 
   private def fullDisc(b: Array[Byte]): Long = {
     val m = tlDiscCache.get()

@@ -208,14 +208,24 @@ object IndexBuild {
   private def jsonEscapeSql(x: String): String =
     s"""replace(replace($x, '\\', '\\\\'), '"', '\\"')"""
 
+  // Exact micro-degree conversion, derived ONCE from the world constants
+  // (LON0/LAT0/OFF x 1e6) and shared by both GeoJSON queries and their
+  // oracles -- a change to the world origin cannot leave a stale literal.
+  private val LONM0: Long = (GeoWorld.LON0 * 1000000L).toLong
+  private val LATM0: Long = (GeoWorld.LAT0 * 1000000L).toLong
+  private val OFFM: Long = math.round(GeoWorld.OFF * 1000000)
+  private def lonMicroOf(lonm: Column): Column = lit(LONM0) + lonm * 1000L + OFFM
+  private def latMicroOf(latm: Column): Column = lit(LATM0) + latm * 1000L + OFFM
+  private def lonMicroSqlOf(c: String): String = s"($LONM0 + $c * 1000 + $OFFM)"
+  private def latMicroSqlOf(c: String): String = s"($LATM0 + $c * 1000 + $OFFM)"
+
   /** GeoJSON Feature serialisation (reference Q18, Flows.scala:92-97):
     * point features as GeoJSON strings, coordinates from exact integer
     * micro-degrees. */
   def geojson(spark: SparkSession, sfDir: String): DataFrame = {
     init(spark)
-    // micro-degrees: lon = LON0 + lonm/1000 + 0.0002 -> -20_000_000 + lonm*1000 + 200
-    val lonMicro = lit(-20000000L) + col("lonm") * 1000L + 200L
-    val latMicro = lit(30000000L) + col("latm") * 1000L + 200L
+    val lonMicro = lonMicroOf(col("lonm"))
+    val latMicro = latMicroOf(col("latm"))
     GeoWorld.points(spark, sfDir).select(
       col("pid"),
       concat(
@@ -227,8 +237,8 @@ object IndexBuild {
   }
 
   val geojsonSql: String = {
-    val lonMicro = "(-20000000 + lonm * 1000 + 200)"
-    val latMicro = "(30000000 + latm * 1000 + 200)"
+    val lonMicro = lonMicroSqlOf("lonm")
+    val latMicro = latMicroSqlOf("latm")
     GeoQueries.withWorld() +
       s"""SELECT pid,
          |  '{"type":"Feature","geometry":{"type":"Point","coordinates":[' ||
@@ -254,8 +264,8 @@ object IndexBuild {
         (split(col("doc_id"), "_").getItem(1).cast("long") * 8 + col("s.offset")).as("ref"))
     val nodes = GeoWorld.points(spark, sfDir).select(col("pid"), col("lonm"), col("latm"))
     val xyJson = concat(lit("["),
-      microToDec(lit(-20000000L) + col("lonm") * 1000L + 200L), lit(","),
-      microToDec(lit(30000000L) + col("latm") * 1000L + 200L), lit("]"))
+      microToDec(lonMicroOf(col("lonm"))), lit(","),
+      microToDec(latMicroOf(col("latm"))), lit("]"))
     val props = concat(lit("""},"properties":{"doc_id":""""), jsonEscape(col("doc_id")), lit(""""}}"""))
     refs.join(nodes, refs("ref") === nodes("pid"))
       .select(col("doc_id"), struct(col("off"), xyJson.as("xy")).as("s"))
@@ -272,7 +282,7 @@ object IndexBuild {
   }
 
   val geojsonWaySql: String = {
-    val xy = s"""('[' || ${microToDecSql("(-20000000 + p.lonm * 1000 + 200)")} || ',' || ${microToDecSql("(30000000 + p.latm * 1000 + 200)")} || ']')"""
+    val xy = s"""('[' || ${microToDecSql(lonMicroSqlOf("p.lonm"))} || ',' || ${microToDecSql(latMicroSqlOf("p.latm"))} || ']')"""
     val props = s"""'},"properties":{"doc_id":"' || ${jsonEscapeSql("doc_id")} || '"}}'"""
     GeoQueries.withWorld() +
       s"""SELECT doc_id,

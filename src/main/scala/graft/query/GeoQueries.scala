@@ -360,7 +360,13 @@ object GeoQueries {
         val g = guaranteeM(ringK, qlat)
         val top = topByQid.getOrElse(qid, Seq.empty)
         (top.size >= k && top.last._1 <= g) ||
-          g >= pruneM // ring covers the whole prune radius -> candidates complete
+          g >= pruneM || // ring covers the whole prune radius -> complete
+          // ring spans the ENTIRE grid (zcell_ring clamps to bounds): every
+          // point is a candidate, so the top-k is final no matter what the
+          // cos-shrunk guarantee says — without this, a near-pole probe's
+          // longitudinal guarantee never reaches pruneM and the probe would
+          // silently die at the iteration cap (review finding)
+          ringK >= (1 << RES_COARSE)
       }
       done ++= proved.map { case (qid, _, _) => qid -> topByQid.getOrElse(qid, Seq.empty) }
       pending = stillPending

@@ -84,9 +84,15 @@ object StatefulAssemble {
       state.update(DocBuf(buf, expected))
       if (arrived.nonEmpty) {
         // arm/extend eviction: gap past the newest of (watermark, this
-        // batch's max event time) — always strictly beyond the watermark
+        // batch's max event time) — always strictly beyond the watermark.
+        // On a BATCH Dataset Catalyst strips withWatermark, so
+        // getCurrentWatermarkMs throws — and timeouts never fire there
+        // anyway, so skip arming rather than crash the documented
+        // batch-mode path.
         val maxEventMs = arrived.map(_.ts.getTime).max
-        state.setTimeoutTimestamp(math.max(state.getCurrentWatermarkMs(), maxEventMs) + TIMEOUT_GAP_MS)
+        scala.util.Try(state.getCurrentWatermarkMs()).toOption.foreach { wm =>
+          state.setTimeoutTimestamp(math.max(wm, maxEventMs) + TIMEOUT_GAP_MS)
+        }
       }
       Iterator.empty
     }

@@ -33,6 +33,13 @@ object StreamNormalize {
         (lit(GeoWorld.LAT0) + expr("try_cast(split(s.text, ',')[1] AS BIGINT)") / 1000.0 + GeoWorld.OFF).as("lat"))
       .withColumn("cell", CellFunctions.zcell(col("lon"), col("lat"), lit(CellIndex.RES_MID)))
 
+  /** Deterministic synthetic event time, in ONE place for the five
+    * windowed/enrich transforms: doc ordinal -> seconds past the epoch
+    * base (the oracles re-derive it as `(pid // 8) % 3600`). */
+  private def withEventTime(df: DataFrame): DataFrame =
+    df.withColumn("ord", split(col("doc_id"), "_").getItem(1).cast("long") % 3600)
+      .withColumn("ts", expr("timestampadd(SECOND, ord, timestamp'2026-01-01 00:00:00')"))
+
   /** Per-micro-batch cell counts (complete-mode aggregate). */
   def cellCounts(docs: DataFrame): DataFrame =
     normalize(docs).groupBy("cell").count()
@@ -73,8 +80,7 @@ object StreamNormalize {
    */
   def dedupSpans(docs: DataFrame): DataFrame =
     normalize(docs)
-      .withColumn("ord", split(col("doc_id"), "_").getItem(1).cast("long") % 3600)
-      .withColumn("ts", expr("timestampadd(SECOND, ord, timestamp'2026-01-01 00:00:00')"))
+      .transform(withEventTime)
       .drop("ord")
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("doc_id", "offset")
@@ -86,8 +92,7 @@ object StreamNormalize {
     * timestamp is a multiple of the slide, so starts line up exactly). */
   def slidingCellCounts(docs: DataFrame): DataFrame =
     normalize(docs)
-      .withColumn("ord", split(col("doc_id"), "_").getItem(1).cast("long") % 3600)
-      .withColumn("ts", expr("timestampadd(SECOND, ord, timestamp'2026-01-01 00:00:00')"))
+      .transform(withEventTime)
       .drop("ord")
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("cell"))
@@ -111,8 +116,7 @@ object StreamNormalize {
    */
   def sessionCellCounts(docs: DataFrame): DataFrame =
     normalize(docs)
-      .withColumn("ord", split(col("doc_id"), "_").getItem(1).cast("long") % 3600)
-      .withColumn("ts", expr("timestampadd(SECOND, ord, timestamp'2026-01-01 00:00:00')"))
+      .transform(withEventTime)
       .drop("ord")
       .withWatermark("ts", "10 minutes")
       .groupBy(session_window(col("ts"), "60 seconds"), col("cell"))
@@ -141,8 +145,7 @@ object StreamNormalize {
 
   def windowedCellCounts(docs: DataFrame): DataFrame =
     normalize(docs)
-      .withColumn("ord", split(col("doc_id"), "_").getItem(1).cast("long") % 3600)
-      .withColumn("ts", expr("timestampadd(SECOND, ord, timestamp'2026-01-01 00:00:00')"))
+      .transform(withEventTime)
       .drop("ord")
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "5 minutes"), col("cell"))
@@ -172,8 +175,7 @@ object StreamNormalize {
       .withColumn("cell", CellFunctions.zcell(col("lon"), col("lat"), lit(CellIndex.RES_COARSE)))
       .join(broadcast(areaDim.select("cell", "area_id", "wkb")), "cell")
       .filter(graft.geom.GeoCols.geoContainsPoint(col("wkb"), col("lon"), col("lat")))
-      .withColumn("ord", split(col("doc_id"), "_").getItem(1).cast("long") % 3600)
-      .withColumn("ts", expr("timestampadd(SECOND, ord, timestamp'2026-01-01 00:00:00')"))
+      .transform(withEventTime)
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "5 minutes"), col("area_id"))
       .count()

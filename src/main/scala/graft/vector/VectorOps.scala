@@ -67,9 +67,24 @@ object VectorOps {
   private val rawCountCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]()
 
-  private def rawCount(spark: SparkSession, sfDir: String): Long =
+  /** Drop entries of stopped sessions (same hygiene as
+    * GeoWorld.purgeStoppedSessions — a long-lived multi-tenant driver must
+    * not pin dead SparkSession objects through cache keys). */
+  private[graft] def purgeStoppedSessions(
+      stopped: ((SparkSession, String)) => Boolean = _._1.sparkContext.isStopped): Int = {
+    val it = rawCountCache.entrySet().iterator()
+    var n = 0
+    while (it.hasNext) {
+      if (stopped(it.next().getKey)) { it.remove(); n += 1 }
+    }
+    n
+  }
+
+  private def rawCount(spark: SparkSession, sfDir: String): Long = {
+    purgeStoppedSessions()
     rawCountCache.computeIfAbsent((spark, sfDir),
       _ => spark.read.parquet(s"$sfDir/embeddings.parquet").count())
+  }
 
   /** Probe vectors: every 100th id. */
   def probes(spark: SparkSession, sfDir: String): DataFrame =
@@ -168,10 +183,18 @@ object VectorOps {
    * LSH on this data; the near-dup task is where the hyperplane math has a
    * gap to exploit, and TextVectorSpec pins both measurements.
    */
-  def lshTopK(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
+  /** `planes = None` sizes from the corpus count ([[planesFor]] — the
+    * deployment dial); the CATALOG entry pins `Some(PLANES_PER_TABLE)` so
+    * the static oracle SQL (which hard-codes the plane count in its bucket
+    * expressions) stays bit-equal at EVERY scale factor — the same
+    * fixed-dial-for-parity choice the IVF quantizer makes with its
+    * centroid modulus. */
+  def lshTopK(spark: SparkSession, sfDir: String, k: Int = 10,
+      planes: Option[Int] = None): DataFrame = {
     val vs = vectors(spark, sfDir)
     val pr = probes(spark, sfDir)
-    val cands = lshCandidates(spark, vs, pr, planesFor(rawCount(spark, sfDir)))
+    val p = planes.getOrElse(planesFor(rawCount(spark, sfDir)))
+    val cands = lshCandidates(spark, vs, pr, p)
     val cosine = dot(col("v"), col("qv")) / (norm(col("v")) * norm(col("qv")))
     topKByScore(spark, k,
       cands.join(vs.select(col("vec_id"), col("v")), "vec_id")
@@ -389,11 +412,14 @@ object VectorOps {
    * is the LSH ANN plan with the probe side = the corpus itself: per-table
    * equi-join on bucket, distinct bounded by candidate volume.
    */
-  def nearDupPairs(spark: SparkSession, sfDir: String, tau: Double = 0.95): DataFrame = {
+  /** `planesOpt` as in [[lshTopK]]: None = scale-aware default, the
+    * catalog pins the oracle's fixed count. */
+  def nearDupPairs(spark: SparkSession, sfDir: String, tau: Double = 0.95,
+      planesOpt: Option[Int] = None): DataFrame = {
     val c = dedupCorpus(spark, sfDir)
     // scale-aware default (= 8 on test corpora): size from the base-table
     // footer count × 1.1 (the injected-dup fraction) — never a corpus scan
-    val planes = planesFor(rawCount(spark, sfDir) * 11L / 10L)
+    val planes = planesOpt.getOrElse(planesFor(rawCount(spark, sfDir) * 11L / 10L))
     val perTable = (0 until N_TABLES).map { t =>
       val b = c.select(col("vec_id"), bucketOf(col("v"), t, planes).as("bucket"))
       b.select(col("bucket"), col("vec_id").as("a"))

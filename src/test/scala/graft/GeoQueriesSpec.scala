@@ -127,8 +127,12 @@ class GeoQueriesSpec extends SparkSpec {
     //   probe silently vanished from the output instead of widening).
     // 9004: ~15° outside — no point within pruneM at all; the proven-empty
     //   answer is NO rows, reached once the ring guarantee covers pruneM.
+    // 9005: NEAR-POLE probe with a huge pruneM — the cos-shrunk
+    //   longitudinal guarantee can never reach pruneM, so only the
+    //   full-grid-ring termination proves it (review finding: previously
+    //   died silently at the iteration cap).
     val probeRows = Seq((9001L, 39.9, 65.9), (9002L, -19.9, 65.9),
-      (9003L, 45.0, 40.0), (9004L, 55.0, 40.0))
+      (9003L, 45.0, 40.0), (9004L, 55.0, 40.0), (9005L, 10.0, 89.5))
     val corner = spark.createDataFrame(
       java.util.List.of(probeRows.map { case (q, x, y) => Row(q, x, y) }: _*),
       StructType(Seq(StructField("qid", LongType), StructField("qlon", DoubleType),
@@ -146,6 +150,15 @@ class GeoQueriesSpec extends SparkSpec {
     assert(got === brute)
     assert(got.exists(_._1 == 9003L), "empty-3-ring probe must widen, not vanish")
     assert(!got.exists(_._1 == 9004L), "out-of-prune probe must prove empty")
+    // near-pole probe with a world-reaching prune radius: the full-grid
+    // ring termination must return the true top-k, not silently drop it
+    val polar = GeoQueries.knnForProbes(spark, sfDir,
+        corner.filter(org.apache.spark.sql.functions.col("qid") === 9005L), k = 3, pruneM = 5.0e6)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toSet
+    val bruteP = pts.map(p => (graft.geom.Geo.haversineM(p.getDouble(1), p.getDouble(2), 10.0, 89.5), p.getLong(0)))
+      .filter(_._1 <= 5.0e6).sortBy(identity).take(3)
+      .zipWithIndex.map { case ((_, pid), i) => (i + 1, pid) }.toSet
+    assert(polar === bruteP && polar.size === 3, "near-pole probe lost at the iteration cap")
     // round-2 verdict #3: the iteration caches must not outlive the call
     val cachedAfter = spark.sparkContext.getPersistentRDDs.keySet
     assert((cachedAfter -- cachedBefore).isEmpty, "knn leaked persisted RDDs")

@@ -53,6 +53,22 @@ class StreamAndStatsSpec extends SparkSpec {
     assert(wl.count() === all.filter(col("tag_k") =!= "leisure").count())
   }
 
+  test("stateful assembler on a BATCH Dataset: incomplete docs buffer without crashing (no watermark to read)") {
+    // Catalyst strips withWatermark from batch plans, so
+    // state.getCurrentWatermarkMs() throws there — the documented
+    // batch-mode path must skip timeout arming, not crash (review finding).
+    import spark.implicits._
+    import graft.streaming.{SpanIn, StatefulAssemble}
+    val ts = new java.sql.Timestamp(0L)
+    val spans = Seq(
+      SpanIn("d_1", 0, "point", "1,2", "", 2, ts),
+      SpanIn("d_1", 1, "point", "3,4", "", 2, ts),
+      SpanIn("d_2", 0, "point", "5,6", "", 3, ts)) // incomplete: 1 of 3
+      .toDS()
+    val out = StatefulAssemble.assemble(spark, spans).collect()
+    assert(out.map(_.doc_id).toSeq === Seq("d_1") && out.head.complete)
+  }
+
   test("stateful assembler: docs split across micro-batches (and a restart) complete with batch-identical fingerprints") {
     import spark.implicits._
     import graft.streaming.{SpanIn, StatefulAssemble}
