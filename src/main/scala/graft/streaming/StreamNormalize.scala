@@ -21,8 +21,11 @@ import graft.gen.GeoWorld
 object StreamNormalize {
 
   /** Normalize a (possibly streaming) docs DataFrame: explode spans in
-    * order, parse coordinates, attach the mid-res cell. */
-  def normalize(docs: DataFrame): DataFrame =
+    * order, parse coordinates, attach the mid-res cell. Registers the cell
+    * expressions itself (idempotent) so no entry point depends on another
+    * query having initialised the session first. */
+  def normalize(docs: DataFrame): DataFrame = {
+    GeoWorld.registerUdfs(docs.sparkSession)
     docs.select(col("doc_id"), explode(col("spans")).as("s"))
       .select(
         col("doc_id"),
@@ -32,6 +35,7 @@ object StreamNormalize {
         (lit(GeoWorld.LON0) + expr("try_cast(split(s.text, ',')[0] AS BIGINT)") / 1000.0 + GeoWorld.OFF).as("lon"),
         (lit(GeoWorld.LAT0) + expr("try_cast(split(s.text, ',')[1] AS BIGINT)") / 1000.0 + GeoWorld.OFF).as("lat"))
       .withColumn("cell", CellFunctions.zcell(col("lon"), col("lat"), lit(CellIndex.RES_MID)))
+  }
 
   /** Deterministic synthetic event time, in ONE place for the five
     * windowed/enrich transforms: doc ordinal -> seconds past the epoch
@@ -130,18 +134,32 @@ object StreamNormalize {
          |         TIMESTAMP '2026-01-01 00:00:00' + ((pid // 8) % 3600) * INTERVAL 1 SECOND AS ts
          |  FROM spansf
          |)""".stripMargin,
+      // Islands over DISTINCT (cell, ts): with duplicate timestamps the
+      // running-sum frame's tie order is nondeterministic and could split
+      // tied rows across two sids (observed at sf0.1 — oracle row count
+      // varied run to run). Sessions are a function of the distinct
+      // timestamp SET, so break/assign on distinct rows (no ties), then
+      // join every event row back to its session id for the counts.
+      // STRICT > for the break: Spark's session_window end is exclusive
+      // but MERGING is inclusive — an event exactly gap seconds after the
+      // previous one extends the session (three exact-60s gaps at sf0.1;
+      // >= split them and broke parity).
+      """evd AS (
+        |  SELECT DISTINCT cell, ts FROM ev
+        |)""".stripMargin,
       """brk AS (
         |  SELECT cell, ts,
-        |         CASE WHEN ts - LAG(ts) OVER (PARTITION BY cell ORDER BY ts) >= INTERVAL 60 SECOND
+        |         CASE WHEN ts - LAG(ts) OVER (PARTITION BY cell ORDER BY ts) > INTERVAL 60 SECOND
         |              OR LAG(ts) OVER (PARTITION BY cell ORDER BY ts) IS NULL THEN 1 ELSE 0 END AS b
-        |  FROM ev
+        |  FROM evd
         |)""".stripMargin,
       """sess AS (
         |  SELECT cell, ts, SUM(b) OVER (PARTITION BY cell ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
         |  FROM brk
         |)""".stripMargin) +
-      """SELECT MIN(ts) AS session_start, cell, COUNT(*) AS count
-        |FROM sess GROUP BY cell, sid""".stripMargin
+      """SELECT MIN(e.ts) AS session_start, e.cell, COUNT(*) AS count
+        |FROM ev e JOIN sess s ON s.cell = e.cell AND s.ts = e.ts
+        |GROUP BY e.cell, s.sid""".stripMargin
 
   def windowedCellCounts(docs: DataFrame): DataFrame =
     normalize(docs)
