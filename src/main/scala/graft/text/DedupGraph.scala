@@ -51,7 +51,7 @@ object DedupGraph {
     * same collect-fits-on-driver argument). Above it, the distributed star
     * rounds run; both paths are cross-checked in DedupGraphSpec.
     */
-  def connectedComponents(edges0: DataFrame, driverSideMax: Long = 5000000L): DataFrame = {
+  def connectedComponents(edges0: DataFrame, driverSideMax: Long = 250000L): DataFrame = {
     val spark = edges0.sparkSession
     val canon0 = canonical(edges0).persist()
     val nEdges = canon0.count()

@@ -460,6 +460,6 @@ object VectorOps {
       .groupBy("bucket").agg(count(lit(1)).as("n"))
 
   val bucketHistogramSql: String =
-    s"""SELECT ${bucketSql("a")} AS bucket, COUNT(*) AS n
+    s"""SELECT CAST(${bucketSql("a")} AS BIGINT) AS bucket, COUNT(*) AS n
        |FROM embeddings a GROUP BY 1""".stripMargin
 }

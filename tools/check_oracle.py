@@ -13,6 +13,23 @@ import duckdb
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
+def arrow_types(reader):
+    """Column-name → normalized Arrow type string for a duckdb result.
+
+    Strict on the int/decimal/float axis (the class the driver's hash
+    compare rejects — e.g. DuckDB windowed SUM → HUGEINT → decimal128(38,0)
+    vs Spark int64), lenient on representation-only variance (string vs
+    large_string, timestamp timezone annotation)."""
+    tbl = reader.arrow()
+    out = {}
+    for f in tbl.schema:
+        t = str(f.type)
+        t = t.replace("large_string", "string")
+        if t.startswith("timestamp"):
+            t = "timestamp"
+        out[f.name] = t
+    return out
+
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
@@ -48,9 +65,11 @@ def main(sf_dir, out_dir, only=None):
         if not files:
             print(f"FAIL {name}: no result parquet"); n_bad += 1; continue
         try:
+            got_types = arrow_types(con.execute(f"SELECT * FROM read_parquet({files!r})"))
             got = con.execute(f"SELECT * FROM read_parquet({files!r})")
             got_cols = [d[0] for d in got.description]
             got_rows = got.fetchall()
+            want_types = arrow_types(con.execute(sql))
             want = con.execute(sql)
             want_cols = [d[0] for d in want.description]
             want_rows = want.fetchall()
@@ -58,6 +77,13 @@ def main(sf_dir, out_dir, only=None):
             print(f"FAIL {name}: oracle error: {e}"); n_bad += 1; continue
         if sorted(got_cols) != sorted(want_cols):
             print(f"FAIL {name}: cols {sorted(got_cols)} vs {sorted(want_cols)}"); n_bad += 1; continue
+        # Arrow physical-type strictness: repr()-level value equality is NOT
+        # enough for the driver's hash compare (round-3 q_text_seq_pack:
+        # decimal128(38,0) vs int64 hashed differently with equal values).
+        bad_types = {c: (got_types.get(c), want_types.get(c))
+                     for c in got_types if got_types.get(c) != want_types.get(c)}
+        if bad_types:
+            print(f"FAIL {name}: arrow type mismatch {bad_types}"); n_bad += 1; continue
         if len(got_rows) != len(want_rows):
             print(f"FAIL {name}: rows {len(got_rows)} vs {len(want_rows)}"); n_bad += 1; continue
         a, b = canon(got_rows, got_cols), canon(want_rows, want_cols)
