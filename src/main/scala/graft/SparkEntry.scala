@@ -113,8 +113,12 @@ object SparkEntry {
     "q_mapping_table" -> ((s, d) => graft.index.IndexBuild.mappingTable(s, d)),
     "q_cell_tag_table" -> ((s, d) => graft.index.IndexBuild.cellTagTable(s, d)),
     "q_relation_assemble" -> ((s, d) => graft.index.IndexBuild.relationAssemble(s, d)),
+    // two-hop members: relation -> way mapping -> assembled-way fetch (T4 full)
+    "q_relation_mixed" -> ((s, d) => graft.index.IndexBuild.relationMixed(s, d)),
     "q_geojson" -> ((s, d) => graft.index.IndexBuild.geojson(s, d)),
     "q_geojson_way" -> ((s, d) => graft.index.IndexBuild.geojsonWay(s, d)),
+    // area boundaries as Polygon / GeometryCollection(MultiPolygon) GeoJSON
+    "q_geojson_area" -> ((s, d) => graft.index.IndexBuild.geojsonArea(s, d)),
     // streaming surface: batch twin of the watermarked windowed aggregation
     "q_stream_window" -> ((s, d) =>
       graft.streaming.StreamNormalize.windowedCellCounts(graft.gen.GeoWorld.docs(s, d))),
@@ -194,8 +198,10 @@ object SparkEntry {
     "q_mapping_table" -> graft.index.IndexBuild.mappingTableSql,
     "q_cell_tag_table" -> graft.index.IndexBuild.cellTagTableSql,
     "q_relation_assemble" -> graft.index.IndexBuild.relationAssembleSql,
+    "q_relation_mixed" -> graft.index.IndexBuild.relationMixedSql,
     "q_geojson" -> graft.index.IndexBuild.geojsonSql,
     "q_geojson_way" -> graft.index.IndexBuild.geojsonWaySql,
+    "q_geojson_area" -> graft.index.IndexBuild.geojsonAreaSql,
     "q_stream_window" -> graft.streaming.StreamNormalize.windowedCellCountsSql,
     "q_stream_sliding" -> graft.streaming.StreamNormalize.slidingCellCountsSql,
     "q_stream_session" -> graft.streaming.StreamNormalize.sessionCellCountsSql,

@@ -180,6 +180,93 @@ object IndexBuild {
          |GROUP BY doc_id""".stripMargin
   }
 
+  /**
+   * Relation assembly with TRUE two-hop members (round-3 missing item #2;
+   * reference RelationFlow.scala:29-58): besides its own point members, a
+   * relation references a WAY — another document — whose geometry is the
+   * wayAssemble OUTPUT (the LineString assembled from THAT doc's ordered,
+   * resolved spans), fetched exactly like the reference's member path:
+   * member ref → way MAPPING (id → principal cell) → (cell, id) fetch from
+   * the assembled-way data table. The fetched LineString nests into the
+   * GeometryCollection after the point members (the reference's
+   * points-then-lines map order).
+   *
+   * Member wiring (deterministic, oracle-recomputable): relation `doc_d`
+   * references way `doc_{d+1}` when that doc exists with ≥ 2 resolved
+   * members; relations at ordinal gaps simply have no way member.
+   *
+   * Scale: every hop is a keyed equi-join — spans→mapping (ref), mapping→
+   * features (cell, id), relation→way-mapping (way id), way-mapping→
+   * way-data (cell, id). With the bucketed tables of
+   * [[writeBucketedIndex]] the (cell, id) fetches are the zero-shuffle
+   * co-located join; nothing here is ever quadratic.
+   */
+  def relationMixed(spark: SparkSession, sfDir: String): DataFrame = {
+    init(spark)
+    val refs = GeoWorld.docs(spark, sfDir)
+      .select(col("doc_id"), explode(col("spans")).as("s"))
+      .select(col("doc_id"), col("s.offset").as("off"),
+        (split(col("doc_id"), "_").getItem(1).cast("long") * 8 + col("s.offset")).as("ref"))
+    val mapping = mappingTable(spark, sfDir) // JOIN #1: ref -> cell
+    val features = GeoWorld.points(spark, sfDir)
+      .select(col("pid"), col("lonm"), col("latm"),
+        CellFunctions.zcell(col("lon"), col("lat"), lit(RES_MID)).as("cell"))
+    val xy = concat(col("lonm").cast("string"), lit(" "), col("latm").cast("string"))
+    val resolved = refs
+      .join(mapping, refs("ref") === mapping("pid")).drop("pid")
+      .join(features, Seq("cell")).where(col("ref") === features("pid")) // JOIN #2
+      .select(col("doc_id"), col("off"), col("cell"), xy.as("xy"))
+    val relPts = resolved
+      .select(col("doc_id"), struct(col("off"), col("xy")).as("m"))
+      .groupBy("doc_id").agg(array_sort(collect_list(col("m"))).as("ms"))
+      .withColumn("ord", split(col("doc_id"), "_").getItem(1).cast("long"))
+    // assembled-way data table (wayAssemble output) keyed by principal cell
+    val wayData = resolved.groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("off"), col("xy")))).as("ss"),
+        min_by(col("cell"), col("off")).as("wcell"))
+      .filter(size(col("ss")) >= 2)
+      .select(col("doc_id").as("way_id"), col("wcell"),
+        concat_ws(",", transform(col("ss"), s => s.getField("xy"))).as("line"))
+    val wayMapping = wayData.select(col("way_id").as("m_way_id"), col("wcell").as("m_cell"))
+    val withWay = relPts
+      .withColumn("way_ref", concat(lit("doc_"), (col("ord") + 1).cast("string")))
+      .join(wayMapping, col("way_ref") === col("m_way_id"), "left") // member -> mapping
+      .join(wayData, // (cell, id) fetch of the assembled way
+        col("m_cell") === wayData("wcell") && col("way_ref") === wayData("way_id"), "left")
+    withWay.select(col("doc_id"),
+      concat(lit("GEOMETRYCOLLECTION("),
+        concat_ws(",", transform(col("ms"), m => concat(lit("POINT("), m.getField("xy"), lit(")")))),
+        when(col("line").isNotNull,
+          concat(lit(",LINESTRING("), col("line"), lit(")"))).otherwise(lit("")),
+        lit(")")).as("wkt"),
+      (size(col("ms")) + when(col("line").isNotNull, 1).otherwise(0)).as("n_members"))
+  }
+
+  val relationMixedSql: String = {
+    val xy = """CAST(p.lonm AS VARCHAR) || ' ' || CAST(p.latm AS VARCHAR)"""
+    GeoQueries.withWorld(
+      s"""resolved AS (
+         |  SELECT s.doc_id, s."offset" AS "offset", $xy AS xy
+         |  FROM spansf s JOIN pts p ON p.pid = s.pid
+         |)""".stripMargin,
+      """relpts AS (
+        |  SELECT doc_id, CAST(SPLIT_PART(doc_id, '_', 2) AS BIGINT) AS ord,
+        |         STRING_AGG('POINT(' || xy || ')', ',' ORDER BY "offset") AS pts_s,
+        |         COUNT(*) AS n_pts
+        |  FROM resolved GROUP BY doc_id
+        |)""".stripMargin,
+      """ways AS (
+        |  SELECT doc_id AS way_id, STRING_AGG(xy, ',' ORDER BY "offset") AS line
+        |  FROM resolved GROUP BY doc_id HAVING COUNT(*) >= 2
+        |)""".stripMargin) +
+      """SELECT r.doc_id,
+        |       'GEOMETRYCOLLECTION(' || r.pts_s ||
+        |       CASE WHEN w.line IS NOT NULL THEN ',LINESTRING(' || w.line || ')' ELSE '' END
+        |       || ')' AS wkt,
+        |       CAST(r.n_pts + CASE WHEN w.line IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS n_members
+        |FROM relpts r LEFT JOIN ways w ON w.way_id = 'doc_' || CAST(r.ord + 1 AS VARCHAR)""".stripMargin
+  }
+
   // ----------------------------------------------- Q18: GeoJSON serialise
 
   /** Fixed-point decimal string from integer micro-degrees (both engines
@@ -279,6 +366,63 @@ object IndexBuild {
             concat(lit("""{"type":"Feature","geometry":{"type":"Point","coordinates":"""),
               element_at(col("ss"), 1).getField("xy"), props))
           .as("feature"))
+  }
+
+  /**
+   * GeoJSON for AREA geometries — the reference's primary product output
+   * ("give me the boundary as GeoJSON"; Flows.scala:92-97 serialises EVERY
+   * denormalised type, areas included, via geow's `toGeoJsonString`). Round-3
+   * missing item #1: the catalog had Point + LineString branches only.
+   *
+   * Geometry-type dispatch mirrors the reference's stored denormalised
+   * shape: country/state rows (level ≤ 4) serialise the full
+   * GeometryCollection(MultiPolygon(ring)) relation shape; sub-state levels
+   * serialise the plain Polygon — so the output genuinely mixes
+   * Polygon and GeometryCollection/MultiPolygon features in one column.
+   *
+   * Coordinates: every rect corner lies on the integer MILLI-degree grid
+   * (GeoWorld invariant), so `ROUND((corner − origin) × 1000)` recovers the
+   * integer exactly in BOTH engines (same IEEE double ops) and the string
+   * is the same exact fixed-point formatting as [[geojson]].
+   */
+  def geojsonArea(spark: SparkSession, sfDir: String): DataFrame = {
+    init(spark)
+    val a = GeoWorld.areas(spark, sfDir)
+    def lonM(c: Column): Column = lit(LONM0) + round((c - lit(GeoWorld.LON0)) * 1000).cast("long") * 1000L
+    def latM(c: Column): Column = lit(LATM0) + round((c - lit(GeoWorld.LAT0)) * 1000).cast("long") * 1000L
+    def pt(x: Column, y: Column): Column =
+      concat(lit("["), microToDec(x), lit(","), microToDec(y), lit("]"))
+    val (x0, x1) = (lonM(col("lon0")), lonM(col("lon1")))
+    val (y0, y1) = (latM(col("lat0")), latM(col("lat1")))
+    // closed CCW shell, same vertex order as Geo.rect
+    val ring = concat(lit("[["), pt(x0, y0), lit(","), pt(x1, y0), lit(","),
+      pt(x1, y1), lit(","), pt(x0, y1), lit(","), pt(x0, y0), lit("]]"))
+    val props = concat(lit("""},"properties":{"name":""""), jsonEscape(col("area_name")),
+      lit("""","level":"""), col("level").cast("string"), lit("}}"))
+    a.select(col("area_id"),
+      when(col("level") <= 4,
+        concat(lit("""{"type":"Feature","geometry":{"type":"GeometryCollection","geometries":[{"type":"MultiPolygon","coordinates":["""),
+          ring, lit("]}]"), props))
+        .otherwise(
+          concat(lit("""{"type":"Feature","geometry":{"type":"Polygon","coordinates":"""),
+            ring, props))
+        .as("feature"))
+  }
+
+  val geojsonAreaSql: String = {
+    def lonM(c: String) = s"($LONM0 + CAST(ROUND(($c - ${GeoWorld.LON0}) * 1000) AS BIGINT) * 1000)"
+    def latM(c: String) = s"($LATM0 + CAST(ROUND(($c - ${GeoWorld.LAT0}) * 1000) AS BIGINT) * 1000)"
+    def pt(x: String, y: String) = s"'[' || ${microToDecSql(x)} || ',' || ${microToDecSql(y)} || ']'"
+    val ring = s"'[[' || ${pt(lonM("lon0"), latM("lat0"))} || ',' || ${pt(lonM("lon1"), latM("lat0"))} || ',' || ${pt(lonM("lon1"), latM("lat1"))} || ',' || ${pt(lonM("lon0"), latM("lat1"))} || ',' || ${pt(lonM("lon0"), latM("lat0"))} || ']]'"
+    val props = s"""'},"properties":{"name":"' || ${jsonEscapeSql("area_name")} || '","level":' || CAST(level AS VARCHAR) || '}}'"""
+    GeoQueries.withWorld() +
+      s"""SELECT area_id,
+         |  CASE WHEN level <= 4 THEN
+         |    '{"type":"Feature","geometry":{"type":"GeometryCollection","geometries":[{"type":"MultiPolygon","coordinates":[' || $ring || ']}]' || $props
+         |  ELSE
+         |    '{"type":"Feature","geometry":{"type":"Polygon","coordinates":' || $ring || $props
+         |  END AS feature
+         |FROM areas""".stripMargin
   }
 
   val geojsonWaySql: String = {
