@@ -30,6 +30,8 @@ object SparkEntry {
     "q_containment" -> ((s, d) => GeoQueries.containmentJoin(s, d)),
     // fuzzy-within (0.9) decides metro->state membership end-to-end (Q9)
     "q_metro_fuzzy" -> ((s, d) => GeoQueries.metroFuzzy(s, d)),
+    // degenerate bowtie overlays: the Try-failure -> false arm decides (Q9)
+    "q_fuzzy_invalid" -> ((s, d) => GeoQueries.fuzzyInvalid(s, d)),
     // chained admin-ladder query (Q11: country -> ... -> community, 8 levels)
     "q_area_chain" -> ((s, d) => graft.api.AstTranslator.areaChain(s, d)),
     // POI queries (Q6 / Q7)
@@ -146,6 +148,7 @@ object SparkEntry {
     "q_pip_salted" -> GeoQueries.pipLookupSql(level = 4),
     "q_containment" -> GeoQueries.containmentJoinSql(),
     "q_metro_fuzzy" -> GeoQueries.metroFuzzySql,
+    "q_fuzzy_invalid" -> GeoQueries.fuzzyInvalidSql,
     "q_area_chain" -> graft.api.AstTranslator.areaChainSql(),
     "q_poi_area" -> GeoQueries.poiFromAreaSql(),
     "q_poi_cell" -> GeoQueries.poiByCellSql(),

@@ -324,6 +324,35 @@ object GeoWorld {
        |)""".stripMargin
   }
 
+  // ------------------------------------------------------------- glitches
+
+  /**
+   * Degenerate "glitch" overlays — one SELF-INTERSECTING bowtie per state
+   * (the reference's gh.issue#2 class of broken boundary), straddling the
+   * state's north border at 95% naive overlap like the j=1 metros. The
+   * exact arm is genuinely false (the shape extends outside), so only the
+   * fuzzy branch could admit it — and there `GeometryPrecisionReducer
+   * .reduce` THROWS on the invalid shell, so the `Try`-failure → false arm
+   * (GeoCalculator.scala:131-149; Geo.scala:99-102) DECIDES each glitch
+   * row: a valid shape in this position IS admitted (metro j=1 proves it),
+   * and a failure arm mapping to `true` would admit these too.
+   * Bowtie spec (milli-degrees from state origin): x 1000..3000,
+   * y 5300..7300, shell (x0,y0)→(x1,y1)→(x1,y0)→(x0,y1)→close.
+   */
+  def glitches(spark: SparkSession, sfDir: String): DataFrame = {
+    registerUdfs(spark)
+    val ord = col("n_nationkey")
+    nationsIdx(spark, sfDir).select(
+      (lit(600000L) + ord).as("area_id"),
+      concat(lit("glitch_"), ord.cast("string")).as("area_name"),
+      lit(3).as("level"),
+      (lit(LON0) + (col("n_regionkey") * 12000L + 1000L) / 1000.0).as("lon0"),
+      (lit(LAT0) + (col("idx") * 7200L + 5300L) / 1000.0).as("lat0"),
+      (lit(LON0) + (col("n_regionkey") * 12000L + 3000L) / 1000.0).as("lon1"),
+      (lit(LAT0) + (col("idx") * 7200L + 7300L) / 1000.0).as("lat1"))
+      .withColumn("wkb", call_function("bowtie_wkb", col("lon0"), col("lat0"), col("lon1"), col("lat1")))
+  }
+
   // ------------------------------------------------------------- documents
 
   /** Interleaved document table (input_hint schema):
@@ -377,6 +406,14 @@ object GeoWorld {
       CellIndex.ring(cell, res, k))
     spark.udf.register("zcell_cover_geom", (wkb: Array[Byte], res: Int) =>
       Geo.vertexCover(wkb, res))
+    spark.udf.register("bowtie_wkb", (lon0: Double, lat0: Double, lon1: Double, lat1: Double) =>
+      // self-intersecting shell — INVALID by construction (see [[glitches]])
+      Geo.toWkb(Geo.areaGeom(Seq(Geo.factory.createPolygon(Array(
+        new org.locationtech.jts.geom.Coordinate(lon0, lat0),
+        new org.locationtech.jts.geom.Coordinate(lon1, lat1),
+        new org.locationtech.jts.geom.Coordinate(lon1, lat0),
+        new org.locationtech.jts.geom.Coordinate(lon0, lat1),
+        new org.locationtech.jts.geom.Coordinate(lon0, lat0)))))))
     spark.udf.register("diamond_wkb", (lon0: Double, lat0: Double, lon1: Double, lat1: Double) => {
       // non-rectangular test polygon: diamond on the rect-edge midpoints
       // (pure +,/ arithmetic so the oracle can re-derive every vertex)

@@ -119,6 +119,29 @@ class GeoSpec extends AnyFunSuite {
     assert(r1 || !r1) // total: no exception escaped either direction
   }
 
+  test("catalog glitch bowtie PROVABLY exercises the Try-failure arm (q_fuzzy_invalid fixture)") {
+    // the q_fuzzy_invalid glitch shape: bowtie straddling the state's north
+    // border at 95% naive overlap (the admitted metro j=1 position). Pin
+    // each stage of the decision chain so the catalog row set can only be
+    // produced BY the failure arm:
+    //  (a) a VALID rect in this exact envelope IS admitted by the fuzzy arm
+    //  (b) the exact arm evaluates false on the bowtie WITHOUT throwing
+    //  (c) the precision reducer inside the fuzzy arm THROWS on it
+    //  (d) therefore within() = false via Failure(_) => false
+    val bowtie = Geo.factory.createPolygon(Array(
+      new org.locationtech.jts.geom.Coordinate(1.0, 5.3), new org.locationtech.jts.geom.Coordinate(3.0, 7.3),
+      new org.locationtech.jts.geom.Coordinate(3.0, 5.3), new org.locationtech.jts.geom.Coordinate(1.0, 7.3),
+      new org.locationtech.jts.geom.Coordinate(1.0, 5.3)))
+    val state = gc(Geo.rect(0, 0, 12, 7.2))
+    assert(Geo.within(gc(Geo.rect(1.0, 5.3, 3.0, 7.3)), state)) // (a)
+    assert(!Geo.withinExact(gc(bowtie), state)) // (b) — and no throw
+    val reducer = new org.locationtech.jts.precision.GeometryPrecisionReducer(
+      new org.locationtech.jts.geom.PrecisionModel())
+    assertThrows[IllegalArgumentException](
+      reducer.reduce(Geo.factory.createMultiPolygon(Array(bowtie)))) // (c)
+    assert(!Geo.within(gc(bowtie), state)) // (d)
+  }
+
   test("shared boundaries still count as within (district strips in nation)") {
     val nation = gc(Geo.rect(-20.0, 30.0, -8.0, 37.2))
     val strip = gc(Geo.rect(-20.0, 30.0, -18.0, 37.2))
