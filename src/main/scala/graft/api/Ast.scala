@@ -31,6 +31,12 @@ object GeoAst {
   final case class PoisFromCoordinates(tagK: String, lon: Double, lat: Double) extends GeoAst
   /** Q8: points within radius metres of the coordinate. */
   final case class Nearby(lon: Double, lat: Double, radiusM: Double) extends GeoAst
+  /** Q8 (ranked): the k nearest points to the coordinate, ranked by
+    * geodesic distance (the reference's nearby ranking). */
+  final case class NearbyRanked(lon: Double, lat: Double, k: Int) extends GeoAst
+  /** S10: POIs whose name starts with the given prefix (the reference's
+    * ES name search collapsed to its hit predicate). */
+  final case class PoiByName(name: String) extends GeoAst
 }
 
 sealed trait TranslateError { def msg: String }
@@ -169,6 +175,25 @@ object AstTranslator {
             .filter(GeoCols.haversineM(col("lon"), col("lat"), lit(lon), lit(lat)) <= r)
             .drop("cell"))
         }
+
+      case NearbyRanked(_, _, k) if k <= 0 =>
+        Left(TranslateError.CouldNotCreateInputQuery(s"k must be positive, got $k"))
+
+      case NearbyRanked(lon, lat, k) =>
+        // the exact ring-widening kNN (GeoQueries.knnForProbes) over a
+        // single-probe set: same proven-coverage guarantee as q_knn
+        import spark.implicits._
+        val probe = Seq((0L, lon, lat)).toDF("qid", "qlon", "qlat")
+        Right(GeoQueries.knnForProbes(spark, sfDir, probe, k, pruneM = 600000.0)
+          .select(col("rank"), col("pid"), col("dist_m")))
+
+      case PoiByName(name) if name.isEmpty =>
+        Left(TranslateError.CouldNotCreateInputQuery("empty name prefix"))
+
+      case PoiByName(name) =>
+        Right(GeoWorld.points(spark, sfDir)
+          .filter(col("name").startsWith(name))
+          .select(col("pid"), col("name"), col("tag_k"), col("tag_v")))
     }
   }
 }

@@ -35,6 +35,10 @@ object AstJson {
       s"""{"type":"PoisFromCoordinates","tagK":"${esc(k)}","lon":$lon,"lat":$lat}"""
     case Nearby(lon, lat, r) =>
       s"""{"type":"Nearby","lon":$lon,"lat":$lat,"radiusM":$r}"""
+    case NearbyRanked(lon, lat, k) =>
+      s"""{"type":"NearbyRanked","lon":$lon,"lat":$lat,"k":$k}"""
+    case PoiByName(n) =>
+      s"""{"type":"PoiByName","name":"${esc(n)}"}"""
   }
 
   /** Minimal recursive-descent parser for the fixed AST grammar. Returns
@@ -129,6 +133,8 @@ object AstJson {
       case "PoisFromArea" => PoisFromArea(str(m, "tagK"), str(m, "tagV"), ast(m, "area"))
       case "PoisFromCoordinates" => PoisFromCoordinates(str(m, "tagK"), num(m, "lon"), num(m, "lat"))
       case "Nearby" => Nearby(num(m, "lon"), num(m, "lat"), num(m, "radiusM"))
+      case "NearbyRanked" => NearbyRanked(num(m, "lon"), num(m, "lat"), num(m, "k").toInt)
+      case "PoiByName" => PoiByName(str(m, "name"))
       case t => fail(s"unknown query type '$t'") // the reference's UnknownCommand
     }
   }

@@ -25,6 +25,63 @@ class AstSpec extends SparkSpec {
     }
   }
 
+  test("ScalaCheck property: JSON round-trips ARBITRARY ASTs incl. names with quotes/backslashes/control chars") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // names deliberately dense in JSON specials — the example-based escape
+    // tests of round 2/3 become a property here
+    val nameGen: Gen[String] = Gen.listOfN(8, Gen.frequency(
+      4 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf('"', '\\', '/', ' '),
+      1 -> Gen.oneOf('\n', '\t', '\u0000', '\u001f'),
+      1 -> Gen.oneOf('é', 'ß', '中'))).map(_.mkString)
+    val levelGen = Gen.oneOf(graft.gen.GeoWorld.ALL_LEVELS)
+    val coordGen = Gen.chooseNum(-180.0, 180.0)
+    val leafGen: Gen[GeoAst] = Gen.oneOf(
+      for { l <- levelGen; x <- coordGen; y <- coordGen } yield AreaByCoordinates(l, x, y),
+      for { l <- levelGen; n <- nameGen } yield AreaByName(l, n),
+      for { k <- nameGen; x <- coordGen; y <- coordGen } yield PoisFromCoordinates(k, x, y),
+      for { x <- coordGen; y <- coordGen; r <- Gen.chooseNum(1.0, 1e6) } yield Nearby(x, y, r),
+      for { x <- coordGen; y <- coordGen; k <- Gen.chooseNum(1, 50) } yield NearbyRanked(x, y, k),
+      for { n <- nameGen } yield PoiByName(n))
+    def astGen(depth: Int): Gen[GeoAst] =
+      if (depth <= 0) leafGen
+      else Gen.frequency(
+        2 -> leafGen,
+        1 -> (for { l <- levelGen; p <- astGen(depth - 1) } yield AreasFromArea(l, p)),
+        1 -> (for { k <- nameGen; v <- nameGen; a <- astGen(depth - 1) } yield PoisFromArea(k, v, a)))
+    val gen = astGen(4)
+    (0 until 300).foreach { i =>
+      val ast = gen(Gen.Parameters.default, Seed(i.toLong)).getOrElse(fail(s"gen $i produced nothing"))
+      val json = AstJson.write(ast)
+      assert(AstJson.read(json) === Right(ast), s"seed $i, json: $json")
+    }
+  }
+
+  test("NearbyRanked translates to the exact ring-widening kNN (brute-force parity)") {
+    val (qlon, qlat, k) = (6.0, 51.0, 7)
+    val Right(df) = AstTranslator.translate(spark, sfDir, NearbyRanked(qlon, qlat, k)): @unchecked
+    val got = df.orderBy(col("rank")).collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("pid")))
+    val brute = graft.gen.GeoWorld.points(spark, sfDir).select("pid", "lon", "lat").collect()
+      .map(p => (graft.geom.Geo.haversineM(p.getDouble(1), p.getDouble(2), qlon, qlat), p.getLong(0)))
+      .sortBy(identity).take(k)
+    assert(got.length === k)
+    assert(got.map(_._2).toSeq === brute.map(_._2).toSeq)
+    assert(got.map(_._1).toSeq === (1 to k))
+    // invalid k -> typed error
+    assert(AstTranslator.translate(spark, sfDir, NearbyRanked(0, 0, 0))
+      .left.exists(_.isInstanceOf[TranslateError.CouldNotCreateInputQuery]))
+  }
+
+  test("PoiByName translates to the name-prefix search; empty prefix is a typed error") {
+    val Right(df) = AstTranslator.translate(spark, sfDir, PoiByName("poi_10")): @unchecked
+    val got = df.select("name").collect().map(_.getString(0))
+    assert(got.nonEmpty)
+    assert(got.forall(_.startsWith("poi_10")))
+    assert(AstTranslator.translate(spark, sfDir, PoiByName(""))
+      .left.exists(_.isInstanceOf[TranslateError.CouldNotCreateInputQuery]))
+  }
+
   test("malformed / unknown JSON yields error messages, not exceptions") {
     assert(AstJson.read("""{"type":"FlyingQuery"}""").isLeft)
     assert(AstJson.read("""{"type":"Nearby","lon":1}""").isLeft)
