@@ -281,6 +281,95 @@ object VectorOps {
       .toDF(idCol, "cid")
   }
 
+  /** Angular (chord) distance from a cosine similarity: for unit vectors
+    * ‖û−ŵ‖ = √(2−2cos), a TRUE metric (Euclid on the normalized sphere) —
+    * the triangle inequality the pruned assignment's bound needs, which
+    * raw cosine does not satisfy. argmin chord ≡ argmax cosine. */
+  private def chord(cos: Column): Column =
+    sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) * cos))
+
+  /** Bound slack absorbing FP rounding in the chord/bound arithmetic; the
+    * bound chain is exact in real arithmetic, so any ε ≫ double-ulp and
+    * ≪ data distances keeps the candidate set a superset of the argmin. */
+  private final val PRUNE_EPS = 1e-9
+
+  /**
+   * Candidate (vec_id, v, cid) pairs for the two-level PRUNED quantizer
+   * assignment (round-3 verdict #5: the n × K centroid crossJoin is the
+   * IVF build's scale ceiling — ~3×10^13 dot products at 10^9 vectors).
+   *
+   * Structure: every `supStride`-th centroid (cid order) is a SUPER
+   * centroid; each centroid joins its nearest super's group, with group
+   * radius R_g = max member chord distance to the super. A vector scores
+   * the √K-ish supers only (ONE map-only stage — the supers ride in as a
+   * single broadcast row, so there is NO n × √K shuffle), then by the
+   * triangle bound only groups with d_g − R_g ≤ min_h(d_h + R_h) + ε can
+   * contain the nearest centroid — every argmin centroid is provably in
+   * the candidate set (for any c in g: d_g − R_g ≤ ‖v−c‖ ≤ d_g + R_g), so
+   * the downstream top-1 equals the exact crossJoin's (pinned in
+   * TextVectorSpec). Per-vector work: O(√K) super scores + the members of
+   * the surviving groups (measured ≪ K), vs K before.
+   */
+  private[graft] def prunedCandidatePairs(spark: SparkSession, vs: DataFrame,
+      cents: DataFrame, supStride: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // supers: every supStride-th centroid (cents is K rows — tiny)
+    val ordered = cents.withColumn("ord", row_number().over(Window.orderBy("cid")) - 1)
+    val supers = ordered.filter(col("ord") % supStride === 0)
+      .select(col("cid").as("gid"), col("cv").as("sv"))
+    // group membership + radii: nearest super per centroid (K × K/supStride)
+    val cosCS = dot(col("cv"), col("sv")) / (norm(col("cv")) * norm(col("sv")))
+    val membership = cents.crossJoin(broadcast(supers))
+      .withColumn("dcs", chord(cosCS))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("cid").orderBy(col("dcs"), col("gid"))))
+      .filter(col("rn") === 1)
+      .select(col("cid"), col("gid"), col("dcs"))
+    val radii = membership.groupBy("gid").agg(max(col("dcs")).as("rad"))
+    // one-row broadcast: array<struct<gid, sv, rad>> (√K × DIM doubles)
+    val supArr = supers.join(radii, "gid")
+      .agg(collect_list(struct(col("gid"), col("sv"), col("rad"))).as("sups"))
+    val ds = transform(col("sups"), s => struct(
+      s.getField("gid").as("gid"),
+      chord(dot(col("v"), s.getField("sv")) /
+        (norm(col("v")) * norm(s.getField("sv")))).as("d"),
+      s.getField("rad").as("rad")))
+    val survivors = vs.crossJoin(broadcast(supArr))
+      .withColumn("ds", ds)
+      .withColumn("ub", array_min(transform(col("ds"), x => x.getField("d") + x.getField("rad"))))
+      .select(col("vec_id"), col("v"),
+        explode(filter(col("ds"),
+          x => x.getField("d") - x.getField("rad") <= col("ub") + lit(PRUNE_EPS))).as("g"))
+      .select(col("vec_id"), col("v"), col("g.gid").as("gid"))
+    // surviving groups -> member centroids (broadcast hash join, map-only)
+    survivors.join(broadcast(membership.select(col("cid"), col("gid"))), "gid")
+      .select(col("vec_id"), col("v"), col("cid"))
+  }
+
+  /** Nearest-centroid assignment over the PRUNED candidate pairs — same
+    * (−cosine, cid) scoring and tie order as [[nearestCentroids]](m=1), so
+    * the result is identical to the exact crossJoin path by the bound
+    * argument above. */
+  private[graft] def prunedAssign(spark: SparkSession, vs: DataFrame,
+      cents: DataFrame, supStride: Int): DataFrame = {
+    import spark.implicits._
+    val cosine = dot(col("v"), col("cv")) / (norm(col("v")) * norm(col("cv")))
+    val agg = new graft.query.TopKSmallest(1).toColumn
+    prunedCandidatePairs(spark, vs, cents, supStride)
+      .join(broadcast(cents), "cid")
+      .select(col("vec_id"), (-cosine).as("d"), col("cid"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(agg)
+      .flatMap { case (id, top) => top.iterator.map { case (_, cid) => (id, cid) } }
+      .toDF("vec_id", "cid")
+  }
+
+  /** Super-stride ≈ √K so super scores and probed-group members balance. */
+  private def supStrideFor(nVectors: Long): Int =
+    math.max(2, math.floor(math.sqrt(math.max(1.0, nVectors.toDouble / IVF_CENT_MOD))).toInt)
+
   /**
    * ANN via IVF + MULTI-PROBE — the second scale path beside [[lshTopK]]:
    * every vector is assigned to its nearest centroid (the inverted-file
@@ -294,7 +383,8 @@ object VectorOps {
   def ivfTopK(spark: SparkSession, sfDir: String, k: Int = 10, nprobe: Int = IVF_NPROBE): DataFrame = {
     val vs = vectors(spark, sfDir)
     val pr = probes(spark, sfDir)
-    val cand = ivfCandidates(spark, vs, pr, centroids(spark, sfDir), nprobe)
+    val cand = ivfCandidates(spark, vs, pr, centroids(spark, sfDir), nprobe,
+      supStrideFor(rawCount(spark, sfDir)))
     val cosine = dot(col("v"), col("qv")) / (norm(col("v")) * norm(col("qv")))
     topKByScore(spark, k,
       cand.join(vs.select(col("vec_id"), col("v")), "vec_id")
@@ -306,14 +396,22 @@ object VectorOps {
     * centroid partitions. Each pair appears at most once (a vector has one
     * centroid). */
   private[graft] def ivfCandidates(spark: SparkSession, vs: DataFrame, pr: DataFrame,
-      cents: DataFrame, nprobe: Int): DataFrame = {
-    val assign = nearestCentroids(spark, vs, "vec_id", "v", cents, 1)
+      cents: DataFrame, nprobe: Int, supStride: Int = 4): DataFrame = {
+    // corpus side: PRUNED two-level assignment (identical output to the
+    // exact crossJoin — see prunedCandidatePairs); probe side stays the
+    // exact top-nprobe scan (|probes| × K, the small side)
+    val assign = prunedAssign(spark, vs, cents, supStride)
     val probeC = nearestCentroids(spark, pr.withColumnRenamed("qv", "v"), "qid", "v", cents, nprobe)
     assign.join(probeC, "cid").filter(col("vec_id") =!= col("qid"))
   }
 
   private[graft] def centroidsOf(spark: SparkSession, sfDir: String): DataFrame =
     centroids(spark, sfDir)
+
+  /** The exact n × K crossJoin assignment — kept as the PARITY ORACLE for
+    * [[prunedAssign]] (TextVectorSpec pins equality at SF scale). */
+  private[graft] def exactAssign(spark: SparkSession, vs: DataFrame, cents: DataFrame): DataFrame =
+    nearestCentroids(spark, vs, "vec_id", "v", cents, 1)
 
   /** Lloyd (spherical k-means) refinement of the coarse quantizer: assign
     * every vector to its nearest centroid by cosine, recompute each

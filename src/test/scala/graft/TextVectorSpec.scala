@@ -124,6 +124,50 @@ class TextVectorSpec extends SparkSpec {
     cand.unpersist()
   }
 
+  test("pruned two-level IVF assignment: identical to the exact crossJoin, with measured candidate savings") {
+    import org.apache.spark.sql.functions._
+    val vs = VectorOps.vectors(spark, sfDir)
+    val cents = VectorOps.centroidsOf(spark, sfDir)
+    val n = vs.count()
+    val kC = cents.count()
+    val exact = VectorOps.exactAssign(spark, vs, cents)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    for (stride <- Seq(2, 3)) {
+      val pruned = VectorOps.prunedAssign(spark, vs, cents, stride)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(pruned === exact, s"stride $stride: pruned assignment diverged from the exact crossJoin")
+      // at toy SF the sampled centroids are near-equidistant, so the bound
+      // may keep everything — the SAVINGS claim is measured on the
+      // clustered corpus below; here only the superset invariant holds
+      val candPairs = VectorOps.prunedCandidatePairs(spark, vs, cents, stride).count()
+      assert(candPairs <= n * kC, s"stride $stride: $candPairs pruned vs ${n * kC} exact pairs")
+      info(s"stride $stride: $candPairs candidate pairs vs ${n * kC} exact (${candPairs.toDouble / (n * kC)})")
+    }
+
+    // the scale claim, on a corpus with real cluster structure (what a
+    // trained quantizer sees): 16 angular clusters on a 2-D sub-circle,
+    // tight within, well separated between. Candidate scores must drop
+    // FAR below n × K while the assignment stays exactly the crossJoin's.
+    import spark.implicits._
+    def unit(theta: Double): Seq[Double] =
+      Seq(math.cos(theta), math.sin(theta)) ++ Seq.fill(VectorOps.DIM - 2)(0.0)
+    val clusters = 64
+    val perC = 4
+    val vsC = (for { c <- 0 until clusters; i <- 0 until perC }
+      yield ((c * perC + i).toLong, unit(c * 0.04 + (i - 2) * 0.002))).toDF("vec_id", "v")
+    val centsC = (0 until clusters).map(c => (c.toLong, unit(c * 0.04))).toDF("cid", "cv")
+    val nC = clusters * perC
+    val exactC = VectorOps.exactAssign(spark, vsC, centsC)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val prunedC = VectorOps.prunedAssign(spark, vsC, centsC, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(prunedC === exactC, "clustered corpus: pruned assignment diverged")
+    val candC = VectorOps.prunedCandidatePairs(spark, vsC, centsC, 8).count()
+    assert(candC <= nC.toLong * clusters / 2,
+      s"clustered corpus: $candC candidate pairs vs ${nC * clusters} exact — bound failed to prune")
+    info(s"clustered corpus: $candC candidate pairs vs ${nC * clusters} exact (${candC.toDouble / (nC * clusters)})")
+  }
+
   test("scale-aware LSH planes: P=16 holds near-dup recall while slashing the candidate fraction") {
     import org.apache.spark.sql.functions._
     // the helper's breakpoints: test corpora stay at the pinned default,
