@@ -131,7 +131,11 @@ object MediaOps {
     * bit 63 avoided: DuckDB's `<<` is overflow-checked). Within a group
     * Hamming ≤ 1; across groups ~32 (md5 avalanche). */
   def phashes(spark: SparkSession, sfDir: String): DataFrame =
-    mediaTable(spark, sfDir).select(
+    phashesOf(mediaTable(spark, sfDir))
+
+  /** Same over an arbitrary (pid)-bearing table (scale-probe entry point). */
+  private[graft] def phashesOf(pids: DataFrame): DataFrame =
+    pids.select(
       col("pid"),
       expr(s"""(
         |  (CAST(conv(substr(md5(CAST('img_' || CAST(CAST(pid / $PHASH_GROUP AS BIGINT) AS STRING) AS BINARY)), 9, 8), 16, 10) AS BIGINT) << 32)
@@ -146,8 +150,10 @@ object MediaOps {
     * plan applied to the media modality: 2×32-bit bands (2^32-bucket
     * ceiling, the round-2 lesson), per-band equi-join, exact popcount
     * refine on candidates only. */
-  def phashPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val ph = phashes(spark, sfDir)
+  def phashPairs(spark: SparkSession, sfDir: String): DataFrame =
+    phashPairsOf(spark, phashes(spark, sfDir))
+
+  private[graft] def phashPairsOf(spark: SparkSession, ph: DataFrame): DataFrame = {
     val bandStructs = array(
       struct(lit(0).as("band"), expr("(ph >> 32) & 4294967295").as("bkey")),
       struct(lit(1).as("band"), expr("ph & 4294967295").as("bkey")))

@@ -28,8 +28,11 @@ object AsOf {
 
   /** Each purchase enriched with the user's most recent signup value at or
     * before the purchase time (NULL when the user never signed up). */
-  def purchasesWithProfile(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+  def purchasesWithProfile(spark: SparkSession, sfDir: String): DataFrame =
+    purchasesWithProfileOf(spark.read.parquet(s"$sfDir/events.parquet"))
+
+  /** Same over an arbitrary event table (scale-probe entry point). */
+  private[graft] def purchasesWithProfileOf(ev: DataFrame): DataFrame = {
     val upd = ev.filter(col("event_type") === "signup")
       .groupBy("user_id", "ts")
       .agg(max_by(col("value"), col("event_id")).as("sv"))
