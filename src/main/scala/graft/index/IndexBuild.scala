@@ -323,16 +323,17 @@ object IndexBuild {
         lit(""""}}""")).as("feature"))
   }
 
-  val geojsonSql: String = {
+  private val geojsonBody: String = {
     val lonMicro = lonMicroSqlOf("lonm")
     val latMicro = latMicroSqlOf("latm")
-    GeoQueries.withWorld() +
-      s"""SELECT pid,
-         |  '{"type":"Feature","geometry":{"type":"Point","coordinates":[' ||
-         |  ${microToDecSql(lonMicro)} || ',' || ${microToDecSql(latMicro)} ||
-         |  ']},"properties":{"name":"' || ${jsonEscapeSql("name")} || '","k":"' || tag_k || '","v":"' || tag_v || '"}}' AS feature
-         |FROM pts""".stripMargin
+    s"""SELECT pid,
+       |  '{"type":"Feature","geometry":{"type":"Point","coordinates":[' ||
+       |  ${microToDecSql(lonMicro)} || ',' || ${microToDecSql(latMicro)} ||
+       |  ']},"properties":{"name":"' || ${jsonEscapeSql("name")} || '","k":"' || tag_k || '","v":"' || tag_v || '"}}' AS feature
+       |FROM pts""".stripMargin
   }
+
+  val geojsonSql: String = GeoQueries.withWorld() + geojsonBody
 
   /**
    * GeoJSON for NON-point geometries (round-2 missing item; reference
@@ -409,35 +410,69 @@ object IndexBuild {
         .as("feature"))
   }
 
-  val geojsonAreaSql: String = {
+  private val geojsonAreaBody: String = {
     def lonM(c: String) = s"($LONM0 + CAST(ROUND(($c - ${GeoWorld.LON0}) * 1000) AS BIGINT) * 1000)"
     def latM(c: String) = s"($LATM0 + CAST(ROUND(($c - ${GeoWorld.LAT0}) * 1000) AS BIGINT) * 1000)"
     def pt(x: String, y: String) = s"'[' || ${microToDecSql(x)} || ',' || ${microToDecSql(y)} || ']'"
     val ring = s"'[[' || ${pt(lonM("lon0"), latM("lat0"))} || ',' || ${pt(lonM("lon1"), latM("lat0"))} || ',' || ${pt(lonM("lon1"), latM("lat1"))} || ',' || ${pt(lonM("lon0"), latM("lat1"))} || ',' || ${pt(lonM("lon0"), latM("lat0"))} || ']]'"
     val props = s"""'},"properties":{"name":"' || ${jsonEscapeSql("area_name")} || '","level":' || CAST(level AS VARCHAR) || '}}'"""
-    GeoQueries.withWorld() +
-      s"""SELECT area_id,
-         |  CASE WHEN level <= 4 THEN
-         |    '{"type":"Feature","geometry":{"type":"GeometryCollection","geometries":[{"type":"MultiPolygon","coordinates":[' || $ring || ']}]' || $props
-         |  ELSE
-         |    '{"type":"Feature","geometry":{"type":"Polygon","coordinates":' || $ring || $props
-         |  END AS feature
-         |FROM areas""".stripMargin
+    s"""SELECT area_id,
+       |  CASE WHEN level <= 4 THEN
+       |    '{"type":"Feature","geometry":{"type":"GeometryCollection","geometries":[{"type":"MultiPolygon","coordinates":[' || $ring || ']}]' || $props
+       |  ELSE
+       |    '{"type":"Feature","geometry":{"type":"Polygon","coordinates":' || $ring || $props
+       |  END AS feature
+       |FROM areas""".stripMargin
   }
 
-  val geojsonWaySql: String = {
+  val geojsonAreaSql: String = GeoQueries.withWorld() + geojsonAreaBody
+
+  private val geojsonWayBody: String = {
     val xy = s"""('[' || ${microToDecSql(lonMicroSqlOf("p.lonm"))} || ',' || ${microToDecSql(latMicroSqlOf("p.latm"))} || ']')"""
     val props = s"""'},"properties":{"doc_id":"' || ${jsonEscapeSql("doc_id")} || '"}}'"""
+    s"""SELECT doc_id,
+       |  CASE WHEN COUNT(*) >= 2 THEN
+       |    '{"type":"Feature","geometry":{"type":"LineString","coordinates":[' ||
+       |    STRING_AGG($xy, ',' ORDER BY s."offset") || ']' || $props
+       |  ELSE
+       |    '{"type":"Feature","geometry":{"type":"Point","coordinates":' ||
+       |    MIN($xy) || $props
+       |  END AS feature
+       |FROM spansf s JOIN pts p ON p.pid = s.pid
+       |GROUP BY doc_id""".stripMargin
+  }
+
+  val geojsonWaySql: String = GeoQueries.withWorld() + geojsonWayBody
+
+  /**
+   * The FULL serialisation dispatch (reference Q14, query-engine/.../
+   * Flows.scala:92-97: ONE flow serialises every denormalised object
+   * type): nodes → Point features, ways → LineString/Point features,
+   * areas → Polygon / GeometryCollection(MultiPolygon) features, each
+   * routed by object class into one `(obj_id, feature)` stream — the
+   * Spark restatement of the reference's type-routed serialise-and-emit.
+   * A pure union of the three verified branches: all map-side work on top
+   * of plans that are individually oracle-green.
+   */
+  def geojsonDispatch(spark: SparkSession, sfDir: String): DataFrame =
+    geojson(spark, sfDir)
+      .select(concat(lit("node_"), col("pid").cast("string")).as("obj_id"), col("feature"))
+      .unionByName(geojsonWay(spark, sfDir)
+        .select(concat(lit("way_"), col("doc_id")).as("obj_id"), col("feature")))
+      .unionByName(geojsonArea(spark, sfDir)
+        .select(concat(lit("area_"), col("area_id").cast("string")).as("obj_id"), col("feature")))
+
+  val geojsonDispatchSql: String = {
+    // re-derive each branch body over the shared world CTEs (the three
+    // branch queries are individually oracle-checked; this pins the union)
+    val nodeBody = geojsonBody
+    val wayBody = geojsonWayBody
+    val areaBody = geojsonAreaBody
     GeoQueries.withWorld() +
-      s"""SELECT doc_id,
-         |  CASE WHEN COUNT(*) >= 2 THEN
-         |    '{"type":"Feature","geometry":{"type":"LineString","coordinates":[' ||
-         |    STRING_AGG($xy, ',' ORDER BY s."offset") || ']' || $props
-         |  ELSE
-         |    '{"type":"Feature","geometry":{"type":"Point","coordinates":' ||
-         |    MIN($xy) || $props
-         |  END AS feature
-         |FROM spansf s JOIN pts p ON p.pid = s.pid
-         |GROUP BY doc_id""".stripMargin
+      s"""SELECT 'node_' || CAST(pid AS VARCHAR) AS obj_id, feature FROM ($nodeBody)
+         |UNION ALL
+         |SELECT 'way_' || doc_id AS obj_id, feature FROM ($wayBody)
+         |UNION ALL
+         |SELECT 'area_' || CAST(area_id AS VARCHAR) AS obj_id, feature FROM ($areaBody)""".stripMargin
   }
 }
