@@ -24,6 +24,7 @@ class IdempotencySpec extends SparkSpec {
       "q_embed_lsh_ann",     // memoized corpus count (plane sizing)
       "q_text_dup_clusters", // CC iteration persists + membership cache
       "q_text_bloom_dedup",  // broadcast Bloom + persisted digest pass
-      "q_media_phash_pairs").foreach(runTwice)
+      "q_media_phash_pairs",
+      "q_fuzzy_invalid").foreach(runTwice) // WKB parse cache sees INVALID geometries
   }
 }

@@ -65,6 +65,15 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("round-4 queries: every join is a broadcast-hash equi-join (no cartesian / BNL / sort-merge)") {
+    for (q <- Seq("q_relation_mixed", "q_fuzzy_invalid", "q_geojson_area", "q_geojson_dispatch")) {
+      val p = plan(SparkEntry.queries(q)(spark, sfDir))
+      assert(!p.contains("CartesianProduct"), s"$q:\n${p.take(600)}")
+      assert(!p.contains("BroadcastNestedLoop"), s"$q:\n${p.take(600)}")
+      assert(!p.contains("SortMergeJoin"), s"$q:\n${p.take(600)}")
+    }
+  }
+
   test("salted PIP variant shuffles instead of broadcasting the big side") {
     val p = plan(GeoQueries.pipLookupSalted(spark, sfDir))
     assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"), p.take(800))
