@@ -111,6 +111,8 @@ object SparkEntry {
       planes = Some(graft.vector.VectorOps.PLANES_PER_TABLE))),
     "q_embed_ivf" -> ((s, d) => graft.vector.VectorOps.ivfTopK(s, d)),
     "q_embed_buckets" -> ((s, d) => graft.vector.VectorOps.bucketHistogram(s, d)),
+    // semantic dedup: CC clusters over the embedding near-dup pair list
+    "q_embed_dup_clusters" -> ((s, d) => graft.vector.VectorOps.embedDupClusters(s, d)),
     // index builders (T7/T9) + relation assembly (T4) + GeoJSON (Q18)
     "q_mapping_table" -> ((s, d) => graft.index.IndexBuild.mappingTable(s, d)),
     "q_cell_tag_table" -> ((s, d) => graft.index.IndexBuild.cellTagTable(s, d)),
@@ -192,6 +194,7 @@ object SparkEntry {
     "q_text_simhash" -> graft.text.TextOps.simhashSql,
     "q_text_simhash_pairs" -> graft.text.TextOps.simhashPairsSql(),
     "q_embed_neardup" -> graft.vector.VectorOps.nearDupPairsSql(),
+    "q_embed_dup_clusters" -> graft.vector.VectorOps.embedDupClustersSql(),
     "q_text_ngram_jaccard" -> graft.text.TextOps.ngramJaccardSql,
     "q_text_chunks" -> graft.text.TextOps.chunksSql,
     "q_text_repetition" -> graft.text.TextOps.repetitionSql,

@@ -535,21 +535,67 @@ object VectorOps {
       .select(col("a"), col("b"), col("score"))
   }
 
-  def nearDupPairsSql(tau: Double = 0.95): String = {
-    val anyTable = (0 until N_TABLES)
-      .map(t => s"${bucketSqlOf("a", t, PLANES_PER_TABLE)} = ${bucketSqlOf("b", t, PLANES_PER_TABLE)}")
-      .mkString("(", " OR ", ")")
-    s"""WITH corpus AS (
+  private val dedupCorpusCte: String =
+    s"""corpus AS (
        |  SELECT vec_id, embedding FROM embeddings
        |  UNION ALL
        |  SELECT vec_id + 100000, [embedding[1] * CAST(0.5 AS FLOAT)] || embedding[2:${DIM}]
        |  FROM embeddings WHERE vec_id % 10 = 0
-       |)
+       |)""".stripMargin
+
+  private def anyTableSql: String = (0 until N_TABLES)
+    .map(t => s"${bucketSqlOf("a", t, PLANES_PER_TABLE)} = ${bucketSqlOf("b", t, PLANES_PER_TABLE)}")
+    .mkString("(", " OR ", ")")
+
+  def nearDupPairsSql(tau: Double = 0.95): String =
+    s"""WITH $dedupCorpusCte
        |SELECT a.vec_id AS a, b.vec_id AS b,
        |       ROUND($dotSql / (${normSql("a")} * ${normSql("b")}), 6) AS score
        |FROM corpus a JOIN corpus b
-       |  ON a.vec_id < b.vec_id AND $anyTable
+       |  ON a.vec_id < b.vec_id AND $anyTableSql
        |WHERE $dotSql / (${normSql("a")} * ${normSql("b")}) >= $tau""".stripMargin
+
+  /**
+   * SEMANTIC dedup clusters — the embedding-modality twin of
+   * q_text_dup_clusters: the LSH near-dup pair list feeds the same
+   * distributed large-star/small-star connected components, and each
+   * cluster reports its size and canonical survivor (min vec_id — CC
+   * roots are min-label, so the rule is engine-and-oracle exact with no
+   * float ranking). At 100 TB the CC shuffles only the PAIR list (corpus-
+   * size independent), exactly like the text side.
+   */
+  def embedDupClusters(spark: SparkSession, sfDir: String, tau: Double = 0.95): DataFrame = {
+    val pairs = nearDupPairs(spark, sfDir, tau, planesOpt = Some(PLANES_PER_TABLE))
+    val comp = graft.text.DedupGraph.connectedComponents(
+      pairs.select(col("a").as("u"), col("b").as("v")))
+    comp.groupBy("root")
+      .agg(count(lit(1)).as("n_vecs"), min("node").as("keep_id"))
+  }
+
+  def embedDupClustersSql(tau: Double = 0.95): String = {
+    val cosExpr = s"$dotSql / (${normSql("a")} * ${normSql("b")})"
+    s"""WITH RECURSIVE $dedupCorpusCte,
+       |vpairs AS (
+       |  SELECT a.vec_id AS a, b.vec_id AS b
+       |  FROM corpus a JOIN corpus b
+       |    ON a.vec_id < b.vec_id AND $anyTableSql
+       |  WHERE $cosExpr >= $tau
+       |),
+       |vedges AS (
+       |  SELECT a AS u, b AS v FROM vpairs
+       |  UNION
+       |  SELECT b AS u, a AS v FROM vpairs
+       |),
+       |vreach(node, r) AS (
+       |  SELECT u, u FROM vedges
+       |  UNION
+       |  SELECT w.node, e.v FROM vreach w JOIN vedges e ON e.u = w.r
+       |),
+       |vcomp AS (
+       |  SELECT node, MIN(r) AS root FROM vreach GROUP BY node
+       |)
+       |SELECT root, COUNT(*) AS n_vecs, MIN(node) AS keep_id
+       |FROM vcomp GROUP BY root""".stripMargin
   }
 
   /** Bucket histogram (shape diagnostics for the ANN path). */
