@@ -199,6 +199,46 @@ class StreamAndStatsSpec extends SparkSpec {
     assert(streamed.map(_._2).size > 1, "multiple areas enriched")
   }
 
+  test("streaming as-of enrich (LOCF state) equals the batch as-of across micro-batches and a restart") {
+    import spark.implicits._
+    import graft.streaming.{AsOfIn, StreamAsOf}
+    val dir = Files.createTempDirectory("graft-sasof").toString
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
+      .as[AsOfIn]
+    // split at the median ts: per-user event-time order is preserved across
+    // the two micro-batches (the keyed-partition delivery contract)
+    val cut = ev.select(percentile_approx(col("ts"), lit(0.5), lit(1000)))
+      .head.getAs[java.time.LocalDateTime](0)
+    ev.filter(col("ts") < cut).write.parquet(s"$dir/in/b1")
+    def runOnce(): Unit = {
+      val in = spark.readStream.schema(ev.schema).parquet(s"$dir/in/*").as[AsOfIn]
+      val q = StreamAsOf.enrich(spark, in).writeStream
+        .format("parquet").option("path", s"$dir/out").outputMode("append")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    runOnce()
+    val afterB1 = spark.read.parquet(s"$dir/out").count()
+    ev.filter(col("ts") >= cut).write.parquet(s"$dir/in/b2")
+    runOnce() // restart: profile state recovered from the checkpoint
+    val got = spark.read.parquet(s"$dir/out").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    val expected = graft.query.AsOf.purchasesWithProfile(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    assert(afterB1 > 0 && afterB1 < expected.size,
+      "the split must leave purchases in BOTH micro-batches")
+    assert(got.size === expected.size)
+    assert(got === expected,
+      "stream LOCF enrichment must be row-identical to the batch as-of join")
+  }
+
   test("streaming dedup within watermark: a replayed source delivers each span once") {
     val dir = Files.createTempDirectory("graft-sdedup").toString
     val docs = GeoWorld.docs(spark, sfDir)
