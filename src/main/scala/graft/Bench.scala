@@ -34,7 +34,12 @@ object Bench {
     // line must stay compact (round-3 BENCH parsed=null: 70 per-query
     // timings pushed the line past the window). Headline numbers only on
     // stdout; the full per-query map goes to BENCH_LOCAL.json.
-    val line = f"""{"metric":"spatial-join+tile-assignment docs/sec","value":$docsPerSec%.1f,"unit":"docs/sec","headline_secs":$headlineSecs%.3f,"headline_docs":$nDocs,"n_queries":${results.size},"total_query_secs":$total%.2f,"sf":"$sfDir"}"""
+    // NO locale-sensitive formatting (the f interpolator uses the default
+    // locale — a comma-decimal host would emit invalid JSON); Double
+    // toString after explicit rounding is locale-independent.
+    def r1(x: Double) = math.round(x * 10) / 10.0
+    def r3(x: Double) = math.round(x * 1000) / 1000.0
+    val line = s"""{"metric":"spatial-join+tile-assignment docs/sec","value":${r1(docsPerSec)},"unit":"docs/sec","headline_secs":${r3(headlineSecs)},"headline_docs":$nDocs,"n_queries":${results.size},"total_query_secs":${r3(total)},"sf":"$sfDir"}"""
     val full = s"""{"metric":"spatial-join+tile-assignment docs/sec","value":$docsPerSec,"unit":"docs/sec","headline_secs":$headlineSecs,"headline_docs":$nDocs,"total_query_secs":$total,"queries":$qs,"sf":"$sfDir"}"""
     // stdout (unprefixed via build.sbt outputStrategy) — the driver's
     // metrics parser needs a bare JSON line (BENCH_r01 parsed=null because

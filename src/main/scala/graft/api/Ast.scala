@@ -31,8 +31,12 @@ object GeoAst {
   final case class PoisFromCoordinates(tagK: String, lon: Double, lat: Double) extends GeoAst
   /** Q8: points within radius metres of the coordinate. */
   final case class Nearby(lon: Double, lat: Double, radiusM: Double) extends GeoAst
-  /** Q8 (ranked): the k nearest points to the coordinate, ranked by
-    * geodesic distance (the reference's nearby ranking). */
+  /** Q8 (ranked): the k nearest points to the coordinate within the kNN
+    * search horizon (600 km, the q_knn pruneM), ranked by geodesic
+    * distance (the reference's nearby ranking). Like [[Nearby]], the
+    * search is bounded: a probe farther than the horizon from every point
+    * returns the points inside the horizon only (possibly none) — a
+    * planet-wide exact kNN would need an unbounded ring walk. */
   final case class NearbyRanked(lon: Double, lat: Double, k: Int) extends GeoAst
   /** S10: POIs whose name starts with the given prefix (the reference's
     * ES name search collapsed to its hit predicate). */

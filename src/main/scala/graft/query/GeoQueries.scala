@@ -214,28 +214,36 @@ object GeoQueries {
    * implies > half the metro is inside the state's bbox, so the metro's
    * centre cell is in the state's cover.
    */
-  def metroFuzzy(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Shared overlay-vs-state containment refine: candidates join by their
+    * center cell against the state cover, `within` admits, `withinExact`
+    * labels which branch decided. Used by [[metroFuzzy]] (valid metros
+    * only) and [[fuzzyInvalid]] (metros ∪ degenerate glitches) so the two
+    * catalog queries can never drift apart. */
+  private def overlayWithin(spark: SparkSession, sfDir: String,
+      cands: DataFrame, idName: String): DataFrame = {
     init(spark)
-    val metro = GeoWorld.metros(spark, sfDir)
-      .select(col("area_id").as("metro_id"), col("wkb").as("metro_wkb"),
-        CellFunctions.zcell((col("lon0") + col("lon1")) / 2.0, (col("lat0") + col("lat1")) / 2.0,
-          lit(RES_COARSE)).as("cell"))
+    val c = cands.select(col("area_id").as(idName), col("wkb").as("cand_wkb"),
+      CellFunctions.zcell((col("lon0") + col("lon1")) / 2.0, (col("lat0") + col("lat1")) / 2.0,
+        lit(RES_COARSE)).as("cell"))
     val state = areaCells(spark, sfDir, 4, RES_COARSE)
       .select(col("area_id").as("state_id"), col("wkb").as("state_wkb"), col("cell"))
-    metro.join(broadcast(state), "cell")
-      .filter(GeoCols.geoWithin(col("metro_wkb"), col("state_wkb")))
-      .withColumn("fuzzy", !GeoCols.geoWithinExact(col("metro_wkb"), col("state_wkb")))
-      .select(col("metro_id"), col("state_id"), col("fuzzy"))
+    c.join(broadcast(state), "cell")
+      .filter(GeoCols.geoWithin(col("cand_wkb"), col("state_wkb")))
+      .withColumn("fuzzy", !GeoCols.geoWithinExact(col("cand_wkb"), col("state_wkb")))
+      .select(col(idName), col("state_id"), col("fuzzy"))
   }
+
+  def metroFuzzy(spark: SparkSession, sfDir: String): DataFrame =
+    overlayWithin(spark, sfDir, GeoWorld.metros(spark, sfDir), "metro_id")
 
   /** Oracle: rect ∩ rect area is exact arithmetic; the fraction's margins
     * (1.0 / 0.95 / 0.85 by construction) sit far from the threshold, so the
     * SQL decision always agrees with the JTS fuzzy branch. The threshold is
     * interpolated from [[graft.geom.Geo.FUZZY_THRESHOLD]] — change it and
     * both engines (and the result set) move together. */
-  def metroFuzzySql: String =
+  private def metroFuzzySqlAs(idAlias: String): String =
     withWorld(GeoWorld.metrosCte) +
-      s"""SELECT metro_id, state_id, fuzzy FROM (
+      s"""SELECT metro_id AS $idAlias, state_id, fuzzy FROM (
          |  SELECT m.area_id AS metro_id, s.area_id AS state_id,
          |         NOT (m.lon0 >= s.lon0 AND m.lon1 <= s.lon1
          |              AND m.lat0 >= s.lat0 AND m.lat1 <= s.lat1) AS fuzzy,
@@ -244,50 +252,33 @@ object GeoQueries {
          |         / ((m.lon1 - m.lon0) * (m.lat1 - m.lat0)) AS frac
          |  FROM metros m JOIN areas s ON s.level = 4
          |) WHERE frac >= ${graft.geom.Geo.FUZZY_THRESHOLD}""".stripMargin
+
+  def metroFuzzySql: String = metroFuzzySqlAs("metro_id")
 
   /**
    * Fuzzy containment with DEGENERATE candidates (reference gh.issue#2;
    * Geo.scala:99-102 failure→false): the candidate set unions the valid
    * metro overlays with one self-intersecting bowtie per state
-   * ([[GeoWorld.glitches]]) that sits FULLY INSIDE its state — a naive
-   * rect-overlap membership would admit every bowtie at fraction 1.0, and a
-   * fuzzy arm that mapped JTS failures to `true` would too. The reference
-   * semantics exclude them: the exact arm evaluates false on the invalid
-   * shell and the precision-reduce inside the fuzzy arm throws, so the
-   * `Try`-failure branch decides each glitch row to false. The oracle
-   * contains only the valid-metro memberships — any change to the failure
-   * arm flips this query red (extra rows / crash).
+   * ([[GeoWorld.glitches]]), each STRADDLING its state's north border at
+   * 95% naive overlap — the position where a VALID shape IS admitted by
+   * the fuzzy branch (metro j=1 proves it), so a naive rect-fraction
+   * membership would admit every bowtie too, and so would a fuzzy arm
+   * that mapped JTS failures to `true`. The reference semantics exclude
+   * them: the exact arm evaluates false (the shape extends outside) and
+   * the precision-reduce inside the fuzzy arm THROWS on the invalid
+   * shell, so the `Try`-failure branch decides each glitch row to false.
+   * The oracle contains only the valid-metro memberships — any change to
+   * the failure arm flips this query red (extra rows / crash).
    */
-  def fuzzyInvalid(spark: SparkSession, sfDir: String): DataFrame = {
-    init(spark)
-    def centered(df: DataFrame) = df.select(
-      col("area_id").as("cand_id"), col("wkb").as("cand_wkb"),
-      CellFunctions.zcell((col("lon0") + col("lon1")) / 2.0, (col("lat0") + col("lat1")) / 2.0,
-        lit(RES_COARSE)).as("cell"))
-    val cands = centered(GeoWorld.metros(spark, sfDir))
-      .unionByName(centered(GeoWorld.glitches(spark, sfDir)))
-    val state = areaCells(spark, sfDir, 4, RES_COARSE)
-      .select(col("area_id").as("state_id"), col("wkb").as("state_wkb"), col("cell"))
-    cands.join(broadcast(state), "cell")
-      .filter(GeoCols.geoWithin(col("cand_wkb"), col("state_wkb")))
-      .withColumn("fuzzy", !GeoCols.geoWithinExact(col("cand_wkb"), col("state_wkb")))
-      .select(col("cand_id"), col("state_id"), col("fuzzy"))
-  }
+  def fuzzyInvalid(spark: SparkSession, sfDir: String): DataFrame =
+    overlayWithin(spark, sfDir,
+      GeoWorld.metros(spark, sfDir).unionByName(GeoWorld.glitches(spark, sfDir)),
+      "cand_id")
 
   /** Oracle: the glitch bowties contribute ZERO rows (failure→false), so
     * the expected set is exactly the valid-metro membership of
     * [[metroFuzzySql]] under the cand_id name. */
-  def fuzzyInvalidSql: String =
-    withWorld(GeoWorld.metrosCte) +
-      s"""SELECT metro_id AS cand_id, state_id, fuzzy FROM (
-         |  SELECT m.area_id AS metro_id, s.area_id AS state_id,
-         |         NOT (m.lon0 >= s.lon0 AND m.lon1 <= s.lon1
-         |              AND m.lat0 >= s.lat0 AND m.lat1 <= s.lat1) AS fuzzy,
-         |         (GREATEST(0, LEAST(m.lon1, s.lon1) - GREATEST(m.lon0, s.lon0)) *
-         |          GREATEST(0, LEAST(m.lat1, s.lat1) - GREATEST(m.lat0, s.lat0)))
-         |         / ((m.lon1 - m.lon0) * (m.lat1 - m.lat0)) AS frac
-         |  FROM metros m JOIN areas s ON s.level = 4
-         |) WHERE frac >= ${graft.geom.Geo.FUZZY_THRESHOLD}""".stripMargin
+  def fuzzyInvalidSql: String = metroFuzzySqlAs("cand_id")
 
   // ------------------------------------------------------------------ POI
 

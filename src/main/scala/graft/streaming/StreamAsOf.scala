@@ -11,8 +11,11 @@ final case class AsOfIn(user_id: Long, event_id: Long, ts: java.time.LocalDateTi
 /** Per-user carried profile: the latest signup observation. `sv` stays an
   * Option so a NULL-valued signup still REPLACES an older non-null one —
   * the same no-resurrection rule the batch LOCF enforces by carrying a
-  * struct (AsOf.purchasesWithProfile). */
-final case class ProfileState(tsMs: Long, eventId: Long, sv: Option[Double])
+  * struct (AsOf.purchasesWithProfile). `tsUs` is MICROSECONDS — the events
+  * parquet carries timestamp[us], and the batch join compares at full
+  * precision, so millisecond truncation here would flip same-millisecond
+  * signup/purchase orderings (review finding). */
+final case class ProfileState(tsUs: Long, eventId: Long, sv: Option[Double])
 
 final case class EnrichedOut(event_id: Long, user_id: Long,
     purchase_value: Option[Double], signup_value: Option[Double])
@@ -44,19 +47,20 @@ object StreamAsOf {
 
   private def enrichGroup(uid: Long, in: Iterator[AsOfIn],
       state: GroupState[ProfileState]): Iterator[EnrichedOut] = {
-    // batch order within the micro-batch: (ts, signup-first, event_id)
-    def ms(t: java.time.LocalDateTime): Long =
-      t.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    // batch order within the micro-batch: (ts, signup-first, event_id) at
+    // full microsecond precision — exactly the batch window's sort key
+    def us(t: java.time.LocalDateTime): Long =
+      t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000L
     val arrived = in.toList.sortBy(e =>
-      (ms(e.ts), if (e.event_type == "signup") 0 else 1, e.event_id))
+      (us(e.ts), if (e.event_type == "signup") 0 else 1, e.event_id))
     var st = state.getOption
     val out = List.newBuilder[EnrichedOut]
     arrived.foreach { e =>
       e.event_type match {
         case "signup" =>
-          if (st.forall(s => ms(e.ts) > s.tsMs ||
-              (ms(e.ts) == s.tsMs && e.event_id > s.eventId)))
-            st = Some(ProfileState(ms(e.ts), e.event_id, e.value))
+          if (st.forall(s => us(e.ts) > s.tsUs ||
+              (us(e.ts) == s.tsUs && e.event_id > s.eventId)))
+            st = Some(ProfileState(us(e.ts), e.event_id, e.value))
         case "purchase" =>
           out += EnrichedOut(e.event_id, uid, e.value, st.flatMap(_.sv))
         case _ => () // other event types don't touch profile state

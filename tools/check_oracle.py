@@ -13,22 +13,25 @@ import duckdb
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
-def arrow_types(reader):
-    """Column-name → normalized Arrow type string for a duckdb result.
+def fetch(con, sql):
+    """Execute ONCE; return (cols, rows, normalized-arrow-type map).
 
-    Strict on the int/decimal/float axis (the class the driver's hash
-    compare rejects — e.g. DuckDB windowed SUM → HUGEINT → decimal128(38,0)
-    vs Spark int64), lenient on representation-only variance (string vs
-    large_string, timestamp timezone annotation)."""
-    tbl = reader.arrow()
-    out = {}
+    Arrow types are strict on the int/decimal/float axis (the class the
+    driver's hash compare rejects — e.g. DuckDB windowed SUM → HUGEINT →
+    decimal128(38,0) vs Spark int64), lenient on representation-only
+    variance (string vs large_string, timestamp timezone annotation)."""
+    tbl = con.execute(sql).arrow()
+    types = {}
     for f in tbl.schema:
         t = str(f.type)
         t = t.replace("large_string", "string")
         if t.startswith("timestamp"):
             t = "timestamp"
-        out[f.name] = t
-    return out
+        types[f.name] = t
+    cols = tbl.schema.names
+    rows = list(zip(*[tbl.column(i).to_pylist() for i in range(tbl.num_columns)])) \
+        if tbl.num_columns else []
+    return cols, rows, types
 
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
@@ -65,14 +68,8 @@ def main(sf_dir, out_dir, only=None):
         if not files:
             print(f"FAIL {name}: no result parquet"); n_bad += 1; continue
         try:
-            got_types = arrow_types(con.execute(f"SELECT * FROM read_parquet({files!r})"))
-            got = con.execute(f"SELECT * FROM read_parquet({files!r})")
-            got_cols = [d[0] for d in got.description]
-            got_rows = got.fetchall()
-            want_types = arrow_types(con.execute(sql))
-            want = con.execute(sql)
-            want_cols = [d[0] for d in want.description]
-            want_rows = want.fetchall()
+            got_cols, got_rows, got_types = fetch(con, f"SELECT * FROM read_parquet({files!r})")
+            want_cols, want_rows, want_types = fetch(con, sql)
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}"); n_bad += 1; continue
         if sorted(got_cols) != sorted(want_cols):
