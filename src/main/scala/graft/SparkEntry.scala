@@ -64,6 +64,8 @@ object SparkEntry {
     "q_text_quality" -> ((s, d) => graft.text.TextOps.qualityScore(s, d)),
     "q_text_tokens" -> ((s, d) => graft.text.TextOps.tokenCount(s, d)),
     "q_text_fingerprint" -> ((s, d) => graft.text.TextOps.fingerprint(s, d)),
+    // per-doc tf-idf keywords (integer-ordered rank, score rides along)
+    "q_text_keywords" -> ((s, d) => graft.text.TextOps.keywords(s, d)),
     "q_text_minhash_sig" -> ((s, d) => graft.text.TextOps.minhashSignatures(s, d)),
     "q_text_minhash_pairs" -> ((s, d) => graft.text.TextOps.minhashPairs(s, d)),
     // near-dup pairs -> connected components -> canonical survivor per cluster
@@ -195,6 +197,7 @@ object SparkEntry {
     "q_text_simhash_pairs" -> graft.text.TextOps.simhashPairsSql(),
     "q_embed_neardup" -> graft.vector.VectorOps.nearDupPairsSql(),
     "q_embed_dup_clusters" -> graft.vector.VectorOps.embedDupClustersSql(),
+    "q_text_keywords" -> graft.text.TextOps.keywordsSql(),
     "q_text_ngram_jaccard" -> graft.text.TextOps.ngramJaccardSql,
     "q_text_chunks" -> graft.text.TextOps.chunksSql,
     "q_text_repetition" -> graft.text.TextOps.repetitionSql,

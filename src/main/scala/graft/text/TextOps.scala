@@ -718,4 +718,63 @@ object TextOps {
         |         ROUND(CAST(ninter AS DOUBLE) / CAST(sa.n + sb.n - ninter AS DOUBLE), 6) AS jaccard
         |  FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
         |) WHERE jaccard > 0.2""".stripMargin
+
+  // -------------------------------------------------------- TF-IDF keywords
+
+  /** Keywords per document. */
+  final val KEYWORDS_K = 3
+
+  /**
+   * Per-document keyword extraction — tf-idf over the corpus vocabulary,
+   * the standard topic/quality signal of a curation pipeline. Rank order
+   * is PURE INTEGER arithmetic (tf DESC, df ASC, word ASC — "most
+   * frequent in the doc, rarest in the corpus"), so the selected rows are
+   * bit-identical across engines; the smoothed tf-idf score
+   * `tf × ln((N+1)/(df+1))` rides along ROUNDed to 6 (the established
+   * cross-engine float-parity policy).
+   *
+   * Plan at 100 TB: explode → (doc, word) counts with map-side combine
+   * (one shuffle); document frequencies from THAT aggregate (vocab-sized,
+   * second small shuffle); tf ⋈ df by word; per-doc top-k is a window
+   * over doc_id partitions whose input is the tf rows — no stage ever
+   * holds more than the exploded token stream, and the corpus count rides
+   * in as a broadcast 1-row aggregate, not a literal collected per run.
+   */
+  def keywords(spark: SparkSession, sfDir: String, k: Int = KEYWORDS_K): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus(spark, sfDir)
+    val tf = c.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val n = c.agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tf").desc, col("df").asc, col("w").asc)
+    tf.join(dfreq, "w")
+      .crossJoin(broadcast(n))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("w").as("word"), col("tf"), col("df"),
+        round(col("tf") * log((col("n") + 1).cast("double") / (col("df") + 1)), 6).as("tfidf"))
+  }
+
+  def keywordsSql(k: Int = KEYWORDS_K): String =
+    withCorpus(
+      """wtf AS (
+        |  SELECT doc_id, w, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, UNNEST(str_split(text, ' ')) AS w FROM corpus)
+        |  WHERE length(w) > 0 GROUP BY 1, 2
+        |)""".stripMargin,
+      """wdf AS (
+        |  SELECT w, COUNT(*) AS df FROM wtf GROUP BY 1
+        |)""".stripMargin,
+      """nn AS (
+        |  SELECT COUNT(*) AS n FROM corpus
+        |)""".stripMargin) +
+      s"""SELECT doc_id, rank, word, tf, df, tfidf FROM (
+         |  SELECT t.doc_id, t.w AS word, t.tf, d.df,
+         |         ROUND(t.tf * ln((nn.n + 1.0) / (d.df + 1.0)), 6) AS tfidf,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY t.tf DESC, d.df ASC, t.w ASC) AS INTEGER) AS rank
+         |  FROM wtf t JOIN wdf d USING (w) CROSS JOIN nn
+         |) WHERE rank <= $k""".stripMargin
 }
