@@ -11,6 +11,33 @@ class PipelineSpec extends SparkSpec {
 
   private val workDir = Files.createTempDirectory("graft-stages").toString
 
+  test("JSONL ingest round-trips the documents table and dead-letters malformed lines at the source") {
+    import graft.sources.Jsonl
+    val dir = Files.createTempDirectory("graft-jsonl").toString
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    Jsonl.writeDocs(docs, s"$dir/docs")
+    // clean round-trip: every row back, no dead letters
+    val back = Jsonl.readDocs(spark, s"$dir/docs")
+    assert(back.filter(col("_error").isNotNull).count() === 0)
+    val a = docs.collect().map(_.toString).sorted.toSeq
+    val b = back.drop("_error").collect().map(_.toString).sorted.toSeq
+    assert(a === b, "JSONL round-trip must be lossless")
+    // corruption: a truncated line, a wrong-typed field, a missing doc_id —
+    // all three route to _error; the good rows still parse
+    Files.write(java.nio.file.Paths.get(s"$dir/docs/zz_bad.json"),
+      java.util.Arrays.asList(
+        """{"doc_id": 1, "text": "ok row", "lang": "en", "source": "s", "n_chars": 6}""",
+        """{"doc_id": 2, "text": "truncated""",
+        """{"doc_id": "not-a-number", "text": "bad type", "lang": "en", "source": "s", "n_chars": 8}""",
+        """{"text": "no id", "lang": "en", "source": "s", "n_chars": 5}"""))
+    val mixed = Jsonl.readDocs(spark, s"$dir/docs/zz_bad.json")
+    assert(mixed.count() === 4)
+    assert(mixed.filter(col("_error").isNotNull).count() === 3)
+    assert(mixed.filter(col("_error").isNull).count() === 1)
+    assert(mixed.filter(col("doc_id") === 1 && col("_error").isNull).count() === 1)
+  }
+
   test("staged pipeline runs, records lineage, and resumes from checkpoints") {
     val r1 = GeoPipeline.runAll(spark, sfDir, workDir)
     assert(r1.map(_.name) === Seq("ingest", "normalize", "index"))
