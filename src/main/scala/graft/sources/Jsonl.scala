@@ -30,10 +30,20 @@ object Jsonl {
   /**
    * Read a documents JSONL directory/file. Output carries the document
    * columns plus `_error` (null = parsed; otherwise the offending raw
-   * line) — malformed lines and lines whose fields fail the schema land
-   * in `_error` instead of failing the scan, and rows missing a doc_id
-   * are flagged too (a document without an id can't join anything
-   * downstream; better dead-lettered at the source).
+   * line or a reason) — malformed lines, wrong-typed fields, and rows
+   * with any missing/null field land in `_error` instead of failing the
+   * scan (the table contract has no legitimate nulls; an id-less or
+   * partial document can't join anything downstream, so it dead-letters
+   * at the source).
+   *
+   * The `_error` expression deliberately references EVERY document
+   * column: Spark's JSON scan only parses (and therefore only corrupt-
+   * flags) the columns in the pruned required schema, so an `_error`
+   * built from `_corrupt` alone would silently change classification
+   * with the consuming projection — a wrong-typed field in a column the
+   * query never reads would pass as clean (review finding). Referencing
+   * all fields pins the full schema into the scan regardless of what the
+   * caller selects.
    */
   def readDocs(spark: SparkSession, path: String): DataFrame = {
     val raw = spark.read
@@ -41,10 +51,12 @@ object Jsonl {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt")
       .json(path)
+    val anyNull = docSchema.fieldNames
+      .map(col(_).isNull).reduce(_ || _)
     raw.select(
       col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"),
       when(col("_corrupt").isNotNull, col("_corrupt"))
-        .when(col("doc_id").isNull, lit("missing doc_id"))
+        .when(anyNull, lit("missing/null field"))
         .otherwise(lit(null).cast("string")).as("_error"))
   }
 

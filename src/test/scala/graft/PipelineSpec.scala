@@ -36,6 +36,16 @@ class PipelineSpec extends SparkSpec {
     assert(mixed.filter(col("_error").isNotNull).count() === 3)
     assert(mixed.filter(col("_error").isNull).count() === 1)
     assert(mixed.filter(col("doc_id") === 1 && col("_error").isNull).count() === 1)
+    // classification must be STABLE under column pruning: a wrong-typed
+    // field in a column the query never selects still dead-letters
+    // (the _error expression pins the full schema into the scan)
+    Files.write(java.nio.file.Paths.get(s"$dir/pruned.json"),
+      java.util.Arrays.asList(
+        """{"doc_id": 7, "text": "t", "lang": "en", "source": "s", "n_chars": "oops"}""",
+        """{"doc_id": 8, "text": "t", "lang": "en", "source": "s", "n_chars": 1}"""))
+    val pruned = Jsonl.readDocs(spark, s"$dir/pruned.json").select("doc_id", "_error")
+    assert(pruned.filter(col("_error").isNotNull).count() === 1)
+    assert(pruned.filter(col("doc_id") === 8 && col("_error").isNull).count() === 1)
   }
 
   test("staged pipeline runs, records lineage, and resumes from checkpoints") {
