@@ -3,13 +3,14 @@ import org.apache.spark.sql.SparkSession
 
 /** Dev utility: print the join shape of every catalog query
   * (`sbt "runMain graft.PlanAuditAll"`). Expected state: broadcast/shuffle
-  * hash joins everywhere; the only BroadcastNestedLoop plans are the two
+  * hash joins everywhere; the only BroadcastNestedLoop plans are the three
   * DOCUMENTED deliberate products — q_embed_topk (the labelled exact
-  * brute-force baseline) and q_embed_ivf's centroid assignment (the
-  * quantizer's n x K indexing cost); SortMergeJoin only on big-big
-  * equi-joins (minhash refine, IVF partition fetch). Anything else
-  * appearing here is a plan regression — see PlanShapeSpec for the
-  * enforced subset. */
+  * brute-force baseline), q_embed_ivf's two-level assignment (a ONE-ROW
+  * supers broadcast + the K × √K membership grouping — the n × K product
+  * of rounds ≤ 3 is gone), and q_text_keywords' 1-row corpus-count
+  * attach; SortMergeJoin only on big-big equi-joins (minhash refine, IVF
+  * partition fetch). Anything else appearing here is a plan regression —
+  * see PlanShapeSpec for the enforced subset. */
 object PlanAuditAll {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
