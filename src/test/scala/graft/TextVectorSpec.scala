@@ -168,6 +168,29 @@ class TextVectorSpec extends SparkSpec {
     info(s"clustered corpus: $candC candidate pairs vs ${nC * clusters} exact (${candC.toDouble / (nC * clusters)})")
   }
 
+  test("pruned IVF assignment: randomized adversarial sweep (pruned == exact on every seeded corpus)") {
+    // the triangle bound + ε-slack is the risky arithmetic: sweep random
+    // corpora (including near-equidistant ones, the worst case for both
+    // the bound's tightness AND its FP edges) and require exact equality
+    // with the crossJoin on every one
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260817L)
+    for (trial <- 0 until 8) {
+      val dim = 8
+      val nV = 60
+      val nC = 10
+      def vec(): Seq[Double] = Seq.fill(dim)(rnd.nextDouble() * 2 - 1)
+      val vsR = (0 until nV).map(i => (i.toLong, vec())).toDF("vec_id", "v")
+      val centsR = (0 until nC).map(i => (i.toLong, vec())).toDF("cid", "cv")
+      val exact = VectorOps.exactAssign(spark, vsR, centsR)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val stride = 2 + trial % 3
+      val pruned = VectorOps.prunedAssign(spark, vsR, centsR, stride)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(pruned === exact, s"trial $trial (stride $stride): pruned diverged from exact")
+    }
+  }
+
   test("scale-aware LSH planes: P=16 holds near-dup recall while slashing the candidate fraction") {
     import org.apache.spark.sql.functions._
     // the helper's breakpoints: test corpora stay at the pinned default,
