@@ -311,7 +311,7 @@ object VectorOps {
    * the surviving groups (measured ≪ K), vs K before.
    */
   private[graft] def prunedCandidatePairs(spark: SparkSession, vs: DataFrame,
-      cents: DataFrame, supStride: Int): DataFrame = {
+      cents: DataFrame, supStride: Int, m: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // supers: every supStride-th centroid (cents is K rows — tiny)
     val ordered = cents.withColumn("ord", row_number().over(Window.orderBy("cid")) - 1)
@@ -334,9 +334,17 @@ object VectorOps {
       chord(dot(col("v"), s.getField("sv")) /
         (norm(col("v")) * norm(s.getField("sv")))).as("d"),
       s.getField("rad").as("rad")))
+    // TOP-M bound: every group holds ≥ 1 centroid within d_g + R_g of v,
+    // so the m-th smallest (d_g + R_g) bounds the m-th best centroid
+    // distance; any top-m centroid c in group g then satisfies
+    // d_g − R_g ≤ ‖v−c‖ ≤ that bound — the survivor set provably
+    // contains the whole exact top-m (m = 1 is the argmin case).
+    val ubs = array_sort(transform(col("ds"), x => x.getField("d") + x.getField("rad")))
+    val ubm = element_at(col("ubs"), least(lit(m), size(col("ubs"))))
     val survivors = vs.crossJoin(broadcast(supArr))
       .withColumn("ds", ds)
-      .withColumn("ub", array_min(transform(col("ds"), x => x.getField("d") + x.getField("rad"))))
+      .withColumn("ubs", ubs)
+      .withColumn("ub", ubm)
       .select(col("vec_id"), col("v"),
         explode(filter(col("ds"),
           x => x.getField("d") - x.getField("rad") <= col("ub") + lit(PRUNE_EPS))).as("g"))
@@ -346,16 +354,18 @@ object VectorOps {
       .select(col("vec_id"), col("v"), col("cid"))
   }
 
-  /** Nearest-centroid assignment over the PRUNED candidate pairs — same
-    * (−cosine, cid) scoring and tie order as [[nearestCentroids]](m=1), so
-    * the result is identical to the exact crossJoin path by the bound
-    * argument above. */
-  private[graft] def prunedAssign(spark: SparkSession, vs: DataFrame,
-      cents: DataFrame, supStride: Int): DataFrame = {
+  /** Top-m nearest centroids over the PRUNED candidate pairs — same
+    * (−cosine, cid) scoring and tie order as [[nearestCentroids]], so the
+    * result is identical to the exact crossJoin path by the top-m bound
+    * argument above (centroids tied at the m-th distance are all in the
+    * survivor set, so the tie cut is applied to the same candidates). */
+  private[graft] def prunedNearestCentroids(spark: SparkSession, in: DataFrame,
+      idCol: String, vCol: String, cents: DataFrame, m: Int, supStride: Int): DataFrame = {
     import spark.implicits._
+    val vs = in.select(col(idCol).as("vec_id"), col(vCol).as("v"))
     val cosine = dot(col("v"), col("cv")) / (norm(col("v")) * norm(col("cv")))
-    val agg = new graft.query.TopKSmallest(1).toColumn
-    prunedCandidatePairs(spark, vs, cents, supStride)
+    val agg = new graft.query.TopKSmallest(m).toColumn
+    prunedCandidatePairs(spark, vs, cents, supStride, m)
       .join(broadcast(cents), "cid")
       .select(col("vec_id"), (-cosine).as("d"), col("cid"))
       .as[(Long, Double, Long)]
@@ -363,8 +373,13 @@ object VectorOps {
       .mapValues(r => (r._2, r._3))
       .agg(agg)
       .flatMap { case (id, top) => top.iterator.map { case (_, cid) => (id, cid) } }
-      .toDF("vec_id", "cid")
+      .toDF(idCol, "cid")
   }
+
+  /** m = 1 case: the corpus-side quantizer assignment. */
+  private[graft] def prunedAssign(spark: SparkSession, vs: DataFrame,
+      cents: DataFrame, supStride: Int): DataFrame =
+    prunedNearestCentroids(spark, vs, "vec_id", "v", cents, 1, supStride)
 
   /** Super-stride ≈ √K so super scores and probed-group members balance. */
   private def supStrideFor(nVectors: Long): Int =
@@ -397,11 +412,13 @@ object VectorOps {
     * centroid). */
   private[graft] def ivfCandidates(spark: SparkSession, vs: DataFrame, pr: DataFrame,
       cents: DataFrame, nprobe: Int, supStride: Int = 4): DataFrame = {
-    // corpus side: PRUNED two-level assignment (identical output to the
-    // exact crossJoin — see prunedCandidatePairs); probe side stays the
-    // exact top-nprobe scan (|probes| × K, the small side)
+    // BOTH sides pruned (identical output to the exact crossJoin — see
+    // prunedCandidatePairs): corpus assignment via the m=1 bound, probe
+    // top-nprobe via the top-m bound. At 10^9 vectors this takes the
+    // per-query centroid scoring from K ≈ 31,623 to O(√K + probed) too —
+    // the online-ANN latency term, not just the build cost.
     val assign = prunedAssign(spark, vs, cents, supStride)
-    val probeC = nearestCentroids(spark, pr.withColumnRenamed("qv", "v"), "qid", "v", cents, nprobe)
+    val probeC = prunedNearestCentroids(spark, pr, "qid", "qv", cents, nprobe, supStride)
     assign.join(probeC, "cid").filter(col("vec_id") =!= col("qid"))
   }
 
@@ -412,6 +429,11 @@ object VectorOps {
     * [[prunedAssign]] (TextVectorSpec pins equality at SF scale). */
   private[graft] def exactAssign(spark: SparkSession, vs: DataFrame, cents: DataFrame): DataFrame =
     nearestCentroids(spark, vs, "vec_id", "v", cents, 1)
+
+  /** Exact top-m twin — parity oracle for [[prunedNearestCentroids]]. */
+  private[graft] def exactNearest(spark: SparkSession, vs: DataFrame,
+      cents: DataFrame, m: Int): DataFrame =
+    nearestCentroids(spark, vs, "vec_id", "v", cents, m)
 
   /** Lloyd (spherical k-means) refinement of the coarse quantizer: assign
     * every vector to its nearest centroid by cosine, recompute each

@@ -188,6 +188,13 @@ class TextVectorSpec extends SparkSpec {
       val pruned = VectorOps.prunedAssign(spark, vsR, centsR, stride)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
       assert(pruned === exact, s"trial $trial (stride $stride): pruned diverged from exact")
+      // top-m bound (the probe-side path): full top-3 set parity
+      val m = 3
+      val exactM = VectorOps.exactNearest(spark, vsR, centsR, m)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val prunedM = VectorOps.prunedNearestCentroids(spark, vsR, "vec_id", "v", centsR, m, stride)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(prunedM === exactM, s"trial $trial (stride $stride): pruned top-$m diverged")
     }
   }
 
