@@ -34,8 +34,6 @@ object Headline {
 
   def job(spark: SparkSession, sfDir: String, z: Int = 7, factor: Int = 1): DataFrame = {
     GeoWorld.registerUdfs(spark)
-    spark.udf.register("tile_x", (lon: Double, zz: Int) => CellIndex.tileX(lon, zz))
-    spark.udf.register("tile_y", (lat: Double, zz: Int) => CellIndex.tileY(lat, zz))
     val pts = scaledPoints(spark, sfDir, factor)
       .withColumn("cell", CellFunctions.zcell(col("lon"), col("lat"), lit(CellIndex.RES_COARSE)))
     val areas = GeoWorld.areas(spark, sfDir).filter(col("level") === 4)
@@ -45,8 +43,8 @@ object Headline {
       .filter(GeoCols.geoContainsPoint(col("wkb"), col("lon"), col("lat")))
       .select(
         col("area_id"),
-        call_function("tile_x", col("lon"), lit(z)).as("tx"),
-        call_function("tile_y", col("lat"), lit(z)).as("ty"),
+        graft.cell.TileCols.tileX(col("lon"), lit(z)).as("tx"),
+        graft.cell.TileCols.tileY(col("lat"), lit(z)).as("ty"),
         col("is_media"))
       .groupBy("area_id", "tx", "ty")
       .agg(
@@ -132,8 +130,6 @@ object Headline {
     * once via a Spark broadcast and are resolved + prepared per executor. */
   def scalingJob(spark: SparkSession, sfDir: String, inputPath: String, z: Int = 7): DataFrame = {
     GeoWorld.registerUdfs(spark)
-    spark.udf.register("tile_x", (lon: Double, zz: Int) => CellIndex.tileX(lon, zz))
-    spark.udf.register("tile_y", (lat: Double, zz: Int) => CellIndex.tileY(lat, zz))
     val areas = complexAreas(spark, sfDir)
     val geomById = areas.select("area_id", "wkb").distinct().collect()
       .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
@@ -154,8 +150,8 @@ object Headline {
       .filter(call_function("pip_by_id", col("area_id"), col("lon"), col("lat")))
       .select(
         col("area_id"),
-        call_function("tile_x", col("lon"), lit(z)).as("tx"),
-        call_function("tile_y", col("lat"), lit(z)).as("ty"),
+        graft.cell.TileCols.tileX(col("lon"), lit(z)).as("tx"),
+        graft.cell.TileCols.tileY(col("lat"), lit(z)).as("ty"),
         col("is_media"))
       .groupBy("area_id", "tx", "ty")
       .agg(count(lit(1)).as("n_docs"),

@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, LongType}
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.functions.call_function
 
 /**
@@ -74,4 +75,31 @@ object CellFunctions {
 
   def zcellParent(cell: Column, res: Column, parentRes: Column): Column =
     call_function("zcell_parent", cell, res, parentRes)
+}
+
+/**
+ * Native (codegen'd) slippy-tile coordinates — bit-identical to the scalar
+ * [[CellIndex.tileX]]/[[CellIndex.tileY]] (identical `java.lang.Math`
+ * log/tan/cos/toRadians calls in the same IEEE evaluation order), but as
+ * pure Column expressions: the former Scala-UDF versions broke the
+ * whole-stage-codegen span right inside the headline job's hottest loop
+ * (serialize row → box doubles → invoke → unbox, per point). `z` may be a
+ * literal or a genuine column (the tile-pyramid zoom explode).
+ */
+object TileCols {
+
+  private def nOf(z: Column): Column =
+    call_function("shiftleft", lit(1L), z.cast("int"))
+
+  def tileX(lon: Column, z: Column): Column = {
+    val n = nOf(z)
+    least(greatest(floor((lon + 180.0) / 360.0 * n).cast("long"), lit(0L)), n - 1)
+  }
+
+  def tileY(lat: Column, z: Column): Column = {
+    val n = nOf(z)
+    val rad = radians(lat)
+    val v = (lit(1.0) - log(tan(rad) + lit(1.0) / cos(rad)) / lit(math.Pi)) / lit(2.0)
+    least(greatest(floor(v * n).cast("long"), lit(0L)), n - 1)
+  }
 }

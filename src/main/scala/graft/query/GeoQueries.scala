@@ -479,13 +479,11 @@ object GeoQueries {
     * north-star raster/vector tiling surface; cell math in [[CellIndex]]). */
   def tileAssign(spark: SparkSession, sfDir: String, z: Int = 7): DataFrame = {
     init(spark)
-    spark.udf.register("tile_x", (lon: Double, zz: Int) => CellIndex.tileX(lon, zz))
-    spark.udf.register("tile_y", (lat: Double, zz: Int) => CellIndex.tileY(lat, zz))
     GeoWorld.points(spark, sfDir).select(
       col("pid"),
       lit(z).as("z"),
-      call_function("tile_x", col("lon"), lit(z)).as("tx"),
-      call_function("tile_y", col("lat"), lit(z)).as("ty"))
+      graft.cell.TileCols.tileX(col("lon"), lit(z)).as("tx"),
+      graft.cell.TileCols.tileY(col("lat"), lit(z)).as("ty"))
   }
 
   def tileAssignSql(z: Int = 7): String =
@@ -499,13 +497,11 @@ object GeoQueries {
     * (point) spans bucketed to the same tile grid and joined per tile. */
   def rasterVector(spark: SparkSession, sfDir: String, z: Int = 7): DataFrame = {
     init(spark)
-    spark.udf.register("tile_x", (lon: Double, zz: Int) => CellIndex.tileX(lon, zz))
-    spark.udf.register("tile_y", (lat: Double, zz: Int) => CellIndex.tileY(lat, zz))
     GeoWorld.points(spark, sfDir)
       .select(
         lit(z).as("z"),
-        call_function("tile_x", col("lon"), lit(z)).as("tx"),
-        call_function("tile_y", col("lat"), lit(z)).as("ty"),
+        graft.cell.TileCols.tileX(col("lon"), lit(z)).as("tx"),
+        graft.cell.TileCols.tileY(col("lat"), lit(z)).as("ty"),
         col("is_media"))
       .groupBy("z", "tx", "ty")
       .agg(
@@ -525,13 +521,11 @@ object GeoQueries {
    */
   def tilePyramid(spark: SparkSession, sfDir: String, zooms: Seq[Int] = Seq(5, 6, 7)): DataFrame = {
     init(spark)
-    spark.udf.register("tile_x", (lon: Double, zz: Int) => CellIndex.tileX(lon, zz))
-    spark.udf.register("tile_y", (lat: Double, zz: Int) => CellIndex.tileY(lat, zz))
     GeoWorld.points(spark, sfDir)
       .select(col("lon"), col("lat"), explode(array(zooms.map(lit): _*)).as("z"))
       .groupBy(col("z"),
-        call_function("tile_x", col("lon"), col("z")).as("tx"),
-        call_function("tile_y", col("lat"), col("z")).as("ty"))
+        graft.cell.TileCols.tileX(col("lon"), col("z")).as("tx"),
+        graft.cell.TileCols.tileY(col("lat"), col("z")).as("ty"))
       .agg(count(lit(1)).as("n"))
   }
 

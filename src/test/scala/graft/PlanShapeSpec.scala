@@ -65,6 +65,16 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("tile assignment runs on native codegen'd expressions — no Scala UDF in the hot path") {
+    for (q <- Seq("q_tile_assign", "q_raster_vector", "q_tile_pyramid")) {
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      df.collect() // let AQE finalise
+      val p = plan(df)
+      assert(!p.contains("UDF"), s"$q still invokes a UDF:\n${p.take(800)}")
+      assert(!p.contains("BatchEvalPython"), q)
+    }
+  }
+
   test("round-4 queries: every join is a broadcast-hash equi-join (no cartesian / BNL / sort-merge)") {
     for (q <- Seq("q_relation_mixed", "q_fuzzy_invalid", "q_geojson_area", "q_geojson_dispatch")) {
       val p = plan(SparkEntry.queries(q)(spark, sfDir))
