@@ -63,6 +63,8 @@ object SparkEntry {
     "q_text_lang_id" -> ((s, d) => graft.text.TextOps.langId(s, d)),
     "q_text_quality" -> ((s, d) => graft.text.TextOps.qualityScore(s, d)),
     "q_text_tokens" -> ((s, d) => graft.text.TextOps.tokenCount(s, d)),
+    // regex-class pre-tokenizer counts (alpha/number/punct runs)
+    "q_text_token_classes" -> ((s, d) => graft.text.TextOps.tokenClasses(s, d)),
     "q_text_fingerprint" -> ((s, d) => graft.text.TextOps.fingerprint(s, d)),
     // per-doc tf-idf keywords (integer-ordered rank, score rides along)
     "q_text_keywords" -> ((s, d) => graft.text.TextOps.keywords(s, d)),
@@ -198,6 +200,7 @@ object SparkEntry {
     "q_embed_neardup" -> graft.vector.VectorOps.nearDupPairsSql(),
     "q_embed_dup_clusters" -> graft.vector.VectorOps.embedDupClustersSql(),
     "q_text_keywords" -> graft.text.TextOps.keywordsSql(),
+    "q_text_token_classes" -> graft.text.TextOps.tokenClassesSql,
     "q_text_ngram_jaccard" -> graft.text.TextOps.ngramJaccardSql,
     "q_text_chunks" -> graft.text.TextOps.chunksSql,
     "q_text_repetition" -> graft.text.TextOps.repetitionSql,

@@ -170,6 +170,37 @@ object TextOps {
       aggregate(words, lit(0L), (acc, w) => acc + floor((length(w) + 3) / 4).cast("long")).as("n_tokens"))
   }
 
+  /**
+   * Regex-CLASS tokenization — the BPE-style pre-tokenizer pass (GPT-2's
+   * pattern splits letter runs, digit runs, and punctuation before byte
+   * merges): per-doc counts of alpha tokens, number tokens, and
+   * punctuation tokens. The pattern uses only literal character classes
+   * (`[A-Za-z]+` / `[0-9]+` / single non-alnum-non-space) so
+   * java.util.regex (Spark codegen) and RE2 (DuckDB) tokenize
+   * byte-identically — no backtracking constructs, no `\\w`-class
+   * locale/unicode divergence. Map-only; one scan.
+   */
+  def tokenClasses(spark: SparkSession, sfDir: String): DataFrame = {
+    def n(pat: String): Column =
+      size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long")
+    corpus(spark, sfDir).select(
+      col("doc_id"),
+      n("[A-Za-z]+").as("n_alpha"),
+      n("[0-9]+").as("n_num"),
+      n("[^A-Za-z0-9 ]").as("n_punct"),
+      (n("[A-Za-z]+") + n("[0-9]+") + n("[^A-Za-z0-9 ]")).as("n_toks"))
+  }
+
+  val tokenClassesSql: String =
+    withCorpus() +
+      s"""SELECT doc_id,
+         |       CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_alpha,
+         |       CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num,
+         |       CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT) AS n_punct,
+         |       CAST(len(regexp_extract_all(text, '[A-Za-z]+')) + len(regexp_extract_all(text, '[0-9]+'))
+         |            + len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT) AS n_toks
+         |FROM corpus""".stripMargin
+
   /** Token-count CTE (`toks`, carries lang for downstream grouping) —
     * shared with the curation composite and sequence packing. */
   private[graft] val toksCte: String =
