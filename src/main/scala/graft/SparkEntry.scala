@@ -65,6 +65,8 @@ object SparkEntry {
     "q_text_tokens" -> ((s, d) => graft.text.TextOps.tokenCount(s, d)),
     // regex-class pre-tokenizer counts (alpha/number/punct runs)
     "q_text_token_classes" -> ((s, d) => graft.text.TextOps.tokenClasses(s, d)),
+    // adaptive per-language quality floor (rank-based decile cut)
+    "q_text_quality_floor" -> ((s, d) => graft.text.TextOps.qualityFloor(s, d)),
     "q_text_fingerprint" -> ((s, d) => graft.text.TextOps.fingerprint(s, d)),
     // per-doc tf-idf keywords (integer-ordered rank, score rides along)
     "q_text_keywords" -> ((s, d) => graft.text.TextOps.keywords(s, d)),
@@ -201,6 +203,7 @@ object SparkEntry {
     "q_embed_dup_clusters" -> graft.vector.VectorOps.embedDupClustersSql(),
     "q_text_keywords" -> graft.text.TextOps.keywordsSql(),
     "q_text_token_classes" -> graft.text.TextOps.tokenClassesSql,
+    "q_text_quality_floor" -> graft.text.TextOps.qualityFloorSql,
     "q_text_ngram_jaccard" -> graft.text.TextOps.ngramJaccardSql,
     "q_text_chunks" -> graft.text.TextOps.chunksSql,
     "q_text_repetition" -> graft.text.TextOps.repetitionSql,

@@ -160,6 +160,38 @@ object TextOps {
   val qualityScoreSql: String =
     withCorpus(qualCte) + "SELECT doc_id, n_words, stop_ratio, score FROM qual"
 
+  /**
+   * ADAPTIVE quality floor — drop each language's lowest-quality decile.
+   * A fixed score threshold misfires across languages/domains (a legalese
+   * corpus scores differently from chat logs); real curation cuts by
+   * per-group RANK. Deliberately rank-based, not threshold-based, for a
+   * second reason: membership is decided by integer rank arithmetic
+   * (`rank > n/10`, ties broken by doc_id), never by a float comparison
+   * at a quantile boundary — exact cross-engine parity by construction.
+   * One window shuffle on lang; at 100 TB you'd subsample the rank
+   * distribution per group, same plan shape.
+   */
+  def qualityFloor(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = qualityScore(spark, sfDir).select("doc_id", "score")
+    val w = Window.partitionBy("lang").orderBy(col("score").asc, col("doc_id").asc)
+    val grp = Window.partitionBy("lang")
+    corpus(spark, sfDir).select("doc_id", "lang").join(q, "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(grp))
+      .filter(col("rk") > (col("n") / lit(10)).cast("long"))
+      .select(col("doc_id"), col("lang"), col("score"))
+  }
+
+  val qualityFloorSql: String =
+    withCorpus(qualCte) +
+      """SELECT doc_id, lang, score FROM (
+        |  SELECT c.doc_id, c.lang, q.score,
+        |         ROW_NUMBER() OVER (PARTITION BY c.lang ORDER BY q.score ASC, c.doc_id ASC) AS rk,
+        |         COUNT(*) OVER (PARTITION BY c.lang) AS n
+        |  FROM corpus c JOIN qual q ON q.doc_id = c.doc_id
+        |) WHERE rk > n // 10""".stripMargin
+
   /** Token counting: whitespace words + a BPE-ish ceil(len/4) subword
     * estimate per word. */
   def tokenCount(spark: SparkSession, sfDir: String): DataFrame = {
