@@ -78,28 +78,41 @@ object CellFunctions {
 }
 
 /**
- * Native (codegen'd) slippy-tile coordinates — bit-identical to the scalar
- * [[CellIndex.tileX]]/[[CellIndex.tileY]] (identical `java.lang.Math`
- * log/tan/cos/toRadians calls in the same IEEE evaluation order), but as
- * pure Column expressions: the former Scala-UDF versions broke the
- * whole-stage-codegen span right inside the headline job's hottest loop
- * (serialize row → box doubles → invoke → unbox, per point). `z` may be a
- * literal or a genuine column (the tile-pyramid zoom explode).
+ * Native (codegen'd) slippy-tile coordinates — identical to the scalar
+ * [[CellIndex.tileX]]/[[CellIndex.tileY]] on the full finite lat/lon
+ * domain (identical `java.lang.Math` log/tan/cos/toRadians calls in the
+ * same IEEE evaluation order), but as pure Column expressions: the former
+ * Scala-UDF versions broke the whole-stage-codegen span right inside the
+ * headline job's hottest loop (serialize row → box doubles → invoke →
+ * unbox, per point). `z` may be a literal or a genuine column (the
+ * tile-pyramid zoom explode).
+ *
+ * Edge handling (review finding): Spark's `log` returns NULL where
+ * `Math.log` returns ±Infinity (the Mercator singularity at the poles),
+ * so tileY coalesces that case to the bottom tile row the scalar clamps
+ * to; both clamps run in DOUBLE space BEFORE the long cast so ANSI mode
+ * can never overflow-error on an out-of-range coordinate.
  */
 object TileCols {
 
   private def nOf(z: Column): Column =
     call_function("shiftleft", lit(1L), z.cast("int"))
 
+  private def clampIdx(idx: Column, n: Column): Column =
+    least(greatest(idx, lit(0.0)), (n - 1).cast("double")).cast("long")
+
   def tileX(lon: Column, z: Column): Column = {
     val n = nOf(z)
-    least(greatest(floor((lon + 180.0) / 360.0 * n).cast("long"), lit(0L)), n - 1)
+    clampIdx(floor((lon + 180.0) / 360.0 * n), n)
   }
 
   def tileY(lat: Column, z: Column): Column = {
     val n = nOf(z)
     val rad = radians(lat)
-    val v = (lit(1.0) - log(tan(rad) + lit(1.0) / cos(rad)) / lit(math.Pi)) / lit(2.0)
-    least(greatest(floor(v * n).cast("long"), lit(0L)), n - 1)
+    // log(x<=0) -> NULL in Spark, -Inf in Math.log: the scalar path's
+    // v=+Inf clamps to the bottom row, so coalesce to +MaxValue here
+    val v = (lit(1.0) -
+      coalesce(log(tan(rad) + lit(1.0) / cos(rad)), lit(Double.MinValue)) / lit(math.Pi)) / lit(2.0)
+    clampIdx(floor(v * n), n)
   }
 }
