@@ -111,6 +111,11 @@ object SparkEntry {
     "q_text_chunks" -> ((s, d) => graft.text.TextOps.chunks(s, d)),
     "q_text_repetition" -> ((s, d) => graft.text.TextOps.repetition(s, d)),
     "q_sample_stratified" -> ((s, d) => graft.text.TextOps.stratifiedSample(s, d)),
+    // corpus-construction ops: passage dedup, LM scoring, mixing, sharding
+    "q_text_para_dedup" -> ((s, d) => graft.text.Mixing.passageDedup(s, d)),
+    "q_text_unigram_lm" -> ((s, d) => graft.text.Mixing.unigramLm(s, d)),
+    "q_sample_temperature" -> ((s, d) => graft.text.Mixing.temperatureSample(s, d)),
+    "q_shard_pack" -> ((s, d) => graft.text.Mixing.shardPack(s, d)),
     // similarity search over embeddings
     "q_embed_topk" -> ((s, d) => graft.vector.VectorOps.cosineTopK(s, d)),
     "q_embed_lsh_ann" -> ((s, d) => graft.vector.VectorOps.lshTopK(s, d,
@@ -208,6 +213,10 @@ object SparkEntry {
     "q_text_chunks" -> graft.text.TextOps.chunksSql,
     "q_text_repetition" -> graft.text.TextOps.repetitionSql,
     "q_sample_stratified" -> graft.text.TextOps.stratifiedSampleSql,
+    "q_text_para_dedup" -> graft.text.Mixing.passageDedupSql,
+    "q_text_unigram_lm" -> graft.text.Mixing.unigramLmSql,
+    "q_sample_temperature" -> graft.text.Mixing.temperatureSampleSql,
+    "q_shard_pack" -> graft.text.Mixing.shardPackSql,
     "q_embed_topk" -> graft.vector.VectorOps.cosineTopKSql(),
     "q_embed_lsh_ann" -> graft.vector.VectorOps.lshTopKSql(),
     "q_embed_ivf" -> graft.vector.VectorOps.ivfTopKSql(),

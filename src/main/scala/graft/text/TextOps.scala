@@ -283,10 +283,10 @@ object TextOps {
   // --------------------------------------------------------- minhash + LSH
 
   /** Portable 32-bit hash of a string column: first 8 md5 hex digits. */
-  private def h32(s: Column): Column =
+  private[graft] def h32(s: Column): Column =
     conv(substring(md5(s.cast("binary")), 1, 8), 16, 10).cast("long")
 
-  private def h32Sql(s: String): String =
+  private[graft] def h32Sql(s: String): String =
     s"CAST('0x' || substr(md5($s), 1, 8) AS BIGINT)"
 
   // -- JVM twins of the column-level shingle/hash pipeline. The generated
