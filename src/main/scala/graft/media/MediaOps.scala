@@ -213,6 +213,52 @@ object MediaOps {
         sum(col("width").cast("long") * col("height").cast("long")).as("total_pixels"))
   }
 
+  /**
+   * Media↔text caption alignment over the INTERLEAVED span structure (the
+   * multimodal-pretraining pairing step): each media span is paired with
+   * the nearest PRECEDING text span of its own document — the caption a
+   * web-page image inherits from the text that introduces it. A media span
+   * with no preceding text keeps sentinel values (-1, '').
+   *
+   * Plan: explode spans (map-only), then one LOCF window PARTITIONED BY
+   * doc_id ordered by span offset — the carried caption rides in a struct
+   * so `last(_, ignoreNulls)` skips only non-text spans, never a genuine
+   * null payload (the as-of join's NULL-carry rule). Documents are bounded
+   * (≤8 spans here, ~10³ at web scale), so the window partition never
+   * outgrows a task at any corpus size.
+   */
+  def mediaCaption(spark: SparkSession, sfDir: String): DataFrame = {
+    val spans = graft.gen.GeoWorld.docs(spark, sfDir)
+      .select(col("doc_id"), explode(col("spans")).as("s"))
+      .select(col("doc_id"), col("s.offset").as("offset"), col("s.kind").as("kind"),
+        col("s.text").as("text"), col("s.media_ref").as("media_ref"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("offset")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cap = last(
+      when(col("kind") === "point", struct(col("offset").as("o"), col("text").as("t"))),
+      ignoreNulls = true).over(w)
+    spans.withColumn("c", cap)
+      .filter(col("kind") === "media")
+      .select(col("doc_id"), col("offset").as("media_offset"), col("media_ref"),
+        coalesce(col("c.o"), lit(-1)).as("caption_offset"),
+        coalesce(col("c.t"), lit("")).as("caption_text"))
+  }
+
+  val mediaCaptionSql: String =
+    graft.query.GeoQueries.withWorld(
+      """capd AS (
+        |  SELECT doc_id, "offset", kind, media_ref,
+        |         last_value(CASE WHEN kind = 'point' THEN {'o': "offset", 't': text} END IGNORE NULLS)
+        |           OVER (PARTITION BY doc_id ORDER BY "offset"
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS c
+        |  FROM spansf
+        |)""".stripMargin) +
+      """SELECT doc_id, "offset" AS media_offset, media_ref,
+        |       COALESCE(c.o, -1) AS caption_offset,
+        |       COALESCE(c.t, '') AS caption_text
+        |FROM capd WHERE kind = 'media'""".stripMargin
+
   def mediaTilesSql(z: Int = 7): String =
     graft.query.GeoQueries.withWorld(
       """media AS (

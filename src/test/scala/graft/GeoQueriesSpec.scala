@@ -105,6 +105,31 @@ class GeoQueriesSpec extends SparkSpec {
     assert(reassembled.count() === docs.count())
   }
 
+  test("media caption pairing: nearest preceding text span, brute-force checked") {
+    val out = graft.media.MediaOps.mediaCaption(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> (r.getInt(3), r.getString(4))).toMap
+    // brute-force from the nested docs: walk each doc's spans in offset order
+    val docs = GeoWorld.docs(spark, sfDir)
+      .select(col("doc_id"), col("spans")).collect()
+    var mediaSeen = 0
+    docs.foreach { r =>
+      val docId = r.getString(0)
+      val spans = r.getSeq[org.apache.spark.sql.Row](1).sortBy(_.getAs[Int]("offset"))
+      var lastText: Option[(Int, String)] = None
+      spans.foreach { s =>
+        val off = s.getAs[Int]("offset")
+        if (s.getAs[String]("kind") == "media") {
+          mediaSeen += 1
+          val expected = lastText.getOrElse((-1, ""))
+          assert(out((docId, off)) === expected, s"caption of ($docId, $off)")
+        } else lastText = Some((off, s.getAs[String]("text")))
+      }
+    }
+    assert(mediaSeen === out.size, "one output row per media span")
+    assert(out.values.exists(_._1 >= 0), "some media spans have captions")
+    assert(out.values.exists(_._1 == -1), "leading media spans keep the sentinel")
+  }
+
   test("kNN ranks are dense 1..k per probe and distances non-decreasing") {
     val rows = GeoQueries.knn(spark, sfDir, k = 5).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getDouble(3)))
