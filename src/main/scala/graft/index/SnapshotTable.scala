@@ -1,0 +1,197 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/**
+ * Minimal Iceberg-shaped snapshot table over partitioned parquet — the
+ * engine's realisation of the north-rule's "Iceberg table … resumable from
+ * checkpoint with per-partition lineage + metrics" contract in an offline
+ * container (no Iceberg jar; SURVEY.md §"No Iceberg jar").
+ *
+ * Layout:
+ * {{{
+ *   <root>/v<N>/part=<p>/part-*.parquet   data files of version N's WRITE
+ *   <root>/snap-<N>.json                  snapshot manifest: the exact file
+ *                                         set of version N (absolute paths +
+ *                                         partition value + rows per file)
+ * }}}
+ *
+ * Key properties, mirroring Iceberg semantics:
+ *  - **Copy-on-write MERGE**: [[upsert]] rewrites ONLY the partitions the
+ *    delta touches; untouched partitions are carried into the new snapshot
+ *    by reference (same files, no IO). At 100 TB an upsert's cost is
+ *    proportional to the touched region, never the table.
+ *  - **Snapshot isolation / time travel**: [[read]] of version N resolves
+ *    the manifest's exact file list — concurrent readers of N are unaffected
+ *    by later upserts, and historic versions stay readable until [[expire]].
+ *  - **Per-partition lineage**: every manifest carries (partition → rows),
+ *    the per-partition row-count lineage the scaling contract asks for.
+ *
+ * The partition column is duplicated into the data files (`part` directory +
+ * `_part` data column) so a manifest read never depends on Spark directory
+ * inference — a version's files can be listed directly regardless of which
+ * version-dir they live in.
+ *
+ * Driver state is the manifest file list only — O(#files), the same scaling
+ * envelope as an Iceberg manifest list; a production port would page
+ * manifests per partition-spec like Iceberg's manifest-list/manifest split.
+ */
+class SnapshotTable(spark: SparkSession, root: String) {
+
+  final case class FileEntry(path: String, part: Long, rows: Long)
+
+  private def snapPath(v: Int): Path = Paths.get(s"$root/snap-$v.json")
+
+  /** Latest committed snapshot version (0 = no snapshots). */
+  def currentVersion: Int = {
+    val dir = Paths.get(root)
+    if (!Files.exists(dir)) 0
+    else {
+      val s = Files.list(dir)
+      try s.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case n if n.startsWith("snap-") && n.endsWith(".json") =>
+          n.stripPrefix("snap-").stripSuffix(".json").toInt }
+        .foldLeft(0)(math.max)
+      finally s.close()
+    }
+  }
+
+  /** The exact data-file set of snapshot v. */
+  def snapshot(v: Int): Seq[FileEntry] = {
+    val txt = Files.readString(snapPath(v))
+    """\{"path":"([^"]+)","part":(-?\d+),"rows":(\d+)\}""".r
+      .findAllMatchIn(txt)
+      .map(m => FileEntry(m.group(1), m.group(2).toLong, m.group(3).toLong))
+      .toSeq
+  }
+
+  /** Per-partition row-count lineage of snapshot v. */
+  def partLineage(v: Int): Map[Long, Long] =
+    snapshot(v).groupBy(_.part).map { case (p, fs) => p -> fs.map(_.rows).sum }
+
+  /** Write version-dir vN from `df` (must carry a long `part` column) and
+    * return its file entries. The part value rides both the directory AND
+    * the `_part` data column. */
+  private def writeVersionDir(df: DataFrame, v: Int): Seq[FileEntry] = {
+    val dir = s"$root/v$v"
+    df.withColumn("_part", col("part"))
+      .write.partitionBy("part").parquet(dir)
+    // one footer-cheap job over the version dir: per-file row counts (the
+    // manifest stats an Iceberg writer would record at commit)
+    spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f")).count()
+      .collect()
+      .map { r =>
+        val f = java.net.URLDecoder.decode(
+          r.getString(0).stripPrefix("file:"), "UTF-8")
+        val part = "part=(-?\\d+)".r.findFirstMatchIn(f).map(_.group(1).toLong)
+          .getOrElse(sys.error(s"no partition dir in $f"))
+        FileEntry(f, part, r.getLong(1))
+      }.toSeq.sortBy(_.path)
+  }
+
+  private def commit(v: Int, parent: Int, files: Seq[FileEntry]): Unit = {
+    val fileJson = files.map(f => s"""{"path":"${f.path}","part":${f.part},"rows":${f.rows}}""")
+      .mkString("[", ",", "]")
+    val lineage = files.groupBy(_.part).toSeq.sortBy(_._1)
+      .map { case (p, fs) => s""""$p":${fs.map(_.rows).sum}""" }.mkString("{", ",", "}")
+    Files.createDirectories(Paths.get(root))
+    Files.writeString(snapPath(v),
+      s"""{"version":$v,"parent":$parent,"files":$fileJson,"part_rows":$lineage}""")
+  }
+
+  /** Initial load: full write of `df` as snapshot 1. `df` must carry a
+    * long `part` column (the partition key). */
+  def init(df: DataFrame): Int = {
+    require(currentVersion == 0, s"table at $root already initialised")
+    commit(1, 0, writeVersionDir(df, 1))
+    1
+  }
+
+  /**
+   * Copy-on-write MERGE: rows of `delta` replace base rows with the same
+   * key (equality on `keyCols`); new keys are inserts. Only partitions
+   * present in `delta` are rewritten — their surviving base rows are read
+   * back (file-list scoped, not a table scan), anti-joined on the key and
+   * re-written together with the delta; every other partition's files carry
+   * over by reference. Returns the new snapshot version.
+   */
+  def upsert(delta: DataFrame, keyCols: Seq[String]): Int = {
+    val cur = currentVersion
+    require(cur > 0, "init() before upsert()")
+    val next = cur + 1
+    // touched partitions: driver-bounded by partition count, not rows
+    val touched = delta.select("part").distinct().collect().map(_.getLong(0)).toSet
+    val (touchedFiles, carried) = snapshot(cur).partition(f => touched(f.part))
+    val merged = if (touchedFiles.nonEmpty) {
+      val base = spark.read.parquet(touchedFiles.map(_.path): _*)
+        .withColumn("part", col("_part")).drop("_part")
+      base.join(delta.select(keyCols.map(col): _*), keyCols, "left_anti")
+        .unionByName(delta)
+    } else delta
+    val newFiles = writeVersionDir(merged, next)
+    commit(next, cur, carried ++ newFiles)
+    next
+  }
+
+  /** Time-travel read of snapshot v (default: current). */
+  def read(version: Int = -1): DataFrame = {
+    val v = if (version < 0) currentVersion else version
+    val files = snapshot(v)
+    spark.read.parquet(files.map(_.path): _*)
+      .withColumn("part", col("_part")).drop("_part")
+  }
+
+  /** Drop snapshots older than `keepLast` versions and delete data files no
+    * surviving snapshot references (Iceberg's expire_snapshots + orphan
+    * cleanup). Returns deleted file count. */
+  def expire(keepLast: Int = 1): Int = {
+    val cur = currentVersion
+    val keep = ((cur - keepLast + 1) max 1) to cur
+    val all = (1 to cur).filter(v => Files.exists(snapPath(v)))
+    val live = keep.filter(v => Files.exists(snapPath(v))).flatMap(snapshot).map(_.path).toSet
+    val dead = all.filterNot(keep.contains).flatMap(snapshot).map(_.path).distinct
+      .filterNot(live.contains)
+    dead.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    all.filterNot(keep.contains).foreach(v => Files.deleteIfExists(snapPath(v)))
+    dead.size
+  }
+}
+
+/** Catalog query driving the snapshot table end-to-end (see
+  * [[SnapshotTable]]): build the point→cell mapping as snapshot 1, MERGE a
+  * re-versioned delta (every pid % 3 == 0) as snapshot 2, read the current
+  * snapshot back from its manifest. The DuckDB oracle recomputes the final
+  * MERGE result directly — parity proves the on-disk incremental path
+  * equals a from-scratch rebuild. */
+object SnapshotQueries {
+
+  def indexUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.cell.{CellFunctions, CellIndex}
+    graft.gen.GeoWorld.registerUdfs(spark)
+    val root = Files.createTempDirectory("graft-snap").toString
+    val t = new SnapshotTable(spark, root)
+    val base = graft.gen.GeoWorld.points(spark, sfDir)
+      .select(col("pid"),
+        CellFunctions.zcell(col("lon"), col("lat"), lit(CellIndex.RES_MID)).as("cell"))
+      .withColumn("part", CellFunctions.zcellParent(
+        col("cell"), lit(CellIndex.RES_MID), lit(2)))
+      .withColumn("ver", lit(1L))
+    t.init(base)
+    t.upsert(base.filter(col("pid") % 3 === 0).withColumn("ver", lit(2L)), Seq("pid"))
+    t.read().select(col("pid"), col("cell"), col("ver"))
+  }
+
+  val indexUpsertSql: String = {
+    import graft.cell.{CellIndex, CellSql}
+    graft.query.GeoQueries.withWorld() +
+      s"""SELECT pid,
+         |       ${CellSql.encode("lon", "lat", CellIndex.RES_MID)} AS cell,
+         |       CAST(CASE WHEN pid % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS ver
+         |FROM pts""".stripMargin
+  }
+}
