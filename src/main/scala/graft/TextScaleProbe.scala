@@ -49,6 +49,10 @@ object TextScaleProbe {
       t(s"ngram_jaccard k=$k n=$n")(graft.text.TextOps.ngramJaccardOf(spark, c).count())
       t(s"simhash_pairs k=$k n=$n")(graft.text.TextOps.simhashPairsOf(spark, c).count())
       t(s"dup_clusters k=$k n=$n")(graft.text.DedupGraph.dupClustersOf(spark, c).count())
+      // round-4 second-session additions: passage dedup (groupBy keeper +
+      // reassembly) and unigram LM (vocab agg + broadcast score join)
+      t(s"para_dedup k=$k n=$n")(graft.text.Mixing.passageDedupOf(c).count())
+      t(s"unigram_lm k=$k n=$n")(graft.text.Mixing.unigramLmOf(c).count())
       c.unpersist()
 
       // round-4 additions: the round-3 newcomers (verdict #7)

@@ -41,10 +41,13 @@ object Mixing {
    * it in the map stage and AQE can split the join's hot key); reassembly
    * is one groupBy on doc_id. Three linear shuffles, no pair blowup.
    */
-  def passageDedup(spark: SparkSession, sfDir: String): DataFrame = {
+  def passageDedup(spark: SparkSession, sfDir: String): DataFrame =
+    passageDedupOf(TextOps.corpus(spark, sfDir))
+
+  def passageDedupOf(c: DataFrame): DataFrame = {
     val words = split(col("text"), " ")
     val starts = sequence(lit(0), size(words) - 1, lit(PASS_WORDS))
-    val pass = TextOps.corpus(spark, sfDir)
+    val pass = c
       .select(col("doc_id"), words.as("w"), explode(starts).as("start"))
       .select(col("doc_id"),
         (col("start") / PASS_WORDS).cast("int").as("pidx"),
@@ -101,9 +104,11 @@ object Mixing {
    * memory, and a broadcast join is immune to the Zipf-head skew that would
    * hammer a shuffle join on the word key.
    */
-  def unigramLm(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = TextOps.corpus(spark, sfDir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+  def unigramLm(spark: SparkSession, sfDir: String): DataFrame =
+    unigramLmOf(TextOps.corpus(spark, sfDir))
+
+  def unigramLmOf(c: DataFrame): DataFrame = {
+    val toks = c.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
     val vocab = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
     val tot = vocab.agg(sum("cnt").as("tot"))
     val lp = vocab.crossJoin(broadcast(tot))
