@@ -48,6 +48,8 @@ object SparkEntry {
     "q_tile_pyramid" -> ((s, d) => GeoQueries.tilePyramid(s, d)),
     // vertex-based cell cover over non-rect geometry (T14)
     "q_vertex_cover" -> ((s, d) => GeoQueries.vertexCoverTable(s, d)),
+    // polygon->cell polyfill (H3 polyfill analog) over the inscribed diamond
+    "q_area_polyfill" -> ((s, d) => GeoQueries.areaPolyfill(s, d)),
     // counts / search (S8 / S10)
     "q_counts_by_cell" -> ((s, d) => GeoQueries.countsByCell(s, d)),
     "q_counts_by_cell_tag" -> ((s, d) => GeoQueries.countsByCellTag(s, d)),
@@ -178,6 +180,7 @@ object SparkEntry {
     "q_raster_vector" -> GeoQueries.rasterVectorSql(),
     "q_tile_pyramid" -> GeoQueries.tilePyramidSql(),
     "q_vertex_cover" -> GeoQueries.vertexCoverSql(),
+    "q_area_polyfill" -> GeoQueries.areaPolyfillSql(),
     "q_counts_by_cell" -> GeoQueries.countsByCellSql,
     "q_counts_by_cell_tag" -> GeoQueries.countsByCellTagSql,
     "q_name_search" -> GeoQueries.nameSearchSql(),

@@ -577,6 +577,89 @@ object GeoQueries {
          |)""".stripMargin
   }
 
+  /**
+   * Polygon→cell POLYFILL (the H3 `polyfill` analog, completing T14's
+   * ladder: rect cover = bbox candidates, vertex cover = boundary, polyfill
+   * = the polygon's true cell set): all cells at `res` whose rect
+   * INTERSECTS the inscribed diamond of each level-`level` area — bbox
+   * cells that only pad the diamond's corners are excluded.
+   *
+   * The intersects test is the exact closed form for an L1 ball vs an
+   * axis-aligned rect: with the rect's per-axis distance to the center
+   * dx = max(0, clon0−cx, cx−clon1) (dy likewise), the rect meets the
+   * diamond iff dx/ha + dy/hb ≤ 1. Pure codegen'd arithmetic — identical
+   * IEEE ops in the DuckDB oracle — and GeoQueriesSpec cross-checks the
+   * result against JTS `Geometry.intersects`: the JTS set is always fully
+   * covered; a handful of TANGENT cells (exact L1 distance within one
+   * double ulp of 1) may additionally be admitted, because the operator's
+   * boundary decisions are defined at IEEE-double precision (JTS resolves
+   * those exact ties with rational arithmetic). Conservative direction:
+   * ties are included, never dropped — a candidate set stays complete.
+   *
+   * Scale shape: dim-sized input × bounded per-area cell grid, map-only
+   * explode; the cell set feeds the same (cell, area) candidate joins as
+   * the rect cover but with ~50% fewer false-positive candidate cells
+   * (diamond area / bbox area = 1/2).
+   */
+  def areaPolyfill(spark: SparkSession, sfDir: String, level: Int = 4, res: Int = 10): DataFrame = {
+    init(spark)
+    val n = 1L << res
+    val w = CellIndex.LON_SPAN / n
+    val h = CellIndex.LAT_SPAN / n
+    def ixCol(lon: Column): Column =
+      least(greatest(floor((lon - CellIndex.LON_MIN) / CellIndex.LON_SPAN * n).cast("long"), lit(0L)), lit(n - 1))
+    def iyCol(lat: Column): Column =
+      least(greatest(floor((lat - CellIndex.LAT_MIN) / CellIndex.LAT_SPAN * n).cast("long"), lit(0L)), lit(n - 1))
+    val cells = GeoWorld.areas(spark, sfDir).filter(col("level") === level)
+      .select(col("area_id"), col("lon0"), col("lat0"), col("lon1"), col("lat1"),
+        ((col("lon0") + col("lon1")) / 2.0).as("cx"),
+        ((col("lat0") + col("lat1")) / 2.0).as("cy"),
+        ((col("lon1") - col("lon0")) / 2.0).as("ha"),
+        ((col("lat1") - col("lat0")) / 2.0).as("hb"))
+      .withColumn("ix", explode(sequence(ixCol(col("lon0")), ixCol(col("lon1")))))
+      .withColumn("iy", explode(sequence(iyCol(col("lat0")), iyCol(col("lat1")))))
+      .withColumn("clon0", lit(CellIndex.LON_MIN) + col("ix") * w)
+      .withColumn("clat0", lit(CellIndex.LAT_MIN) + col("iy") * h)
+    val dx = greatest(lit(0.0), col("clon0") - col("cx"), col("cx") - (col("clon0") + w)) / col("ha")
+    val dy = greatest(lit(0.0), col("clat0") - col("cy"), col("cy") - (col("clat0") + h)) / col("hb")
+    cells.filter(dx + dy <= 1.0)
+      .select(col("area_id"),
+        CellFunctions.zcell(col("clon0") + w / 2, col("clat0") + h / 2, lit(res)).as("cell"))
+  }
+
+  def areaPolyfillSql(level: Int = 4, res: Int = 10): String = {
+    val n = 1L << res
+    val w = CellIndex.LON_SPAN / n
+    val h = CellIndex.LAT_SPAN / n
+    val dx = s"GREATEST(0.0, clon0 - cx, cx - (clon0 + $w)) / ha"
+    val dy = s"GREATEST(0.0, clat0 - cy, cy - (clat0 + $h)) / hb"
+    withWorld(
+      s"""dia AS (
+         |  SELECT area_id, lon0, lat0, lon1, lat1,
+         |         (lon0 + lon1) / 2.0 AS cx, (lat0 + lat1) / 2.0 AS cy,
+         |         (lon1 - lon0) / 2.0 AS ha, (lat1 - lat0) / 2.0 AS hb
+         |  FROM areas WHERE level = $level
+         |)""".stripMargin,
+      s"""gx AS (
+         |  SELECT area_id, cx, cy, ha, hb, lat0, lat1,
+         |         UNNEST(range(${CellSql.ix("lon0", res)}, ${CellSql.ix("lon1", res)} + 1)) AS ix
+         |  FROM dia
+         |)""".stripMargin,
+      s"""gxy AS (
+         |  SELECT area_id, cx, cy, ha, hb, ix,
+         |         UNNEST(range(${CellSql.iy("lat0", res)}, ${CellSql.iy("lat1", res)} + 1)) AS iy
+         |  FROM gx
+         |)""".stripMargin,
+      s"""grid AS (
+         |  SELECT area_id, cx, cy, ha, hb,
+         |         ${CellIndex.LON_MIN} + ix * $w AS clon0, ${CellIndex.LAT_MIN} + iy * $h AS clat0
+         |  FROM gxy
+         |)""".stripMargin) +
+      s"""SELECT area_id,
+         |       ${CellSql.encode(s"clon0 + ${w / 2}", s"clat0 + ${h / 2}", res)} AS cell
+         |FROM grid WHERE $dx + $dy <= 1.0""".stripMargin
+  }
+
   // ------------------------------------------------- counts / name search
 
   /** Count-by-cell (reference S8 `countBB`). */

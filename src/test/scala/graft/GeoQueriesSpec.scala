@@ -105,6 +105,57 @@ class GeoQueriesSpec extends SparkSpec {
     assert(reassembled.count() === docs.count())
   }
 
+  test("area polyfill covers the JTS intersects set; extras are only double-rounded tangencies") {
+    import graft.cell.CellIndex
+    import graft.geom.Geo
+    val res = 10
+    val got = GeoQueries.areaPolyfill(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val areas = GeoWorld.areas(spark, sfDir).filter(col("level") === 4)
+      .select("area_id", "lon0", "lat0", "lon1", "lat1").collect()
+    assert(areas.nonEmpty)
+    val expect = areas.flatMap { a =>
+      val (id, lon0, lat0, lon1, lat1) =
+        (a.getLong(0), a.getDouble(1), a.getDouble(2), a.getDouble(3), a.getDouble(4))
+      val cx = (lon0 + lon1) / 2.0; val cy = (lat0 + lat1) / 2.0
+      val diamond = Geo.factory.createPolygon(Array(
+        new org.locationtech.jts.geom.Coordinate(cx, lat0),
+        new org.locationtech.jts.geom.Coordinate(lon1, cy),
+        new org.locationtech.jts.geom.Coordinate(cx, lat1),
+        new org.locationtech.jts.geom.Coordinate(lon0, cy),
+        new org.locationtech.jts.geom.Coordinate(cx, lat0)))
+      // JTS truth over the FULL bbox cell grid: emitted iff intersects
+      CellIndex.rectCover(lon0, lat0, lon1, lat1, res).toSeq.flatMap { cell =>
+        val (a0, b0, a1, b1) = CellIndex.bounds(cell, res)
+        if (diamond.intersects(Geo.rect(a0, b0, a1, b1))) Some((id, cell)) else None
+      }
+    }.toSet
+    // every JTS-intersecting cell is emitted (no false negatives)…
+    assert((expect -- got).isEmpty, "polyfill must contain the full JTS intersects set")
+    // …and any extra is a TANGENT cell where the exact L1 distance sits
+    // within double rounding of 1 (the operator's boundary decisions are
+    // defined at IEEE-double precision, matching the DuckDB oracle op-for-op;
+    // JTS decides these exact ties with rational arithmetic)
+    val amap = areas.map(a => a.getLong(0) -> a).toMap
+    val extras = got -- expect
+    assert(extras.size <= expect.size / 1000, s"only isolated boundary ties allowed (${extras.size})")
+    extras.foreach { case (id, cell) =>
+      val a = amap(id)
+      val (lon0, lat0, lon1, lat1) =
+        (a.getDouble(1), a.getDouble(2), a.getDouble(3), a.getDouble(4))
+      val cx = (lon0 + lon1) / 2.0; val cy = (lat0 + lat1) / 2.0
+      val ha = (lon1 - lon0) / 2.0; val hb = (lat1 - lat0) / 2.0
+      val (c0, d0, c1, d1) = CellIndex.bounds(cell, res)
+      val dxdy = math.max(0.0, math.max(c0 - cx, cx - c1)) / ha +
+        math.max(0.0, math.max(d0 - cy, cy - d1)) / hb
+      assert(math.abs(dxdy - 1.0) < 1e-12, s"extra ($id, $cell) must be a tangent tie, got $dxdy")
+    }
+    // the polyfill genuinely prunes bbox corners (diamond/bbox area = 1/2)
+    val bboxCells = areas.map(a => CellIndex.rectCover(
+      a.getDouble(1), a.getDouble(2), a.getDouble(3), a.getDouble(4), res).length.toLong).sum
+    assert(got.size < bboxCells * 3 / 4, s"polyfill ${got.size} should prune vs bbox $bboxCells")
+  }
+
   test("media caption pairing: nearest preceding text span, brute-force checked") {
     val out = graft.media.MediaOps.mediaCaption(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getInt(1)) -> (r.getInt(3), r.getString(4))).toMap
