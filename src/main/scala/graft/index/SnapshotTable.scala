@@ -146,6 +146,29 @@ class SnapshotTable(spark: SparkSession, root: String) {
       .withColumn("part", col("_part")).drop("_part")
   }
 
+  /**
+   * Bin-pack compaction (Iceberg's rewrite_data_files): partitions holding
+   * more than `maxFiles` data files are rewritten into one file each; all
+   * others carry into the new snapshot by reference. Pure layout change —
+   * [[read]] results are identical before and after — but at scale it is
+   * what keeps a frequently-upserted table's file count (and thus manifest
+   * size + scan task count) bounded. Returns the new version (or the
+   * current one when nothing qualifies).
+   */
+  def compact(maxFiles: Int = 1): Int = {
+    val cur = currentVersion
+    val files = snapshot(cur)
+    val fat = files.groupBy(_.part).filter(_._2.size > maxFiles).keySet
+    if (fat.isEmpty) return cur
+    val (touchedFiles, carried) = files.partition(f => fat(f.part))
+    val merged = spark.read.parquet(touchedFiles.map(_.path): _*)
+      .withColumn("part", col("_part")).drop("_part")
+      .repartition(fat.size, col("part"))
+    val next = cur + 1
+    commit(next, cur, carried ++ writeVersionDir(merged, next))
+    next
+  }
+
   /** Drop snapshots older than `keepLast` versions and delete data files no
     * surviving snapshot references (Iceberg's expire_snapshots + orphan
     * cleanup). Returns deleted file count. */
@@ -160,6 +183,29 @@ class SnapshotTable(spark: SparkSession, root: String) {
     all.filterNot(keep.contains).foreach(v => Files.deleteIfExists(snapPath(v)))
     dead.size
   }
+}
+
+/**
+ * Continuous index maintenance: a structured stream MERGEd into a
+ * [[SnapshotTable]] per micro-batch — the checkpoint-resumable ingest the
+ * north rule asks for, closed over the snapshot format. Offsets live in the
+ * stream checkpoint; table versions advance one per processed batch. A
+ * batch replayed after a crash re-upserts the same keys with the same
+ * values, so the TABLE STATE is exactly-once even though the version
+ * counter is at-least-once (the same convergence argument as Iceberg's
+ * idempotent MERGE writers).
+ */
+object StreamIngest {
+
+  def upsertStream(in: DataFrame, table: SnapshotTable, keys: Seq[String],
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    in.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) { table.upsert(batch, keys); () }
+      }
+      .start()
 }
 
 /** Catalog query driving the snapshot table end-to-end (see

@@ -84,6 +84,20 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("round-5 queries: no cartesian or sort-merge; BNL only as a 1-row total attach") {
+    val oneRowAttach = Set("q_text_unigram_lm", "q_sample_temperature")
+    for (q <- Seq("q_text_para_dedup", "q_text_unigram_lm", "q_sample_temperature",
+        "q_shard_pack", "q_media_caption", "q_index_upsert", "q_area_polyfill")) {
+      val p = plan(SparkEntry.queries(q)(spark, sfDir))
+      assert(!p.contains("CartesianProduct"), s"$q:\n${p.take(600)}")
+      assert(!p.contains("SortMergeJoin"), s"$q:\n${p.take(600)}")
+      // the corpus-total / min-lang-count scalar rides a 1-row broadcast
+      // (prints as BroadcastNestedLoop but multiplies by exactly 1)
+      if (!oneRowAttach(q))
+        assert(!p.contains("BroadcastNestedLoop"), s"$q:\n${p.take(600)}")
+    }
+  }
+
   test("salted PIP variant shuffles instead of broadcasting the big side") {
     val p = plan(GeoQueries.pipLookupSalted(spark, sfDir))
     assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"), p.take(800))

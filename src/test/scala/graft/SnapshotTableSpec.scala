@@ -62,6 +62,52 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.partLineage(2)(1L) === t.partLineage(1)(1L))
   }
 
+  test("compaction bounds per-partition file counts without changing the data") {
+    val (_, t) = freshTable()
+    // a deliberately fragmented write: 8 random input partitions fan files
+    // into every part directory
+    t.init((0L until 1000L).map(i => (i, i % 4, 1L)).toDF("id", "part", "ver").repartition(8))
+    val before = t.snapshot(1).groupBy(_.part).map(_._2.size)
+    assert(before.max > 1, "fixture must start fragmented")
+    val dataBefore = t.read().collect().map(_.toSeq).toSet
+
+    val v = t.compact(maxFiles = 1)
+    assert(v === 2)
+    assert(t.snapshot(2).groupBy(_.part).forall(_._2.size == 1), "one file per partition")
+    assert(t.read().collect().map(_.toSeq).toSet === dataBefore, "compaction is layout-only")
+    assert(t.partLineage(2) === t.partLineage(1))
+    // nothing fragmented -> compaction is a no-op, no empty snapshot committed
+    assert(t.compact(maxFiles = 1) === 2)
+  }
+
+  test("streaming upsert: micro-batches merge through the checkpoint, resume skips processed batches") {
+    import org.apache.spark.sql.types._
+    val (_, t) = freshTable()
+    t.init(baseDf)
+    val dir = java.nio.file.Files.createTempDirectory("snapstream").toString
+    val schema = StructType(Seq(StructField("id", LongType), StructField("part", LongType),
+      StructField("ver", LongType)))
+    def runOnce(): Unit = {
+      val in = spark.readStream.schema(schema).parquet(s"$dir/in")
+      val q = graft.index.StreamIngest.upsertStream(in, t, Seq("id"), s"$dir/ckpt")
+      q.awaitTermination(60000); ()
+    }
+    // batch 1: update ids 0..9 in partition-scoped deltas
+    (0L until 10L).map(i => (i, i % 8, 2L)).toDF("id", "part", "ver")
+      .write.mode("append").parquet(s"$dir/in")
+    runOnce()
+    assert(t.currentVersion === 2)
+    assert(t.read().filter($"ver" === 2L).count() === 10)
+    // batch 2 lands AFTER a restart from the same checkpoint: only the new
+    // file is processed (offsets resumed), one more version, ids 0..9 stay
+    Seq((2000L, 5L, 3L)).toDF("id", "part", "ver")
+      .write.mode("append").parquet(s"$dir/in")
+    runOnce()
+    assert(t.currentVersion === 3, "exactly one version per NEW batch — no replay of batch 1")
+    val got = t.read().select("id", "ver").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === ((0L until 1000L).map(i => (i, if (i < 10) 2L else 1L)).toSet + ((2000L, 3L))))
+  }
+
   test("expire drops old snapshots' orphan files but keeps everything current") {
     val (_, t) = freshTable()
     t.init(baseDf)
