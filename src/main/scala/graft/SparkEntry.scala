@@ -118,6 +118,9 @@ object SparkEntry {
     "q_text_unigram_lm" -> ((s, d) => graft.text.Mixing.unigramLm(s, d)),
     "q_sample_temperature" -> ((s, d) => graft.text.Mixing.temperatureSample(s, d)),
     "q_shard_pack" -> ((s, d) => graft.text.Mixing.shardPack(s, d)),
+    "q_text_ngram_mine" -> ((s, d) => graft.text.Mixing.ngramMine(s, d)),
+    // reverse geocode: the full admin path per point (Q3 up the ladder)
+    "q_revgeo" -> ((s, d) => GeoQueries.reverseGeocode(s, d)),
     // similarity search over embeddings
     "q_embed_topk" -> ((s, d) => graft.vector.VectorOps.cosineTopK(s, d)),
     "q_embed_lsh_ann" -> ((s, d) => graft.vector.VectorOps.lshTopK(s, d,
@@ -224,6 +227,8 @@ object SparkEntry {
     "q_text_unigram_lm" -> graft.text.Mixing.unigramLmSql,
     "q_sample_temperature" -> graft.text.Mixing.temperatureSampleSql,
     "q_shard_pack" -> graft.text.Mixing.shardPackSql,
+    "q_text_ngram_mine" -> graft.text.Mixing.ngramMineSql,
+    "q_revgeo" -> GeoQueries.reverseGeocodeSql,
     "q_embed_topk" -> graft.vector.VectorOps.cosineTopKSql(),
     "q_embed_lsh_ann" -> graft.vector.VectorOps.lshTopKSql(),
     "q_embed_ivf" -> graft.vector.VectorOps.ivfTopKSql(),

@@ -160,6 +160,41 @@ object GeoQueries {
          | AND p.lon > a.lon0 AND p.lon < a.lon1
          | AND p.lat > a.lat0 AND p.lat < a.lat1""".stripMargin
 
+  /**
+   * Reverse geocode (the reference's "where am I" product path — Q3 run up
+   * the admin ladder and assembled into one answer): each point resolves
+   * its containing nation (level 4) AND district (level 8) in a single
+   * pass — two broadcast cell-joins back-to-back, each refined by the exact
+   * JTS predicate, then the admin path is string-assembled. The point side
+   * still streams from the scan through ONE codegen span across both
+   * broadcast joins: no shuffle at any scale.
+   */
+  def reverseGeocode(spark: SparkSession, sfDir: String): DataFrame = {
+    init(spark)
+    val pts = GeoWorld.points(spark, sfDir)
+      .withColumn("cell", CellFunctions.zcell(col("lon"), col("lat"), lit(RES_COARSE)))
+    val nat = areaCells(spark, sfDir, 4, RES_COARSE)
+      .select(col("cell"), col("wkb").as("nwkb"), col("area_name").as("nation"))
+    val dis = areaCells(spark, sfDir, 8, RES_COARSE)
+      .select(col("cell"), col("wkb").as("dwkb"), col("area_name").as("district"))
+    pts.join(broadcast(nat), "cell")
+      .filter(GeoCols.geoContainsPoint(col("nwkb"), col("lon"), col("lat")))
+      .join(broadcast(dis), "cell")
+      .filter(GeoCols.geoContainsPoint(col("dwkb"), col("lon"), col("lat")))
+      .select(col("pid"), col("nation"), col("district"),
+        concat(col("nation"), lit("/"), col("district")).as("path"))
+  }
+
+  val reverseGeocodeSql: String =
+    withWorld() +
+      s"""SELECT p.pid, n.area_name AS nation, d.area_name AS district,
+         |       n.area_name || '/' || d.area_name AS path
+         |FROM pts p
+         |JOIN areas n ON n.level = 4
+         |  AND p.lon > n.lon0 AND p.lon < n.lon1 AND p.lat > n.lat0 AND p.lat < n.lat1
+         |JOIN areas d ON d.level = 8
+         |  AND p.lon > d.lon0 AND p.lon < d.lon1 AND p.lat > d.lat0 AND p.lat < d.lat1""".stripMargin
+
   // ---------------------------------------------------------- containment
 
   /**

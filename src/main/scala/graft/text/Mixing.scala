@@ -174,6 +174,47 @@ object Mixing {
          |FROM corpus c JOIN rates r ON r.lang = c.lang
          |WHERE ${TextOps.h32Sql("CAST(c.doc_id AS VARCHAR) || ':temp'")} % $TEMP_SCALE < r.keep_ppm""".stripMargin
 
+  // ----------------------------------------------- frequent n-gram mining
+
+  /** Minimum corpus-wide support for a mined n-gram. */
+  final val NGRAM_MIN_SUPPORT = 4L
+
+  /**
+   * Frequent n-gram mining (the boilerplate-phrase detection pass a corpus
+   * build runs before dedup thresholds are tuned): corpus-wide counts of
+   * every word 2- and 3-gram with support ≥ [[NGRAM_MIN_SUPPORT]].
+   *
+   * Plan: map-only gram explode (~(2n−3)× token count rows), then ONE
+   * count shuffle whose map-side combine absorbs the Zipf head — the same
+   * linear shape as the vocab build, at any corpus size.
+   */
+  def ngramMine(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = TextOps.corpus(spark, sfDir).select(split(col("text"), " ").as("w"))
+    def grams(n: Int) = explode(
+      when(size(col("w")) >= n,
+        transform(sequence(lit(0), size(col("w")) - n),
+          i => concat_ws(" ", slice(col("w"), i + 1, lit(n)))))
+        .otherwise(array()))
+    val g2 = c.select(lit(2).as("n"), grams(2).as("gram"))
+    val g3 = c.select(lit(3).as("n"), grams(3).as("gram"))
+    g2.unionByName(g3)
+      .groupBy("n", "gram").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= NGRAM_MIN_SUPPORT)
+  }
+
+  val ngramMineSql: String =
+    TextOps.withCorpus(
+      "wlists AS (SELECT str_split(text, ' ') AS w FROM corpus)",
+      """g AS (
+        |  SELECT 2 AS n, UNNEST(list_transform(range(0, len(w) - 1), i -> array_to_string(w[i + 1 : i + 2], ' '))) AS gram
+        |  FROM wlists WHERE len(w) >= 2
+        |  UNION ALL
+        |  SELECT 3 AS n, UNNEST(list_transform(range(0, len(w) - 2), i -> array_to_string(w[i + 1 : i + 3], ' '))) AS gram
+        |  FROM wlists WHERE len(w) >= 3
+        |)""".stripMargin) +
+      s"""SELECT n, gram, CAST(COUNT(*) AS BIGINT) AS cnt
+         |FROM g GROUP BY n, gram HAVING COUNT(*) >= $NGRAM_MIN_SUPPORT""".stripMargin
+
   // --------------------------------------------- token-balanced sharding
 
   /**
