@@ -87,7 +87,8 @@ class PlanShapeSpec extends SparkSpec {
   test("round-5 queries: no cartesian or sort-merge; BNL only as a 1-row total attach") {
     val oneRowAttach = Set("q_text_unigram_lm", "q_sample_temperature")
     for (q <- Seq("q_text_para_dedup", "q_text_unigram_lm", "q_sample_temperature",
-        "q_shard_pack", "q_media_caption", "q_index_upsert", "q_area_polyfill")) {
+        "q_shard_pack", "q_media_caption", "q_index_upsert", "q_area_polyfill",
+        "q_text_ngram_mine", "q_revgeo")) {
       val p = plan(SparkEntry.queries(q)(spark, sfDir))
       assert(!p.contains("CartesianProduct"), s"$q:\n${p.take(600)}")
       assert(!p.contains("SortMergeJoin"), s"$q:\n${p.take(600)}")
