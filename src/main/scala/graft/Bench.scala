@@ -17,7 +17,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // headline: spatial-join + tile-assignment docs/sec (1 warmup, then timed)
+    // headline: spatial-join + tile-assignment docs/sec. TWO warmup passes
+    // before the timed one: the first pays scan/plan costs, the second lets
+    // C2 finish compiling the codegen'd cell/tile kernels — measured on
+    // this host the hot loop keeps speeding up through run 3 (6.5 s → 1.5 s
+    // → 1.1 s steady). The metric is the warmed engine's throughput.
+    graft.bench.Headline.timed(spark, sfDir)
     graft.bench.Headline.timed(spark, sfDir)
     val (nDocs, headlineSecs, _) = graft.bench.Headline.timed(spark, sfDir)
     val docsPerSec = nDocs / headlineSecs
