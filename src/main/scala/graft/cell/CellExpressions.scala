@@ -1,9 +1,11 @@
 package graft.cell
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.functions.call_function
@@ -59,15 +61,42 @@ case class ZCellParent(first: Expression, second: Expression, third: Expression)
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/**
+ * Algebraic cell rewrite, injected as an optimizer rule:
+ * `zcell_parent(zcell(lon, lat, r), r, r2)  →  zcell(lon, lat, r2)`.
+ *
+ * Exact because bit-truncating the interleave commutes with encoding:
+ * `floor(x·2^r) >> (r−r2) = floor(x·2^r2)` per axis (nested floor
+ * division), clamps included, and dropping 2·(r−r2) interleaved bits is
+ * exactly the interleave of the per-axis truncations. After Catalyst's
+ * projection collapse, a pipeline that derives a coarse routing cell from
+ * a fine cell it doesn't keep (mapping/projection stages, T7/T8) encodes
+ * ONCE at the coarse resolution instead of encode-then-truncate.
+ * CellIndexSpec pins both the algebra (property over the domain) and the
+ * plan rewrite.
+ */
+object CellAlgebraRule extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case ZCellParent(ZCellEncode(lon, lat, Literal(r: Int, IntegerType)),
+        Literal(r1: Int, IntegerType), rl2 @ Literal(r2: Int, IntegerType))
+        if r == r1 && r2 <= r =>
+      ZCellEncode(lon, lat, rl2)
+  }
+}
+
 /** Session registration + Column-facing API for the cell expressions. */
 object CellFunctions {
 
   /** Register zcell/zcell_parent in the session's FunctionRegistry so both
-    * SQL text and `call_function` can reach them. Idempotent. */
+    * SQL text and `call_function` can reach them, and inject
+    * [[CellAlgebraRule]] into the optimizer. Idempotent. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("zcell", es => ZCellEncode(es(0), es(1), es(2)), "built-in")
     reg.createOrReplaceTempFunction("zcell_parent", es => ZCellParent(es(0), es(1), es(2)), "built-in")
+    if (!spark.experimental.extraOptimizations.contains(CellAlgebraRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ CellAlgebraRule
   }
 
   def zcell(lon: Column, lat: Column, res: Column): Column =

@@ -39,9 +39,13 @@ import scala.jdk.CollectionConverters._
  * envelope as an Iceberg manifest list; a production port would page
  * manifests per partition-spec like Iceberg's manifest-list/manifest split.
  */
-class SnapshotTable(spark: SparkSession, root: String) {
+class SnapshotTable(spark: SparkSession, root: String, statsCol: Option[String] = None) {
 
-  final case class FileEntry(path: String, part: Long, rows: Long)
+  /** One data file in a snapshot. `lo`/`hi` are the min/max of [[statsCol]]
+    * in this file (Iceberg's per-file column bounds), present when the
+    * table tracks a stats column. */
+  final case class FileEntry(path: String, part: Long, rows: Long,
+      lo: Option[Long] = None, hi: Option[Long] = None)
 
   private def snapPath(v: Int): Path = Paths.get(s"$root/snap-$v.json")
 
@@ -63,9 +67,10 @@ class SnapshotTable(spark: SparkSession, root: String) {
   /** The exact data-file set of snapshot v. */
   def snapshot(v: Int): Seq[FileEntry] = {
     val txt = Files.readString(snapPath(v))
-    """\{"path":"([^"]+)","part":(-?\d+),"rows":(\d+)\}""".r
+    """\{"path":"([^"]+)","part":(-?\d+),"rows":(\d+)(?:,"lo":(-?\d+),"hi":(-?\d+))?\}""".r
       .findAllMatchIn(txt)
-      .map(m => FileEntry(m.group(1), m.group(2).toLong, m.group(3).toLong))
+      .map(m => FileEntry(m.group(1), m.group(2).toLong, m.group(3).toLong,
+        Option(m.group(4)).map(_.toLong), Option(m.group(5)).map(_.toLong)))
       .toSeq
   }
 
@@ -77,26 +82,37 @@ class SnapshotTable(spark: SparkSession, root: String) {
     * return its file entries. The part value rides both the directory AND
     * the `_part` data column. */
   private def writeVersionDir(df: DataFrame, v: Int): Seq[FileEntry] = {
+    if (df.isEmpty) return Seq.empty // a fully-deleted partition writes nothing
     val dir = s"$root/v$v"
     df.withColumn("_part", col("part"))
       .write.partitionBy("part").parquet(dir)
-    // one footer-cheap job over the version dir: per-file row counts (the
-    // manifest stats an Iceberg writer would record at commit)
+    // one footer-cheap job over the version dir: per-file row counts and
+    // (when tracked) stats-column bounds — the manifest stats an Iceberg
+    // writer records at commit
+    val aggs = count(lit(1)).as("rows") +: statsCol.toSeq.flatMap(c =>
+      Seq(min(col(c)).cast("long").as("lo"), max(col(c)).cast("long").as("hi")))
     spark.read.parquet(dir)
-      .groupBy(input_file_name().as("f")).count()
+      .groupBy(input_file_name().as("f")).agg(aggs.head, aggs.tail: _*)
       .collect()
       .map { r =>
-        val f = java.net.URLDecoder.decode(
-          r.getString(0).stripPrefix("file:"), "UTF-8")
+        val f = java.net.URLDecoder.decode(r.getString(0), "UTF-8")
+          .replaceFirst("^file:/+", "/")
         val part = "part=(-?\\d+)".r.findFirstMatchIn(f).map(_.group(1).toLong)
           .getOrElse(sys.error(s"no partition dir in $f"))
-        FileEntry(f, part, r.getLong(1))
+        val (lo, hi) =
+          if (statsCol.isDefined) (Some(r.getLong(2)), Some(r.getLong(3))) else (None, None)
+        FileEntry(f, part, r.getLong(1), lo, hi)
       }.toSeq.sortBy(_.path)
   }
 
   private def commit(v: Int, parent: Int, files: Seq[FileEntry]): Unit = {
-    val fileJson = files.map(f => s"""{"path":"${f.path}","part":${f.part},"rows":${f.rows}}""")
-      .mkString("[", ",", "]")
+    val fileJson = files.map { f =>
+      val stats = (f.lo, f.hi) match {
+        case (Some(l), Some(h)) => s""","lo":$l,"hi":$h"""
+        case _ => ""
+      }
+      s"""{"path":"${f.path}","part":${f.part},"rows":${f.rows}$stats}"""
+    }.mkString("[", ",", "]")
     val lineage = files.groupBy(_.part).toSeq.sortBy(_._1)
       .map { case (p, fs) => s""""$p":${fs.map(_.rows).sum}""" }.mkString("{", ",", "}")
     Files.createDirectories(Paths.get(root))
@@ -139,11 +155,63 @@ class SnapshotTable(spark: SparkSession, root: String) {
   }
 
   /** Time-travel read of snapshot v (default: current). */
-  def read(version: Int = -1): DataFrame = {
+  def read(version: Int = -1): DataFrame =
+    readFiles(snapshot(if (version < 0) currentVersion else version))
+
+  /**
+   * MANIFEST-level partition pruning (Iceberg's partition filter): read
+   * only the files of partitions in `parts` — the scan never even lists
+   * the rest. At 100 TB this is the entry point a cell/bbox fetch uses:
+   * a region query touches its region's files, not the world's.
+   */
+  def readParts(parts: Set[Long], version: Int = -1): DataFrame = {
     val v = if (version < 0) currentVersion else version
-    val files = snapshot(v)
-    spark.read.parquet(files.map(_.path): _*)
+    readFiles(snapshot(v).filter(f => parts(f.part)))
+  }
+
+  /**
+   * MANIFEST-level range pruning over the stats column (Iceberg's column
+   * bounds): only files whose [lo, hi] overlaps [loBound, hiBound] are
+   * scanned. With data clustered on the stats column (e.g. z-order cell
+   * ids) the scanned fraction tracks the predicate's selectivity. The
+   * caller still applies the exact row filter — bounds only skip files.
+   */
+  def readRange(loBound: Long, hiBound: Long, version: Int = -1): DataFrame = {
+    require(statsCol.isDefined, "readRange needs a stats column")
+    val v = if (version < 0) currentVersion else version
+    readFiles(snapshot(v).filter(f =>
+      f.lo.forall(_ <= hiBound) && f.hi.forall(_ >= loBound)))
+  }
+
+  private def readFiles(files: Seq[FileEntry]): DataFrame =
+    if (files.isEmpty) {
+      // schema-only: resolve from any live snapshot file without scanning rows
+      val any = snapshot(currentVersion).take(1)
+      require(any.nonEmpty, "cannot derive a schema from a fully-empty table")
+      readFiles(any).limit(0)
+    } else spark.read.parquet(files.map(_.path): _*)
       .withColumn("part", col("_part")).drop("_part")
+
+  /**
+   * Copy-on-write DELETE by key: rows of touched partitions matching
+   * `keys` (equality on `keyCols`; `keys` must carry `part`) are removed,
+   * the partitions' survivors are rewritten, everything else carries over.
+   * A partition whose every row is deleted vanishes from the new snapshot
+   * (no empty files). Returns the new version.
+   */
+  def delete(keys: DataFrame, keyCols: Seq[String]): Int = {
+    val cur = currentVersion
+    require(cur > 0, "init() before delete()")
+    val next = cur + 1
+    val touched = keys.select("part").distinct().collect().map(_.getLong(0)).toSet
+    val (touchedFiles, carried) = snapshot(cur).partition(f => touched(f.part))
+    val newFiles = if (touchedFiles.nonEmpty) {
+      val base = spark.read.parquet(touchedFiles.map(_.path): _*)
+        .withColumn("part", col("_part")).drop("_part")
+      writeVersionDir(base.join(keys.select(keyCols.map(col): _*), keyCols, "left_anti"), next)
+    } else Seq.empty
+    commit(next, cur, carried ++ newFiles)
+    next
   }
 
   /**

@@ -99,6 +99,24 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("optimizer rule collapses zcell_parent(zcell(x, r), r, r2) into one coarse encode") {
+    import org.apache.spark.sql.functions._
+    import graft.cell.{CellFunctions, CellIndex}
+    CellFunctions.register(spark)
+    val pts = spark.range(8).select(
+      (col("id") * 1.5 - 3.0).as("lon"), (col("id") * 0.7 - 1.0).as("lat"))
+    val df = pts.select(CellFunctions.zcellParent(
+      CellFunctions.zcell(col("lon"), col("lat"), lit(11)), lit(11), lit(4)).as("p4"))
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("zcell_parent"), opt)
+    assert(opt.contains("zcell("), opt)
+    // the rewritten plan computes exactly the coarse encode
+    val got = df.collect().map(_.getLong(0)).toSeq
+    val want = (0 until 8).map { i =>
+      CellIndex.encode(i * 1.5 - 3.0, i * 0.7 - 1.0, 4) }
+    assert(got === want)
+  }
+
   test("salted PIP variant shuffles instead of broadcasting the big side") {
     val p = plan(GeoQueries.pipLookupSalted(spark, sfDir))
     assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"), p.take(800))

@@ -108,6 +108,59 @@ class SnapshotTableSpec extends SparkSpec {
     assert(got === ((0L until 1000L).map(i => (i, if (i < 10) 2L else 1L)).toSet + ((2000L, 3L))))
   }
 
+  private def norm(p: String) =
+    java.net.URLDecoder.decode(p.replaceFirst("^file:/*", "/"), "UTF-8")
+
+  test("manifest partition pruning: readParts scans ONLY those partitions' files") {
+    val (_, t) = freshTable()
+    t.init(baseDf)
+    val df = t.readParts(Set(2L, 5L))
+    assert(df.select("part").distinct().collect().map(_.getLong(0)).toSet === Set(2L, 5L))
+    assert(df.count() === 250)
+    val manifestSubset = t.snapshot(1).filter(f => Set(2L, 5L)(f.part)).map(f => norm(f.path)).toSet
+    assert(df.inputFiles.map(norm).toSet === manifestSubset,
+      "the scan's file set must be exactly the manifest's pruned subset")
+    // empty selection still resolves the schema without scanning
+    assert(t.readParts(Set(99L)).count() === 0)
+  }
+
+  test("stats-bounds pruning: readRange scans only files overlapping the range") {
+    val root = java.nio.file.Files.createTempDirectory("snapstats").toString
+    val t = new graft.index.SnapshotTable(spark, root, statsCol = Some("id"))
+    // ids contiguous per partition (part = id / 125) -> tight file bounds
+    t.init((0L until 1000L).map(i => (i, i / 125, 1L)).toDF("id", "part", "ver").repartition(4))
+    assert(t.snapshot(1).forall(f => f.lo.isDefined && f.hi.isDefined))
+    val df = t.readRange(200, 300)
+    val all = t.snapshot(1)
+    val expected = all.filter(f => f.lo.get <= 300 && f.hi.get >= 200).map(f => norm(f.path)).toSet
+    assert(df.inputFiles.map(norm).toSet === expected)
+    assert(df.inputFiles.length < all.size, "pruning must actually skip files")
+    // pruned scan + exact row filter == full scan + exact row filter
+    assert(df.filter($"id".between(200, 300)).count() === 101)
+    assert(t.read().filter($"id".between(200, 300)).count() === 101)
+    // bounds survive an upsert commit (rewritten partition gets new stats)
+    t.upsert(Seq((130L, 1L, 2L)).toDF("id", "part", "ver"), Seq("id"))
+    assert(t.snapshot(2).forall(f => f.lo.isDefined && f.hi.isDefined))
+    assert(t.readRange(125, 130).filter($"ver" === 2L).count() === 1)
+  }
+
+  test("COW delete removes keys, drops emptied partitions, time travel keeps them") {
+    val (_, t) = freshTable()
+    t.init(baseDf)
+    // delete ALL of partition 7 plus two rows of partition 3
+    val keys = ((7L until 1000L by 8).map(i => (i, 7L)) ++ Seq((3L, 3L), (11L, 3L)))
+      .toDF("id", "part")
+    assert(t.delete(keys, Seq("id")) === 2)
+    assert(t.read().filter($"part" === 7L).count() === 0)
+    assert(t.snapshot(2).forall(_.part != 7L), "an emptied partition vanishes from the manifest")
+    assert(t.read().count() === 1000 - 125 - 2)
+    assert(t.read(1).count() === 1000, "time travel still sees the deleted rows")
+    val untouched = Set(0L, 1L, 2L, 4L, 5L, 6L)
+    assert(t.snapshot(1).filter(f => untouched(f.part)).map(_.path).toSet ===
+      t.snapshot(2).filter(f => untouched(f.part)).map(_.path).toSet,
+      "untouched partitions carry over by reference")
+  }
+
   test("expire drops old snapshots' orphan files but keeps everything current") {
     val (_, t) = freshTable()
     t.init(baseDf)
