@@ -76,11 +76,33 @@ case class ZCellParent(first: Expression, second: Expression, third: Expression)
  * plan rewrite.
  */
 object CellAlgebraRule extends Rule[LogicalPlan] {
+
+  import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, GreaterThanOrEqual, LessThanOrEqual}
+
+  /** `parent(c, r, r2) = p  ⟺  p·2^(2Δ) ≤ c ≤ (p+1)·2^(2Δ) − 1` for the
+    * non-negative interleaved cell domain (Δ = r − r2; ids use ≤ 60 bits so
+    * the shifts cannot overflow). */
+  private def parentEqToRange(c: Expression, r: Int, r2: Int, p: Long): Expression = {
+    val d = 2 * (r - r2)
+    And(GreaterThanOrEqual(c, Literal(p << d)),
+      LessThanOrEqual(c, Literal(((p + 1) << d) - 1)))
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
     case ZCellParent(ZCellEncode(lon, lat, Literal(r: Int, IntegerType)),
         Literal(r1: Int, IntegerType), rl2 @ Literal(r2: Int, IntegerType))
         if r == r1 && r2 <= r =>
       ZCellEncode(lon, lat, rl2)
+    // SARGABLE rewrite: an equality on a cell's PARENT becomes a range on
+    // the stored fine cell — parquet min/max stats (and the snapshot
+    // table's manifest bounds) cannot see through the shift expression,
+    // but a plain range on the column reaches PushedFilters at the scan.
+    case EqualTo(ZCellParent(c, Literal(r: Int, IntegerType), Literal(r2: Int, IntegerType)),
+        Literal(p: Long, LongType)) if r2 <= r =>
+      parentEqToRange(c, r, r2, p)
+    case EqualTo(Literal(p: Long, LongType),
+        ZCellParent(c, Literal(r: Int, IntegerType), Literal(r2: Int, IntegerType))) if r2 <= r =>
+      parentEqToRange(c, r, r2, p)
   }
 }
 

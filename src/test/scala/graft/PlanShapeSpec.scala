@@ -117,6 +117,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("parent-equality filter becomes a sargable cell range pushed to the parquet scan") {
+    import org.apache.spark.sql.functions._
+    import graft.cell.{CellFunctions, CellIndex}
+    CellFunctions.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("cellpush").toString
+    graft.gen.GeoWorld.points(spark, sfDir)
+      .select(col("pid"), CellFunctions.zcell(col("lon"), col("lat"),
+        lit(CellIndex.RES_MID)).as("cell"))
+      .sort("cell").write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val someCell = stored.head.getLong(1)
+    val p = CellIndex.parent(someCell, CellIndex.RES_MID, 4)
+    val q = stored.filter(CellFunctions.zcellParent(col("cell"),
+      lit(CellIndex.RES_MID), lit(4)) === lit(p))
+    val expect = stored.collect()
+      .count(r => CellIndex.parent(r.getLong(1), CellIndex.RES_MID, 4) == p)
+    assert(q.count() === expect.toLong, "rewritten predicate selects the same rows")
+    val phys = q.queryExecution.executedPlan.toString
+    assert(!phys.contains("zcell_parent"), phys.take(800))
+    assert(phys.contains("PushedFilters:") && phys.contains("GreaterThanOrEqual(cell")
+      && phys.contains("LessThanOrEqual(cell"),
+      s"range must reach the scan's PushedFilters:\n${phys.take(1200)}")
+  }
+
   test("salted PIP variant shuffles instead of broadcasting the big side") {
     val p = plan(GeoQueries.pipLookupSalted(spark, sfDir))
     assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"), p.take(800))
