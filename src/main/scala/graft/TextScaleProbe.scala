@@ -53,6 +53,7 @@ object TextScaleProbe {
       // reassembly) and unigram LM (vocab agg + broadcast score join)
       t(s"para_dedup k=$k n=$n")(graft.text.Mixing.passageDedupOf(c).count())
       t(s"unigram_lm k=$k n=$n")(graft.text.Mixing.unigramLmOf(c).count())
+      t(s"ngram_mine k=$k n=$n")(graft.text.Mixing.ngramMineOf(c).count())
       c.unpersist()
 
       // round-4 additions: the round-3 newcomers (verdict #7)

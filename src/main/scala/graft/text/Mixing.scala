@@ -188,8 +188,11 @@ object Mixing {
    * count shuffle whose map-side combine absorbs the Zipf head — the same
    * linear shape as the vocab build, at any corpus size.
    */
-  def ngramMine(spark: SparkSession, sfDir: String): DataFrame = {
-    val c = TextOps.corpus(spark, sfDir).select(split(col("text"), " ").as("w"))
+  def ngramMine(spark: SparkSession, sfDir: String): DataFrame =
+    ngramMineOf(TextOps.corpus(spark, sfDir))
+
+  def ngramMineOf(corpus: DataFrame): DataFrame = {
+    val c = corpus.select(split(col("text"), " ").as("w"))
     def grams(n: Int) = explode(
       when(size(col("w")) >= n,
         transform(sequence(lit(0), size(col("w")) - n),
