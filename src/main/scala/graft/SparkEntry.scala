@@ -127,6 +127,8 @@ object SparkEntry {
       planes = Some(graft.vector.VectorOps.PLANES_PER_TABLE))),
     "q_embed_ivf" -> ((s, d) => graft.vector.VectorOps.ivfTopK(s, d)),
     "q_embed_buckets" -> ((s, d) => graft.vector.VectorOps.bucketHistogram(s, d)),
+    // RAG retrieval: LSH ANN neighbors + metadata attach, corpus never shuffles
+    "q_semantic_search" -> ((s, d) => graft.vector.VectorOps.semanticSearch(s, d)),
     // semantic dedup: CC clusters over the embedding near-dup pair list
     "q_embed_dup_clusters" -> ((s, d) => graft.vector.VectorOps.embedDupClusters(s, d)),
     // index builders (T7/T9) + relation assembly (T4) + GeoJSON (Q18)
@@ -233,6 +235,7 @@ object SparkEntry {
     "q_embed_lsh_ann" -> graft.vector.VectorOps.lshTopKSql(),
     "q_embed_ivf" -> graft.vector.VectorOps.ivfTopKSql(),
     "q_embed_buckets" -> graft.vector.VectorOps.bucketHistogramSql,
+    "q_semantic_search" -> graft.vector.VectorOps.semanticSearchSql(),
     "q_mapping_table" -> graft.index.IndexBuild.mappingTableSql,
     "q_cell_tag_table" -> graft.index.IndexBuild.cellTagTableSql,
     "q_relation_assemble" -> graft.index.IndexBuild.relationAssembleSql,

@@ -628,4 +628,33 @@ object VectorOps {
   val bucketHistogramSql: String =
     s"""SELECT CAST(${bucketSql("a")} AS BIGINT) AS bucket, COUNT(*) AS n
        |FROM embeddings a GROUP BY 1""".stripMargin
+
+  /**
+   * End-to-end SEMANTIC RETRIEVAL (the RAG shape): LSH ANN neighbors per
+   * probe document, joined back to the document table for both the query's
+   * and each neighbor's metadata. The corpus is 1:1 doc↔embedding
+   * (vec_id = doc_id).
+   *
+   * Scale shape: the ANN stage is the sublinear [[lshTopK]] path; its
+   * result is only probes × k rows, so BOTH metadata attaches broadcast
+   * the ANN side against the (arbitrarily large) document table — the
+   * retrieval never shuffles the corpus.
+   */
+  def semanticSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    val ann = lshTopK(spark, sfDir, planes = Some(PLANES_PER_TABLE))
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val nb = d.select(col("doc_id"), col("lang").as("nb_lang"), col("source").as("nb_source"))
+    val qd = d.select(col("doc_id").as("qid"), col("lang").as("q_lang"))
+    nb.join(org.apache.spark.sql.functions.broadcast(ann), nb("doc_id") === ann("vec_id"))
+      .join(qd, "qid")
+      .select(col("qid"), col("q_lang"), col("rank"), col("doc_id"), col("score"),
+        col("nb_lang"), col("nb_source"))
+  }
+
+  def semanticSearchSql(k: Int = 10): String =
+    s"""SELECT r.qid, q.lang AS q_lang, r.rank, r.vec_id AS doc_id, r.score,
+       |       d.lang AS nb_lang, d.source AS nb_source
+       |FROM (${lshTopKSql(k)}) r
+       |JOIN documents d ON d.doc_id = r.vec_id
+       |JOIN documents q ON q.doc_id = r.qid""".stripMargin
 }
