@@ -116,8 +116,13 @@ class SnapshotTable(spark: SparkSession, root: String, statsCol: Option[String] 
     val lineage = files.groupBy(_.part).toSeq.sortBy(_._1)
       .map { case (p, fs) => s""""$p":${fs.map(_.rows).sum}""" }.mkString("{", ",", "}")
     Files.createDirectories(Paths.get(root))
+    // optimistic concurrency (Iceberg's commit rule): creating the snapshot
+    // file is the atomic commit point — a concurrent writer that already
+    // committed this version makes CREATE_NEW fail, and the loser must
+    // re-read the table state and retry its merge
     Files.writeString(snapPath(v),
-      s"""{"version":$v,"parent":$parent,"files":$fileJson,"part_rows":$lineage}""")
+      s"""{"version":$v,"parent":$parent,"files":$fileJson,"part_rows":$lineage}""",
+      java.nio.file.StandardOpenOption.CREATE_NEW)
   }
 
   /** Initial load: full write of `df` as snapshot 1. `df` must carry a
@@ -136,9 +141,14 @@ class SnapshotTable(spark: SparkSession, root: String, statsCol: Option[String] 
    * re-written together with the delta; every other partition's files carry
    * over by reference. Returns the new snapshot version.
    */
-  def upsert(delta: DataFrame, keyCols: Seq[String]): Int = {
+  def upsert(delta: DataFrame, keyCols: Seq[String], basedOn: Option[Int] = None): Int = {
     val cur = currentVersion
     require(cur > 0, "init() before upsert()")
+    // compare-and-swap: a merge prepared against `basedOn` must not commit
+    // over someone else's snapshot — fail fast, re-read, retry (the
+    // CREATE_NEW in commit() still catches the photo-finish race)
+    basedOn.foreach(b => if (b != cur) throw new IllegalStateException(
+      s"concurrent commit: table is at v$cur but the merge was based on v$b; re-read and retry"))
     val next = cur + 1
     // touched partitions: driver-bounded by partition count, not rows
     val touched = delta.select("part").distinct().collect().map(_.getLong(0)).toSet

@@ -161,6 +161,25 @@ class SnapshotTableSpec extends SparkSpec {
       "untouched partitions carry over by reference")
   }
 
+  test("optimistic concurrency: a merge based on a stale version refuses to commit") {
+    val (root, t) = freshTable()
+    t.init(baseDf)
+    // this writer reads the table at v1 and prepares its merge…
+    val based = t.currentVersion
+    // …meanwhile a racing writer advances the table to v2
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$root/snap-2.json"),
+      """{"version":2,"parent":1,"files":[],"part_rows":{}}""")
+    val before = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$root/snap-2.json"))
+    intercept[IllegalStateException] {
+      t.upsert(Seq((1L, 1L, 9L)).toDF("id", "part", "ver"), Seq("id"), basedOn = Some(based))
+    }
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$root/snap-2.json")) === before, "the winner's commit is untouched")
+    // after re-reading, the retry lands cleanly on v3
+    assert(t.upsert(Seq((1L, 1L, 9L)).toDF("id", "part", "ver"), Seq("id"),
+      basedOn = Some(t.currentVersion)) === 3)
+  }
+
   test("expire drops old snapshots' orphan files but keeps everything current") {
     val (_, t) = freshTable()
     t.init(baseDf)
