@@ -88,20 +88,30 @@ object CellAlgebraRule extends Rule[LogicalPlan] {
       LessThanOrEqual(c, Literal(((p + 1) << d) - 1)))
   }
 
+  /** Both rewrites only fire on the valid resolution ladder. */
+  private def validRes(r: Int, r2: Int): Boolean = r2 >= 1 && r2 <= r && r <= 30
+
+  /** …and the sargable form additionally needs the parent literal inside
+    * the r2-domain: p outside [0, 4^r2) can never equal a parent (the
+    * original predicate is constant-false on non-null input), and the
+    * shifted bounds would overflow Long — leave such predicates alone. */
+  private def validParent(p: Long, r2: Int): Boolean = p >= 0 && p < (1L << (2 * r2))
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
     case ZCellParent(ZCellEncode(lon, lat, Literal(r: Int, IntegerType)),
         Literal(r1: Int, IntegerType), rl2 @ Literal(r2: Int, IntegerType))
-        if r == r1 && r2 <= r =>
+        if r == r1 && validRes(r, r2) =>
       ZCellEncode(lon, lat, rl2)
     // SARGABLE rewrite: an equality on a cell's PARENT becomes a range on
     // the stored fine cell — parquet min/max stats (and the snapshot
     // table's manifest bounds) cannot see through the shift expression,
     // but a plain range on the column reaches PushedFilters at the scan.
     case EqualTo(ZCellParent(c, Literal(r: Int, IntegerType), Literal(r2: Int, IntegerType)),
-        Literal(p: Long, LongType)) if r2 <= r =>
+        Literal(p: Long, LongType)) if validRes(r, r2) && validParent(p, r2) =>
       parentEqToRange(c, r, r2, p)
     case EqualTo(Literal(p: Long, LongType),
-        ZCellParent(c, Literal(r: Int, IntegerType), Literal(r2: Int, IntegerType))) if r2 <= r =>
+        ZCellParent(c, Literal(r: Int, IntegerType), Literal(r2: Int, IntegerType)))
+        if validRes(r, r2) && validParent(p, r2) =>
       parentEqToRange(c, r, r2, p)
   }
 }
@@ -130,19 +140,24 @@ object CellFunctions {
 
 /**
  * Native (codegen'd) slippy-tile coordinates — identical to the scalar
- * [[CellIndex.tileX]]/[[CellIndex.tileY]] on the full finite lat/lon
- * domain (identical `java.lang.Math` log/tan/cos/toRadians calls in the
- * same IEEE evaluation order), but as pure Column expressions: the former
- * Scala-UDF versions broke the whole-stage-codegen span right inside the
- * headline job's hottest loop (serialize row → box doubles → invoke →
- * unbox, per point). `z` may be a literal or a genuine column (the
- * tile-pyramid zoom explode).
+ * [[CellIndex.tileX]]/[[CellIndex.tileY]] on the geographic domain
+ * (lat ∈ [−90, 90], any finite lon; identical `java.lang.Math`
+ * log/tan/cos/toRadians calls in the same IEEE evaluation order), but as
+ * pure Column expressions: the former Scala-UDF versions broke the
+ * whole-stage-codegen span right inside the headline job's hottest loop
+ * (serialize row → box doubles → invoke → unbox, per point). `z` may be a
+ * literal or a genuine column (the tile-pyramid zoom explode).
  *
  * Edge handling (review finding): Spark's `log` returns NULL where
- * `Math.log` returns ±Infinity (the Mercator singularity at the poles),
- * so tileY coalesces that case to the bottom tile row the scalar clamps
- * to; both clamps run in DOUBLE space BEFORE the long cast so ANSI mode
- * can never overflow-error on an out-of-range coordinate.
+ * `Math.log` returns ±Infinity (the Mercator singularity at the exact
+ * poles), so tileY coalesces the log term to -Double.MaxValue-ish
+ * (Double.MinValue), which drives v positive-huge and clamps to the
+ * bottom tile row — the row the scalar's +Infinity path clamps to. Both
+ * clamps run in DOUBLE space BEFORE the long cast so ANSI mode can never
+ * overflow-error. OUTSIDE the geographic domain (|lat| > 90, where
+ * tan+sec goes negative) the scalar's Math.log returns NaN → row 0 while
+ * Spark's log returns NULL → bottom row: feed this only validated
+ * latitudes, as every caller in the engine does.
  */
 object TileCols {
 

@@ -78,32 +78,57 @@ class SnapshotTable(spark: SparkSession, root: String, statsCol: Option[String] 
   def partLineage(v: Int): Map[Long, Long] =
     snapshot(v).groupBy(_.part).map { case (p, fs) => p -> fs.map(_.rows).sum }
 
-  /** Write version-dir vN from `df` (must carry a long `part` column) and
-    * return its file entries. The part value rides both the directory AND
-    * the `_part` data column. */
+  /** Write an ATTEMPT dir for version vN from `df` (must carry a long
+    * `part` column) and return its file entries. The dir name carries a
+    * unique attempt id: two racing writers of the same version never share
+    * a directory (so neither's manifest-stats job can see the other's
+    * files), and a writer that crashes before commit leaves only an orphan
+    * attempt dir — it can never wedge the next committer's path. The part
+    * value rides both the directory AND the `_part` data column. */
   private def writeVersionDir(df: DataFrame, v: Int): Seq[FileEntry] = {
-    if (df.isEmpty) return Seq.empty // a fully-deleted partition writes nothing
-    val dir = s"$root/v$v"
-    df.withColumn("_part", col("part"))
-      .write.partitionBy("part").parquet(dir)
-    // one footer-cheap job over the version dir: per-file row counts and
-    // (when tracked) stats-column bounds — the manifest stats an Iceberg
-    // writer records at commit
-    val aggs = count(lit(1)).as("rows") +: statsCol.toSeq.flatMap(c =>
-      Seq(min(col(c)).cast("long").as("lo"), max(col(c)).cast("long").as("hi")))
-    spark.read.parquet(dir)
-      .groupBy(input_file_name().as("f")).agg(aggs.head, aggs.tail: _*)
-      .collect()
-      .map { r =>
-        val f = java.net.URLDecoder.decode(r.getString(0), "UTF-8")
-          .replaceFirst("^file:/+", "/")
-        val part = "part=(-?\\d+)".r.findFirstMatchIn(f).map(_.group(1).toLong)
-          .getOrElse(sys.error(s"no partition dir in $f"))
-        val (lo, hi) =
-          if (statsCol.isDefined) (Some(r.getLong(2)), Some(r.getLong(3))) else (None, None)
-        FileEntry(f, part, r.getLong(1), lo, hi)
-      }.toSeq.sortBy(_.path)
+    val cached = df.persist() // isEmpty probe + write + stats share one eval
+    try {
+      if (cached.isEmpty) return Seq.empty // a fully-deleted partition writes nothing
+      val dir = s"$root/v$v-${java.util.UUID.randomUUID().toString.take(8)}"
+      cached.withColumn("_part", col("part"))
+        .write.partitionBy("part").parquet(dir)
+      // one footer-cheap job over the attempt dir: per-file row counts and
+      // (when tracked) stats-column bounds — the manifest stats an Iceberg
+      // writer records at commit
+      val aggs = count(lit(1)).as("rows") +: statsCol.toSeq.flatMap(c =>
+        Seq(min(col(c)).cast("long").as("lo"), max(col(c)).cast("long").as("hi")))
+      val entries = spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f")).agg(aggs.head, aggs.tail: _*)
+        .collect()
+        .map { r =>
+          val f = java.net.URLDecoder.decode(r.getString(0), "UTF-8")
+            .replaceFirst("^file:/+", "/")
+          val part = "part=(-?\\d+)".r.findFirstMatchIn(f).map(_.group(1).toLong)
+            .getOrElse(sys.error(s"no partition dir in $f"))
+          // an all-NULL stats column in a file leaves no usable bound: the
+          // file then matches every readRange (forall on None) — safe, and
+          // no NPE at commit
+          val (lo, hi) =
+            if (statsCol.isDefined && !r.isNullAt(2) && !r.isNullAt(3))
+              (Some(r.getLong(2)), Some(r.getLong(3)))
+            else (None, None)
+          FileEntry(f, part, r.getLong(1), lo, hi)
+        }.toSeq.sortBy(_.path)
+      entries
+    } finally cached.unpersist()
   }
+
+  /** Commit `files` as snapshot v; on a lost commit race, delete this
+    * attempt's freshly-written files before rethrowing so the loser leaves
+    * no orphans. */
+  private def commitOrCleanup(v: Int, parent: Int, files: Seq[FileEntry],
+      fresh: Seq[FileEntry]): Unit =
+    try commit(v, parent, files)
+    catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        fresh.foreach(f => Files.deleteIfExists(Paths.get(f.path)))
+        throw e
+    }
 
   private def commit(v: Int, parent: Int, files: Seq[FileEntry]): Unit = {
     val fileJson = files.map { f =>
@@ -129,39 +154,51 @@ class SnapshotTable(spark: SparkSession, root: String, statsCol: Option[String] 
     * long `part` column (the partition key). */
   def init(df: DataFrame): Int = {
     require(currentVersion == 0, s"table at $root already initialised")
-    commit(1, 0, writeVersionDir(df, 1))
+    commitOrCleanup(1, 0, writeVersionDir(df, 1), Seq.empty)
     1
   }
 
   /**
-   * Copy-on-write MERGE: rows of `delta` replace base rows with the same
-   * key (equality on `keyCols`); new keys are inserts. Only partitions
-   * present in `delta` are rewritten — their surviving base rows are read
-   * back (file-list scoped, not a table scan), anti-joined on the key and
-   * re-written together with the delta; every other partition's files carry
-   * over by reference. Returns the new snapshot version.
+   * Copy-on-write MERGE on the IDENTITY-PARTITIONED key `(part, keyCols)`:
+   * a delta row replaces the base row with the same key IN ITS PARTITION;
+   * new (part, key) combinations are inserts. Only partitions present in
+   * `delta` are rewritten — their surviving base rows are read back
+   * (file-list scoped, not a table scan), anti-joined on the key and
+   * re-written together with the delta; every other partition's files
+   * carry over by reference. Returns the new snapshot version.
+   *
+   * The partition column is PART OF the merge key (standard identity
+   * partitioning): derive `part` as a pure function of immutable key
+   * attributes, as [[SnapshotQueries.indexUpsert]] does. A delta that
+   * re-derives a key's partition differently does not retire the old
+   * partition's row — that is an insert of a new identity, not an update.
    */
   def upsert(delta: DataFrame, keyCols: Seq[String], basedOn: Option[Int] = None): Int = {
     val cur = currentVersion
     require(cur > 0, "init() before upsert()")
     // compare-and-swap: a merge prepared against `basedOn` must not commit
     // over someone else's snapshot — fail fast, re-read, retry (the
-    // CREATE_NEW in commit() still catches the photo-finish race)
+    // CREATE_NEW in commit() still decides a photo-finish race, and unique
+    // attempt dirs keep the racers' files apart)
     basedOn.foreach(b => if (b != cur) throw new IllegalStateException(
       s"concurrent commit: table is at v$cur but the merge was based on v$b; re-read and retry"))
     val next = cur + 1
-    // touched partitions: driver-bounded by partition count, not rows
-    val touched = delta.select("part").distinct().collect().map(_.getLong(0)).toSet
-    val (touchedFiles, carried) = snapshot(cur).partition(f => touched(f.part))
-    val merged = if (touchedFiles.nonEmpty) {
-      val base = spark.read.parquet(touchedFiles.map(_.path): _*)
-        .withColumn("part", col("_part")).drop("_part")
-      base.join(delta.select(keyCols.map(col): _*), keyCols, "left_anti")
-        .unionByName(delta)
-    } else delta
-    val newFiles = writeVersionDir(merged, next)
-    commit(next, cur, carried ++ newFiles)
-    next
+    val cachedDelta = delta.persist() // part-collect + anti-join + union share one eval
+    try {
+      // touched partitions: driver-bounded by partition count, not rows
+      val touched = cachedDelta.select("part").distinct().collect().map(_.getLong(0)).toSet
+      val (touchedFiles, carried) = snapshot(cur).partition(f => touched(f.part))
+      val merged = if (touchedFiles.nonEmpty) {
+        val base = spark.read.parquet(touchedFiles.map(_.path): _*)
+          .withColumn("part", col("_part")).drop("_part")
+        base.join(cachedDelta.select(("part" +: keyCols).map(col): _*),
+            "part" +: keyCols, "left_anti")
+          .unionByName(cachedDelta)
+      } else cachedDelta
+      val newFiles = writeVersionDir(merged, next)
+      commitOrCleanup(next, cur, carried ++ newFiles, newFiles)
+      next
+    } finally cachedDelta.unpersist()
   }
 
   /** Time-travel read of snapshot v (default: current). */
@@ -218,9 +255,10 @@ class SnapshotTable(spark: SparkSession, root: String, statsCol: Option[String] 
     val newFiles = if (touchedFiles.nonEmpty) {
       val base = spark.read.parquet(touchedFiles.map(_.path): _*)
         .withColumn("part", col("_part")).drop("_part")
-      writeVersionDir(base.join(keys.select(keyCols.map(col): _*), keyCols, "left_anti"), next)
+      writeVersionDir(base.join(keys.select(("part" +: keyCols).map(col): _*),
+        "part" +: keyCols, "left_anti"), next)
     } else Seq.empty
-    commit(next, cur, carried ++ newFiles)
+    commitOrCleanup(next, cur, carried ++ newFiles, newFiles)
     next
   }
 
@@ -243,7 +281,8 @@ class SnapshotTable(spark: SparkSession, root: String, statsCol: Option[String] 
       .withColumn("part", col("_part")).drop("_part")
       .repartition(fat.size, col("part"))
     val next = cur + 1
-    commit(next, cur, carried ++ writeVersionDir(merged, next))
+    val newFiles = writeVersionDir(merged, next)
+    commitOrCleanup(next, cur, carried ++ newFiles, newFiles)
     next
   }
 
@@ -297,7 +336,15 @@ object SnapshotQueries {
   def indexUpsert(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.cell.{CellFunctions, CellIndex}
     graft.gen.GeoWorld.registerUdfs(spark)
-    val root = Files.createTempDirectory("graft-snap").toString
+    // fixed per-SF scratch root, recreated per run: repeated Verify/Bench
+    // sweeps reuse one directory instead of leaking a temp dir per call
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft-snap-upsert-${math.abs(sfDir.hashCode)}"
+    val rootPath = Paths.get(root)
+    if (Files.exists(rootPath)) {
+      val s = Files.walk(rootPath)
+      try s.iterator().asScala.toSeq.reverseIterator.foreach(Files.deleteIfExists(_))
+      finally s.close()
+    }
     val t = new SnapshotTable(spark, root)
     val base = graft.gen.GeoWorld.points(spark, sfDir)
       .select(col("pid"),

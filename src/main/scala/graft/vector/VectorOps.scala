@@ -645,8 +645,13 @@ object VectorOps {
     val d = spark.read.parquet(s"$sfDir/documents.parquet")
     val nb = d.select(col("doc_id"), col("lang").as("nb_lang"), col("source").as("nb_source"))
     val qd = d.select(col("doc_id").as("qid"), col("lang").as("q_lang"))
-    nb.join(org.apache.spark.sql.functions.broadcast(ann), nb("doc_id") === ann("vec_id"))
-      .join(qd, "qid")
+    val attached = nb.join(org.apache.spark.sql.functions.broadcast(ann),
+      nb("doc_id") === ann("vec_id"))
+    // the attach result is still only probes × k rows — broadcast it against
+    // the corpus-sized query-metadata side too (no hint would let the
+    // planner sort-merge the full document table once it outgrows the
+    // auto-broadcast threshold)
+    qd.join(org.apache.spark.sql.functions.broadcast(attached), "qid")
       .select(col("qid"), col("q_lang"), col("rank"), col("doc_id"), col("score"),
         col("nb_lang"), col("nb_source"))
   }

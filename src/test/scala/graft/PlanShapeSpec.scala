@@ -88,7 +88,7 @@ class PlanShapeSpec extends SparkSpec {
     val oneRowAttach = Set("q_text_unigram_lm", "q_sample_temperature")
     for (q <- Seq("q_text_para_dedup", "q_text_unigram_lm", "q_sample_temperature",
         "q_shard_pack", "q_media_caption", "q_index_upsert", "q_area_polyfill",
-        "q_text_ngram_mine", "q_revgeo")) {
+        "q_text_ngram_mine", "q_revgeo", "q_semantic_search")) {
       val p = plan(SparkEntry.queries(q)(spark, sfDir))
       assert(!p.contains("CartesianProduct"), s"$q:\n${p.take(600)}")
       assert(!p.contains("SortMergeJoin"), s"$q:\n${p.take(600)}")
@@ -139,6 +139,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(phys.contains("PushedFilters:") && phys.contains("GreaterThanOrEqual(cell")
       && phys.contains("LessThanOrEqual(cell"),
       s"range must reach the scan's PushedFilters:\n${phys.take(1200)}")
+  }
+
+  test("sargable rewrite declines out-of-domain parent literals (no shift overflow)") {
+    import org.apache.spark.sql.functions._
+    import graft.cell.CellFunctions
+    CellFunctions.register(spark)
+    // p = 2^50 cannot be a res-4 parent: the original predicate is false
+    // for every row; an unguarded rewrite would wrap (p << 28) and match
+    // real cells. The rule must leave the predicate untouched.
+    val df = spark.range(100).select(col("id").as("cell"))
+      .filter(CellFunctions.zcellParent(col("cell"), lit(11), lit(4)) === lit(1L << 50))
+    assert(df.queryExecution.optimizedPlan.toString.contains("zcell_parent"))
+    assert(df.count() === 0)
   }
 
   test("salted PIP variant shuffles instead of broadcasting the big side") {

@@ -161,6 +161,18 @@ class SnapshotTableSpec extends SparkSpec {
       "untouched partitions carry over by reference")
   }
 
+  test("merge key is (part, key): a delta under a different partition is a NEW identity") {
+    val (_, t) = freshTable()
+    t.init(baseDf)
+    // id=5 lives in partition 5; a delta that derives part=2 for it does
+    // NOT retire the partition-5 row (identity partitioning: part is part
+    // of the merge key — see the upsert contract)
+    t.upsert(Seq((5L, 2L, 2L)).toDF("id", "part", "ver"), Seq("id"))
+    val rows = t.read().filter($"id" === 5L).select("part", "ver").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows === Set((5L, 1L), (2L, 2L)))
+  }
+
   test("optimistic concurrency: a merge based on a stale version refuses to commit") {
     val (root, t) = freshTable()
     t.init(baseDf)
