@@ -161,6 +161,8 @@ object SparkEntry {
     "q_media_caption" -> ((s, d) => graft.media.MediaOps.mediaCaption(s, d)),
     // Iceberg-style snapshot table: COW merge + time travel, read via manifest
     "q_index_upsert" -> ((s, d) => graft.index.SnapshotQueries.indexUpsert(s, d)),
+    // S5/S6 bbox fetch served from the snapshot index via manifest pruning
+    "q_snap_bbox" -> ((s, d) => graft.index.SnapshotQueries.bboxIndexFetch(s, d)),
     // tag whitelist (T10/T11) + distinct stats (G7 exact twin)
     "q_tag_whitelist" -> ((s, d) => graft.index.TagOps.tagWhitelist(s, d)),
     "q_cell_distinct" -> ((s, d) => graft.index.TagOps.distinctTagsByCell(s, d)),
@@ -253,6 +255,7 @@ object SparkEntry {
     "q_media_frames" -> graft.media.MediaOps.frameSampleSql(),
     "q_media_caption" -> graft.media.MediaOps.mediaCaptionSql,
     "q_index_upsert" -> graft.index.SnapshotQueries.indexUpsertSql,
+    "q_snap_bbox" -> graft.index.SnapshotQueries.bboxIndexFetchSql,
     "q_tag_whitelist" -> graft.index.TagOps.tagWhitelistSql,
     "q_cell_distinct" -> graft.index.TagOps.distinctTagsByCellSql,
   )

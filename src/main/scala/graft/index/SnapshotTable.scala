@@ -333,18 +333,23 @@ object StreamIngest {
   * equals a from-scratch rebuild. */
 object SnapshotQueries {
 
-  def indexUpsert(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.cell.{CellFunctions, CellIndex}
-    graft.gen.GeoWorld.registerUdfs(spark)
-    // fixed per-SF scratch root, recreated per run: repeated Verify/Bench
-    // sweeps reuse one directory instead of leaking a temp dir per call
-    val root = s"${System.getProperty("java.io.tmpdir")}/graft-snap-upsert-${math.abs(sfDir.hashCode)}"
+  /** Fixed per-SF scratch root, recreated per run: repeated Verify/Bench
+    * sweeps reuse one directory instead of leaking a temp dir per call. */
+  private def freshRoot(name: String, sfDir: String): String = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft-$name-${math.abs(sfDir.hashCode)}"
     val rootPath = Paths.get(root)
     if (Files.exists(rootPath)) {
       val s = Files.walk(rootPath)
       try s.iterator().asScala.toSeq.reverseIterator.foreach(Files.deleteIfExists(_))
       finally s.close()
     }
+    root
+  }
+
+  def indexUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.cell.{CellFunctions, CellIndex}
+    graft.gen.GeoWorld.registerUdfs(spark)
+    val root = freshRoot("snap-upsert", sfDir)
     val t = new SnapshotTable(spark, root)
     val base = graft.gen.GeoWorld.points(spark, sfDir)
       .select(col("pid"),
@@ -364,5 +369,44 @@ object SnapshotQueries {
          |       ${CellSql.encode("lon", "lat", CellIndex.RES_MID)} AS cell,
          |       CAST(CASE WHEN pid % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS ver
          |FROM pts""".stripMargin
+  }
+
+  /** Bbox fetch query window (a state-sized rect inside the world). */
+  final val BBOX: (Double, Double, Double, Double) =
+    (graft.gen.GeoWorld.LON0 + 2.0, graft.gen.GeoWorld.LAT0 + 2.0,
+      graft.gen.GeoWorld.LON0 + 10.0, graft.gen.GeoWorld.LAT0 + 8.0)
+
+  /** Routing resolution for the bbox-fetch snapshot index's partitions. */
+  final val ROUTE_RES = 4
+
+  /**
+   * The reference's S5/S6 cell fetch SERVED FROM the snapshot table: the
+   * point index is snapshotted with the res-[[ROUTE_RES]] routing cell as
+   * its partition, a bbox query enumerates its coarse cover cells and
+   * reads ONLY those partitions' files via the manifest ([[SnapshotTable
+   * .readParts]] — at 100 TB the region's files, never the world's), then
+   * refines exactly on lon/lat. The oracle is a plain bbox filter over
+   * the world — parity proves manifest pruning loses nothing.
+   */
+  def bboxIndexFetch(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.cell.{CellFunctions, CellIndex}
+    graft.gen.GeoWorld.registerUdfs(spark)
+    val root = freshRoot("snap-bbox", sfDir)
+    val t = new SnapshotTable(spark, root)
+    t.init(graft.gen.GeoWorld.points(spark, sfDir)
+      .select(col("pid"), col("lon"), col("lat"))
+      .withColumn("part", CellFunctions.zcell(col("lon"), col("lat"), lit(ROUTE_RES))))
+    val (lo0, la0, lo1, la1) = BBOX
+    val parts = CellIndex.rectCover(lo0, la0, lo1, la1, ROUTE_RES).toSet
+    t.readParts(parts)
+      .filter(col("lon") > lo0 && col("lon") < lo1 && col("lat") > la0 && col("lat") < la1)
+      .select(col("pid"), col("lon"), col("lat"))
+  }
+
+  val bboxIndexFetchSql: String = {
+    val (lo0, la0, lo1, la1) = BBOX
+    graft.query.GeoQueries.withWorld() +
+      s"""SELECT pid, lon, lat FROM pts
+         |WHERE lon > $lo0 AND lon < $lo1 AND lat > $la0 AND lat < $la1""".stripMargin
   }
 }

@@ -192,6 +192,22 @@ class SnapshotTableSpec extends SparkSpec {
       basedOn = Some(t.currentVersion)) === 3)
   }
 
+  test("bbox fetch over the snapshot index prunes to the cover cells' files and loses nothing") {
+    val out = graft.index.SnapshotQueries.bboxIndexFetch(spark, sfDir)
+    val gotPids = out.collect().map(_.getLong(0)).toSet
+    // ground truth: plain bbox filter over the raw points
+    val (lo0, la0, lo1, la1) = graft.index.SnapshotQueries.BBOX
+    val want = graft.gen.GeoWorld.points(spark, sfDir)
+      .filter($"lon" > lo0 && $"lon" < lo1 && $"lat" > la0 && $"lat" < la1)
+      .select("pid").collect().map(_.getLong(0)).toSet
+    assert(gotPids === want, "manifest pruning must lose no rows")
+    // and the scan genuinely pruned: fewer files than the full table
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft-snap-bbox-${math.abs(sfDir.hashCode)}"
+    val t = new graft.index.SnapshotTable(spark, root)
+    assert(out.inputFiles.length < t.snapshot(1).size,
+      s"${out.inputFiles.length} scanned of ${t.snapshot(1).size} total files")
+  }
+
   test("expire drops old snapshots' orphan files but keeps everything current") {
     val (_, t) = freshTable()
     t.init(baseDf)
