@@ -1,0 +1,52 @@
+package graft.bench
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Evidence probe for the snapshot table's COW claim: an upsert's cost is
+  * proportional to the TOUCHED region, never the table. Builds the sf0.1
+  * point index (router-cell partitions), then times a full init vs a
+  * single-partition upsert and reports the rewritten-file ratio. */
+object SnapProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sfDir = "/root/testdata/sf0.1"
+    graft.gen.GeoWorld.registerUdfs(spark)
+    import graft.cell.{CellFunctions, CellIndex}
+
+    val root = java.nio.file.Files.createTempDirectory("snapprobe").toString
+    val t = new graft.index.SnapshotTable(spark, root, statsCol = Some("cell"))
+    val base = graft.gen.GeoWorld.points(spark, sfDir)
+      .select(col("pid"), col("lon"), col("lat"),
+        CellFunctions.zcell(col("lon"), col("lat"), lit(CellIndex.RES_MID)).as("cell"))
+      .withColumn("part", CellFunctions.zcellParent(
+        col("cell"), lit(CellIndex.RES_MID), lit(4)))
+      .withColumn("ver", lit(1L))
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val (_, initSecs) = timed(t.init(base))
+    val v1 = t.snapshot(1)
+    val nParts = v1.map(_.part).distinct.size
+    val rows = v1.map(_.rows).sum
+
+    // single-partition delta: re-version one router cell's points
+    val onePart = v1.head.part
+    val delta = base.filter(col("part") === onePart).withColumn("ver", lit(2L))
+    val deltaRows = delta.count()
+    val (_, upSecs) = timed(t.upsert(delta, Seq("pid")))
+    val v2 = t.snapshot(2)
+    val rewritten = v2.map(_.path).toSet -- v1.map(_.path).toSet
+
+    println(f"SNAPPROBE rows=$rows parts=$nParts init=${initSecs}%.2fs " +
+      f"upsert1part(rows=$deltaRows)=${upSecs}%.2fs " +
+      f"rewrittenFiles=${rewritten.size}/${v2.size} " +
+      f"carriedFiles=${v2.map(_.path).toSet.intersect(v1.map(_.path).toSet).size}")
+    spark.stop()
+  }
+}
