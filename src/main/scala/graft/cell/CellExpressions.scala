@@ -150,14 +150,17 @@ object CellFunctions {
  *
  * Edge handling (review finding): Spark's `log` returns NULL where
  * `Math.log` returns ±Infinity (the Mercator singularity at the exact
- * poles), so tileY coalesces the log term to -Double.MaxValue-ish
- * (Double.MinValue), which drives v positive-huge and clamps to the
+ * poles), so tileY coalesces the log term to Double.MinValue (the most
+ * negative finite double), which drives v positive-huge and clamps to the
  * bottom tile row — the row the scalar's +Infinity path clamps to. Both
  * clamps run in DOUBLE space BEFORE the long cast so ANSI mode can never
  * overflow-error. OUTSIDE the geographic domain (|lat| > 90, where
  * tan+sec goes negative) the scalar's Math.log returns NaN → row 0 while
  * Spark's log returns NULL → bottom row: feed this only validated
- * latitudes, as every caller in the engine does.
+ * latitudes, as every caller in the engine does. A NULL input coordinate
+ * propagates to a NULL tile index (round-4 ADVICE: the coalesce used to
+ * swallow a NULL lat into a clamped row; the isNotNull gates restore the
+ * former UDF path's null semantics without breaking codegen).
  */
 object TileCols {
 
@@ -169,16 +172,16 @@ object TileCols {
 
   def tileX(lon: Column, z: Column): Column = {
     val n = nOf(z)
-    clampIdx(floor((lon + 180.0) / 360.0 * n), n)
+    when(lon.isNotNull, clampIdx(floor((lon + 180.0) / 360.0 * n), n))
   }
 
   def tileY(lat: Column, z: Column): Column = {
     val n = nOf(z)
     val rad = radians(lat)
     // log(x<=0) -> NULL in Spark, -Inf in Math.log: the scalar path's
-    // v=+Inf clamps to the bottom row, so coalesce to +MaxValue here
+    // v=+Inf clamps to the bottom row, so coalesce to Double.MinValue here
     val v = (lit(1.0) -
       coalesce(log(tan(rad) + lit(1.0) / cos(rad)), lit(Double.MinValue)) / lit(math.Pi)) / lit(2.0)
-    clampIdx(floor(v * n), n)
+    when(lat.isNotNull, clampIdx(floor(v * n), n))
   }
 }

@@ -142,6 +142,32 @@ class GeoSpec extends AnyFunSuite {
     assert(!Geo.within(gc(bowtie), state)) // (d)
   }
 
+  test("DOCUMENTED DEVIATION: precision-reduce sits INSIDE our Try (failure→false), OUTSIDE the reference's") {
+    // Reference fuzzyWithin (GeoCalculator.scala:133-136) calls
+    // precisionReducer.reduce(p)/reduce(q) BEFORE entering its Try — a
+    // geometry whose reduce throws makes the reference's fuzzyWithin (and
+    // hence within) PROPAGATE the exception. Ours reduces inside the Try
+    // (Geo.scala:94-102), so the same pair decides to FALSE. This fixture
+    // pins the deviation as a decision (BASELINE.md "Deviations"): a
+    // streaming engine must not let one broken boundary kill the job, and
+    // the reference's own Failure arm already maps every OTHER JTS error
+    // to false — reduce-throws is the one class it leaks.
+    val bowtie = Geo.factory.createPolygon(Array(
+      new org.locationtech.jts.geom.Coordinate(0, 0), new org.locationtech.jts.geom.Coordinate(2, 2),
+      new org.locationtech.jts.geom.Coordinate(2, 0), new org.locationtech.jts.geom.Coordinate(0, 2),
+      new org.locationtech.jts.geom.Coordinate(0, 0)))
+    val innerMps = List(Geo.factory.createMultiPolygon(Array(bowtie)))
+    val outerMps = List(Geo.factory.createMultiPolygon(Array(square(-1, -1, 12))))
+    // the reference's statement order, replayed literally: reduce() outside
+    // any handler THROWS on this shell — what its fuzzyWithin would do
+    val reducer = new org.locationtech.jts.precision.GeometryPrecisionReducer(
+      new org.locationtech.jts.geom.PrecisionModel())
+    assertThrows[IllegalArgumentException](innerMps.exists(p =>
+      outerMps.exists(q => { reducer.reduce(p); reducer.reduce(q); true })))
+    // ours: the identical pair resolves, to false
+    assert(!Geo.fuzzyWithin(innerMps, outerMps, Geo.FUZZY_THRESHOLD))
+  }
+
   test("shared boundaries still count as within (district strips in nation)") {
     val nation = gc(Geo.rect(-20.0, 30.0, -8.0, 37.2))
     val strip = gc(Geo.rect(-20.0, 30.0, -18.0, 37.2))
