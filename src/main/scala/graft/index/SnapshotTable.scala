@@ -1,6 +1,6 @@
 package graft.index
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
@@ -11,12 +11,18 @@ import scala.jdk.CollectionConverters._
  * checkpoint with per-partition lineage + metrics" contract in an offline
  * container (no Iceberg jar; SURVEY.md §"No Iceberg jar").
  *
- * Layout:
+ * Layout (round-5: PAGED manifests — Iceberg's manifest-list/manifest split,
+ * closing round-4's one `weak` item, the single driver-parsed JSON manifest):
  * {{{
- *   <root>/v<N>/part=<p>/part-*.parquet   data files of version N's WRITE
- *   <root>/snap-<N>.json                  snapshot manifest: the exact file
- *                                         set of version N (absolute paths +
- *                                         partition value + rows per file)
+ *   <root>/v<N>-<uuid>/part=<p>/part-*.parquet  data files of version N's WRITE
+ *   <root>/m-<uuid>.jsonl                       MANIFEST: one JSON line per data
+ *                                               file (path, part, rows, bytes,
+ *                                               stats bounds); covers a bounded
+ *                                               partition range
+ *   <root>/snap-<N>.json                        MANIFEST LIST: tiny — one entry
+ *                                               per manifest (path + partition /
+ *                                               stats bounds + counts)
+ *   <root>/schema.json                          table schema, written at init
  * }}}
  *
  * Key properties, mirroring Iceberg semantics:
@@ -24,30 +30,49 @@ import scala.jdk.CollectionConverters._
  *    delta touches; untouched partitions are carried into the new snapshot
  *    by reference (same files, no IO). At 100 TB an upsert's cost is
  *    proportional to the touched region, never the table.
+ *  - **Paged metadata**: the manifest list holds one line per MANIFEST
+ *    (each covering ≤ [[manifestTargetFiles]] data files over a contiguous
+ *    partition range), so [[readParts]]/[[readRange]] prune whole manifests
+ *    by their bounds BEFORE listing any file, and a commit carries
+ *    untouched manifests by reference — at 10^12 docs the driver re-reads
+ *    the covering manifests of the touched region, never an O(#files)
+ *    world list. Manifests are JSONL precisely so they are also
+ *    Spark-readable: [[filesMeta]] exposes the full file inventory as a
+ *    DataFrame (Iceberg's `.files` metadata table) without ever
+ *    materialising it on the driver.
  *  - **Snapshot isolation / time travel**: [[read]] of version N resolves
  *    the manifest's exact file list — concurrent readers of N are unaffected
  *    by later upserts, and historic versions stay readable until [[expire]].
- *  - **Per-partition lineage**: every manifest carries (partition → rows),
- *    the per-partition row-count lineage the scaling contract asks for.
+ *  - **Per-partition lineage**: every manifest line carries (partition,
+ *    rows); [[partLineage]] streams the covering manifests to aggregate it.
  *
  * The partition column is duplicated into the data files (`part` directory +
  * `_part` data column) so a manifest read never depends on Spark directory
  * inference — a version's files can be listed directly regardless of which
  * version-dir they live in.
  *
- * Driver state is the manifest file list only — O(#files), the same scaling
- * envelope as an Iceberg manifest list; a production port would page
- * manifests per partition-spec like Iceberg's manifest-list/manifest split.
+ * Driver state per read is O(#covering-manifest entries) — the touched
+ * region's file list, which `spark.read.parquet(paths)` needs on the driver
+ * anyway; a full DataSourceV2 port would push even that listing into
+ * distributed scan planning.
  */
-class SnapshotTable(spark: SparkSession, root: String, statsCol: Option[String] = None) {
+class SnapshotTable(spark: SparkSession, root: String,
+    statsCol: Option[String] = None, manifestTargetFiles: Int = 64) {
 
   /** One data file in a snapshot. `lo`/`hi` are the min/max of [[statsCol]]
     * in this file (Iceberg's per-file column bounds), present when the
-    * table tracks a stats column. */
-  final case class FileEntry(path: String, part: Long, rows: Long,
+    * table tracks a stats column. `bytes` is the file's on-disk size
+    * (drives [[compact]]'s byte-target bin-packing). */
+  final case class FileEntry(path: String, part: Long, rows: Long, bytes: Long,
       lo: Option[Long] = None, hi: Option[Long] = None)
 
+  /** One manifest in a snapshot's manifest list: the path of the JSONL
+    * page plus the bounds that let a read prune it unopened. */
+  final case class ManifestMeta(path: String, partLo: Long, partHi: Long,
+      files: Int, rows: Long, lo: Option[Long] = None, hi: Option[Long] = None)
+
   private def snapPath(v: Int): Path = Paths.get(s"$root/snap-$v.json")
+  private def schemaPath: Path = Paths.get(s"$root/schema.json")
 
   /** Latest committed snapshot version (0 = no snapshots). */
   def currentVersion: Int = {
@@ -64,97 +89,217 @@ class SnapshotTable(spark: SparkSession, root: String, statsCol: Option[String] 
     }
   }
 
-  /** The exact data-file set of snapshot v. */
-  def snapshot(v: Int): Seq[FileEntry] = {
-    val txt = Files.readString(snapPath(v))
-    """\{"path":"([^"]+)","part":(-?\d+),"rows":(\d+)(?:,"lo":(-?\d+),"hi":(-?\d+))?\}""".r
-      .findAllMatchIn(txt)
-      .map(m => FileEntry(m.group(1), m.group(2).toLong, m.group(3).toLong,
-        Option(m.group(4)).map(_.toLong), Option(m.group(5)).map(_.toLong)))
+  // ---- manifest list (snap-N.json): tiny, one line, O(#manifests) ----
+
+  private val metaRe =
+    ("""\{"path":"([^"]+)","part_lo":(-?\d+),"part_hi":(-?\d+),"files":(\d+),""" +
+     """"rows":(\d+)(?:,"lo":(-?\d+),"hi":(-?\d+))?\}""").r
+
+  /** The manifest list of snapshot v — O(#manifests) driver cost. */
+  def manifestList(v: Int): Seq[ManifestMeta] =
+    metaRe.findAllMatchIn(Files.readString(snapPath(v)))
+      .map(m => ManifestMeta(m.group(1), m.group(2).toLong, m.group(3).toLong,
+        m.group(4).toInt, m.group(5).toLong,
+        Option(m.group(6)).map(_.toLong), Option(m.group(7)).map(_.toLong)))
       .toSeq
+
+  // ---- manifests (m-<uuid>.jsonl): one line per data file, streamed ----
+
+  private val fileRe =
+    ("""\{"path":"([^"]+)","part":(-?\d+),"rows":(\d+),"bytes":(\d+)""" +
+     """(?:,"lo":(-?\d+),"hi":(-?\d+))?\}""").r
+
+  /** Stream one manifest's file entries (line-at-a-time; the whole page is
+    * never held as a single string). */
+  private def readManifest(path: String): Seq[FileEntry] = {
+    val s = Files.lines(Paths.get(path))
+    try s.iterator().asScala.flatMap(line => fileRe.findFirstMatchIn(line).map(m =>
+      FileEntry(m.group(1), m.group(2).toLong, m.group(3).toLong, m.group(4).toLong,
+        Option(m.group(5)).map(_.toLong), Option(m.group(6)).map(_.toLong)))).toSeq
+    finally s.close()
   }
 
-  /** Per-partition row-count lineage of snapshot v. */
-  def partLineage(v: Int): Map[Long, Long] =
-    snapshot(v).groupBy(_.part).map { case (p, fs) => p -> fs.map(_.rows).sum }
+  /** Manifest-open observability for tests/metrics: every manifest path
+    * this table handle actually opened during the LAST read-path call
+    * ([[read]]/[[readParts]]/[[readRange]]). A pruned read must show only
+    * the covering subset here. */
+  @volatile private var openedManifests: Seq[String] = Seq.empty
+  def lastManifestsOpened: Seq[String] = openedManifests
+
+  /** Write `entries` (sorted by partition) as one or more manifest pages of
+    * ≤ [[manifestTargetFiles]] files, each covering a contiguous partition
+    * range, and return their list entries. */
+  private def writeManifests(entries: Seq[FileEntry]): Seq[ManifestMeta] =
+    entries.sortBy(f => (f.part, f.path)).grouped(manifestTargetFiles).map { page =>
+      val p = s"$root/m-${java.util.UUID.randomUUID().toString.take(12)}.jsonl"
+      Files.createDirectories(Paths.get(root))
+      val w = Files.newBufferedWriter(Paths.get(p))
+      try page.foreach { f => w.write(fileJson(f)); w.newLine() }
+      finally w.close()
+      val los = page.flatMap(_.lo); val his = page.flatMap(_.hi)
+      ManifestMeta(p, page.map(_.part).min, page.map(_.part).max,
+        page.size, page.map(_.rows).sum,
+        if (los.isEmpty) None else Some(los.min), if (his.isEmpty) None else Some(his.max))
+    }.toSeq
+
+  private def fileJson(f: FileEntry): String = {
+    val stats = (f.lo, f.hi) match {
+      case (Some(l), Some(h)) => s""","lo":$l,"hi":$h"""
+      case _ => ""
+    }
+    s"""{"path":"${f.path}","part":${f.part},"rows":${f.rows},"bytes":${f.bytes}$stats}"""
+  }
+
+  /** The exact data-file set of snapshot v (diagnostic/test API — this one
+    * IS O(#files) on the driver by definition; the read path never calls
+    * it, it prunes manifests instead). */
+  def snapshot(v: Int): Seq[FileEntry] =
+    manifestList(v).flatMap(m => readManifest(m.path))
+
+  /** Per-partition row-count lineage of snapshot v (streamed aggregation —
+    * O(#partitions) result, never a whole-table file list in memory). */
+  def partLineage(v: Int): Map[Long, Long] = {
+    val acc = scala.collection.mutable.Map.empty[Long, Long]
+    manifestList(v).foreach(m => readManifest(m.path).foreach(f =>
+      acc.update(f.part, acc.getOrElse(f.part, 0L) + f.rows)))
+    acc.toMap
+  }
+
+  /** The file inventory of snapshot v AS A DATAFRAME (Iceberg's `.files`
+    * metadata table): the manifests are read through Spark's JSON source,
+    * so whole-inventory analytics (file-size histograms, lineage rollups)
+    * never materialise O(#files) on the driver. */
+  def filesMeta(version: Int = -1): DataFrame = {
+    val v = if (version < 0) currentVersion else version
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("path", StringType), StructField("part", LongType),
+      StructField("rows", LongType), StructField("bytes", LongType),
+      StructField("lo", LongType), StructField("hi", LongType)))
+    val paths = manifestList(v).map(_.path)
+    if (paths.isEmpty) spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schema)
+    else spark.read.schema(schema).json(paths: _*)
+  }
 
   /** Write an ATTEMPT dir for version vN from `df` (must carry a long
     * `part` column) and return its file entries. The dir name carries a
     * unique attempt id: two racing writers of the same version never share
     * a directory (so neither's manifest-stats job can see the other's
     * files), and a writer that crashes before commit leaves only an orphan
-    * attempt dir — it can never wedge the next committer's path. The part
-    * value rides both the directory AND the `_part` data column. */
+    * attempt dir — it can never wedge the next committer's path (and
+    * [[expire]]'s orphan sweep eventually collects it). The part value
+    * rides both the directory AND the `_part` data column. */
   private def writeVersionDir(df: DataFrame, v: Int): Seq[FileEntry] = {
     val cached = df.persist() // isEmpty probe + write + stats share one eval
     try {
       if (cached.isEmpty) return Seq.empty // a fully-deleted partition writes nothing
-      val dir = s"$root/v$v-${java.util.UUID.randomUUID().toString.take(8)}"
+      val dir = attemptDir(v)
       cached.withColumn("_part", col("part"))
         .write.partitionBy("part").parquet(dir)
-      // one footer-cheap job over the attempt dir: per-file row counts and
-      // (when tracked) stats-column bounds — the manifest stats an Iceberg
-      // writer records at commit
-      val aggs = count(lit(1)).as("rows") +: statsCol.toSeq.flatMap(c =>
-        Seq(min(col(c)).cast("long").as("lo"), max(col(c)).cast("long").as("hi")))
-      val entries = spark.read.parquet(dir)
-        .groupBy(input_file_name().as("f")).agg(aggs.head, aggs.tail: _*)
-        .collect()
-        .map { r =>
-          val f = java.net.URLDecoder.decode(r.getString(0), "UTF-8")
-            .replaceFirst("^file:/+", "/")
-          val part = "part=(-?\\d+)".r.findFirstMatchIn(f).map(_.group(1).toLong)
-            .getOrElse(sys.error(s"no partition dir in $f"))
-          // an all-NULL stats column in a file leaves no usable bound: the
-          // file then matches every readRange (forall on None) — safe, and
-          // no NPE at commit
-          val (lo, hi) =
-            if (statsCol.isDefined && !r.isNullAt(2) && !r.isNullAt(3))
-              (Some(r.getLong(2)), Some(r.getLong(3)))
-            else (None, None)
-          FileEntry(f, part, r.getLong(1), lo, hi)
-        }.toSeq.sortBy(_.path)
-      entries
+      statsEntries(dir)
     } finally cached.unpersist()
   }
 
-  /** Commit `files` as snapshot v; on a lost commit race, delete this
-    * attempt's freshly-written files before rethrowing so the loser leaves
-    * no orphans. */
-  private def commitOrCleanup(v: Int, parent: Int, files: Seq[FileEntry],
-      fresh: Seq[FileEntry]): Unit =
-    try commit(v, parent, files)
+  private def attemptDir(v: Int): String =
+    s"$root/v$v-${java.util.UUID.randomUUID().toString.take(8)}"
+
+  /** One footer-cheap job over an attempt dir: per-file row counts and
+    * (when tracked) stats-column bounds — the manifest stats an Iceberg
+    * writer records at commit. File sizes come from the filesystem
+    * (O(#new files) stat calls, the files this commit just wrote). */
+  private def statsEntries(dir: String): Seq[FileEntry] = {
+    val aggs = count(lit(1)).as("rows") +: statsCol.toSeq.flatMap(c =>
+      Seq(min(col(c)).cast("long").as("lo"), max(col(c)).cast("long").as("hi")))
+    spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f")).agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map { r =>
+        val f = java.net.URLDecoder.decode(r.getString(0), "UTF-8")
+          .replaceFirst("^file:/+", "/")
+        val part = "part=(-?\\d+)".r.findFirstMatchIn(f).map(_.group(1).toLong)
+          .getOrElse(sys.error(s"no partition dir in $f"))
+        // an all-NULL stats column in a file leaves no usable bound: the
+        // file then matches every readRange (forall on None) — safe, and
+        // no NPE at commit
+        val (lo, hi) =
+          if (statsCol.isDefined && !r.isNullAt(2) && !r.isNullAt(3))
+            (Some(r.getLong(2)), Some(r.getLong(3)))
+          else (None, None)
+        FileEntry(f, part, r.getLong(1), Files.size(Paths.get(f)), lo, hi)
+      }.toSeq.sortBy(_.path)
+  }
+
+  /** Split the parent snapshot's manifests around a touched-partition set:
+    * manifests whose bounds miss `touched` (or whose actual entries do)
+    * carry into the child by reference; the rest are rewritten minus the
+    * touched partitions' entries. Returns (carried+filtered manifest
+    * list, the touched partitions' file entries). Only intersecting
+    * manifests are ever opened. */
+  private def splitParent(parent: Int, touched: Set[Long]): (Seq[ManifestMeta], Seq[FileEntry]) = {
+    val out = Seq.newBuilder[ManifestMeta]
+    val touchedFiles = Seq.newBuilder[FileEntry]
+    manifestList(parent).foreach { m =>
+      if (!touched.exists(p => m.partLo <= p && p <= m.partHi)) out += m
+      else {
+        val entries = readManifest(m.path)
+        val (hit, kept) = entries.partition(f => touched(f.part))
+        if (hit.isEmpty) out += m // bounds false-positive: carry unopened-equivalent
+        else {
+          touchedFiles ++= hit
+          if (kept.nonEmpty) out ++= writeManifests(kept)
+        }
+      }
+    }
+    (out.result(), touchedFiles.result())
+  }
+
+  /** Commit `manifests` as snapshot v; on a lost commit race, delete this
+    * attempt's freshly-written data files and manifest pages before
+    * rethrowing so the loser leaves no orphans. */
+  private def commitOrCleanup(v: Int, parent: Int, manifests: Seq[ManifestMeta],
+      freshFiles: Seq[FileEntry], freshManifests: Seq[ManifestMeta]): Unit =
+    try commit(v, parent, manifests)
     catch {
       case e: java.nio.file.FileAlreadyExistsException =>
-        fresh.foreach(f => Files.deleteIfExists(Paths.get(f.path)))
+        freshFiles.foreach(f => Files.deleteIfExists(Paths.get(f.path)))
+        freshManifests.foreach(m => Files.deleteIfExists(Paths.get(m.path)))
         throw e
     }
 
-  private def commit(v: Int, parent: Int, files: Seq[FileEntry]): Unit = {
-    val fileJson = files.map { f =>
-      val stats = (f.lo, f.hi) match {
+  private def commit(v: Int, parent: Int, manifests: Seq[ManifestMeta]): Unit = {
+    val listJson = manifests.map { m =>
+      val stats = (m.lo, m.hi) match {
         case (Some(l), Some(h)) => s""","lo":$l,"hi":$h"""
         case _ => ""
       }
-      s"""{"path":"${f.path}","part":${f.part},"rows":${f.rows}$stats}"""
+      s"""{"path":"${m.path}","part_lo":${m.partLo},"part_hi":${m.partHi},""" +
+        s""""files":${m.files},"rows":${m.rows}$stats}"""
     }.mkString("[", ",", "]")
-    val lineage = files.groupBy(_.part).toSeq.sortBy(_._1)
-      .map { case (p, fs) => s""""$p":${fs.map(_.rows).sum}""" }.mkString("{", ",", "}")
     Files.createDirectories(Paths.get(root))
     // optimistic concurrency (Iceberg's commit rule): creating the snapshot
     // file is the atomic commit point — a concurrent writer that already
     // committed this version makes CREATE_NEW fail, and the loser must
     // re-read the table state and retry its merge
     Files.writeString(snapPath(v),
-      s"""{"version":$v,"parent":$parent,"files":$fileJson,"part_rows":$lineage}""",
+      s"""{"version":$v,"parent":$parent,"manifests":$listJson}""",
       java.nio.file.StandardOpenOption.CREATE_NEW)
   }
 
   /** Initial load: full write of `df` as snapshot 1. `df` must carry a
-    * long `part` column (the partition key). */
+    * long `part` column (the partition key). Persists the table schema so
+    * an empty (or fully-deleted) version stays readable. */
   def init(df: DataFrame): Int = {
     require(currentVersion == 0, s"table at $root already initialised")
-    commitOrCleanup(1, 0, writeVersionDir(df, 1), Seq.empty)
+    Files.createDirectories(Paths.get(root))
+    // persisted in READ order (data columns, then `part` re-appended) so an
+    // empty selection unions cleanly with a non-empty one
+    val readOrder = org.apache.spark.sql.types.StructType(
+      df.schema.fields.filterNot(_.name == "part") ++ df.schema.fields.filter(_.name == "part"))
+    Files.writeString(schemaPath, readOrder.json)
+    val files = writeVersionDir(df, 1)
+    val manifests = writeManifests(files)
+    commitOrCleanup(1, 0, manifests, files, manifests)
     1
   }
 
@@ -164,8 +309,9 @@ class SnapshotTable(spark: SparkSession, root: String, statsCol: Option[String] 
    * new (part, key) combinations are inserts. Only partitions present in
    * `delta` are rewritten — their surviving base rows are read back
    * (file-list scoped, not a table scan), anti-joined on the key and
-   * re-written together with the delta; every other partition's files
-   * carry over by reference. Returns the new snapshot version.
+   * re-written together with the delta; every other partition's files AND
+   * MANIFESTS carry over by reference (the metadata cost of a commit is
+   * O(covering manifests), not O(#files)). Returns the new version.
    *
    * The partition column is PART OF the merge key (standard identity
    * partitioning): derive `part` as a pure function of immutable key
@@ -187,7 +333,7 @@ class SnapshotTable(spark: SparkSession, root: String, statsCol: Option[String] 
     try {
       // touched partitions: driver-bounded by partition count, not rows
       val touched = cachedDelta.select("part").distinct().collect().map(_.getLong(0)).toSet
-      val (touchedFiles, carried) = snapshot(cur).partition(f => touched(f.part))
+      val (carried, touchedFiles) = splitParent(cur, touched)
       val merged = if (touchedFiles.nonEmpty) {
         val base = spark.read.parquet(touchedFiles.map(_.path): _*)
           .withColumn("part", col("_part")).drop("_part")
@@ -196,46 +342,62 @@ class SnapshotTable(spark: SparkSession, root: String, statsCol: Option[String] 
           .unionByName(cachedDelta)
       } else cachedDelta
       val newFiles = writeVersionDir(merged, next)
-      commitOrCleanup(next, cur, carried ++ newFiles, newFiles)
+      val newManifests = writeManifests(newFiles)
+      commitOrCleanup(next, cur, carried ++ newManifests, newFiles, newManifests)
       next
     } finally cachedDelta.unpersist()
   }
 
   /** Time-travel read of snapshot v (default: current). */
-  def read(version: Int = -1): DataFrame =
-    readFiles(snapshot(if (version < 0) currentVersion else version))
+  def read(version: Int = -1): DataFrame = {
+    val v = if (version < 0) currentVersion else version
+    val metas = manifestList(v)
+    openedManifests = metas.map(_.path)
+    readFiles(metas.flatMap(m => readManifest(m.path)))
+  }
 
   /**
-   * MANIFEST-level partition pruning (Iceberg's partition filter): read
-   * only the files of partitions in `parts` — the scan never even lists
-   * the rest. At 100 TB this is the entry point a cell/bbox fetch uses:
-   * a region query touches its region's files, not the world's.
+   * MANIFEST-level partition pruning (Iceberg's partition filter): only
+   * manifests whose [partLo, partHi] intersects `parts` are OPENED, and
+   * only their matching files are scanned — the rest of the table's
+   * metadata is never listed, let alone its data. At 100 TB this is the
+   * entry point a cell/bbox fetch uses: a region query touches its
+   * region's covering manifests and files, not the world's.
    */
   def readParts(parts: Set[Long], version: Int = -1): DataFrame = {
     val v = if (version < 0) currentVersion else version
-    readFiles(snapshot(v).filter(f => parts(f.part)))
+    val covering = manifestList(v).filter(m =>
+      parts.exists(p => m.partLo <= p && p <= m.partHi))
+    openedManifests = covering.map(_.path)
+    readFiles(covering.flatMap(m => readManifest(m.path)).filter(f => parts(f.part)))
   }
 
   /**
    * MANIFEST-level range pruning over the stats column (Iceberg's column
-   * bounds): only files whose [lo, hi] overlaps [loBound, hiBound] are
-   * scanned. With data clustered on the stats column (e.g. z-order cell
-   * ids) the scanned fraction tracks the predicate's selectivity. The
-   * caller still applies the exact row filter — bounds only skip files.
+   * bounds): manifests, then files, whose [lo, hi] misses [loBound,
+   * hiBound] are skipped unopened. With data clustered on the stats column
+   * (e.g. z-order cell ids) the scanned fraction tracks the predicate's
+   * selectivity. The caller still applies the exact row filter — bounds
+   * only skip pages and files.
    */
   def readRange(loBound: Long, hiBound: Long, version: Int = -1): DataFrame = {
     require(statsCol.isDefined, "readRange needs a stats column")
     val v = if (version < 0) currentVersion else version
-    readFiles(snapshot(v).filter(f =>
+    val covering = manifestList(v).filter(m =>
+      m.lo.forall(_ <= hiBound) && m.hi.forall(_ >= loBound))
+    openedManifests = covering.map(_.path)
+    readFiles(covering.flatMap(m => readManifest(m.path)).filter(f =>
       f.lo.forall(_ <= hiBound) && f.hi.forall(_ >= loBound)))
   }
 
   private def readFiles(files: Seq[FileEntry]): DataFrame =
     if (files.isEmpty) {
-      // schema-only: resolve from any live snapshot file without scanning rows
-      val any = snapshot(currentVersion).take(1)
-      require(any.nonEmpty, "cannot derive a schema from a fully-empty table")
-      readFiles(any).limit(0)
+      // schema-only: built from the schema persisted at init — an empty
+      // selection, an empty historical version, even a fully-deleted table
+      // all resolve without scanning or borrowing another version's files
+      val schema = org.apache.spark.sql.types.DataType.fromJson(
+        Files.readString(schemaPath)).asInstanceOf[org.apache.spark.sql.types.StructType]
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     } else spark.read.parquet(files.map(_.path): _*)
       .withColumn("part", col("_part")).drop("_part")
 
@@ -250,54 +412,118 @@ class SnapshotTable(spark: SparkSession, root: String, statsCol: Option[String] 
     val cur = currentVersion
     require(cur > 0, "init() before delete()")
     val next = cur + 1
-    val touched = keys.select("part").distinct().collect().map(_.getLong(0)).toSet
-    val (touchedFiles, carried) = snapshot(cur).partition(f => touched(f.part))
-    val newFiles = if (touchedFiles.nonEmpty) {
-      val base = spark.read.parquet(touchedFiles.map(_.path): _*)
-        .withColumn("part", col("_part")).drop("_part")
-      writeVersionDir(base.join(keys.select(("part" +: keyCols).map(col): _*),
-        "part" +: keyCols, "left_anti"), next)
-    } else Seq.empty
-    commitOrCleanup(next, cur, carried ++ newFiles, newFiles)
+    // persist: the part-collect and the anti-join must see ONE evaluation
+    // of `keys` — a nondeterministic input (sample/limit) could otherwise
+    // touch one partition set and anti-join another (round-4 ADVICE)
+    val cachedKeys = keys.persist()
+    try {
+      val touched = cachedKeys.select("part").distinct().collect().map(_.getLong(0)).toSet
+      val (carried, touchedFiles) = splitParent(cur, touched)
+      val (newFiles, newManifests) = if (touchedFiles.nonEmpty) {
+        val base = spark.read.parquet(touchedFiles.map(_.path): _*)
+          .withColumn("part", col("_part")).drop("_part")
+        val nf = writeVersionDir(base.join(cachedKeys.select(("part" +: keyCols).map(col): _*),
+          "part" +: keyCols, "left_anti"), next)
+        (nf, writeManifests(nf))
+      } else (Seq.empty[FileEntry], Seq.empty[ManifestMeta])
+      commitOrCleanup(next, cur, carried ++ newManifests, newFiles, newManifests)
+      next
+    } finally cachedKeys.unpersist()
+  }
+
+  /**
+   * Bin-pack compaction (Iceberg's rewrite_data_files), sized by BYTES:
+   * each partition's target file count is `ceil(partitionBytes /
+   * targetFileBytes)` (min 1), and a partition is rewritten when its
+   * current layout strays from that target — too many files (fragmented
+   * upserts) OR too few (a fat partition whose single file would become
+   * the huge-file problem at 100 TB). `maxFiles` keeps the legacy
+   * "no more than N files per partition" trigger for callers that only
+   * care about fragmentation. All other partitions carry into the new
+   * snapshot by reference — files AND manifests. Pure layout change:
+   * [[read]] results are identical before and after. Returns the new
+   * version (or the current one when nothing qualifies).
+   *
+   * Each rewritten partition is its own write job (the per-partition
+   * repartition count differs); at scale a maintenance driver submits
+   * these groups concurrently, exactly like Iceberg's rewrite action
+   * planning file groups.
+   */
+  def compact(maxFiles: Int = 1, targetFileBytes: Long = Long.MaxValue): Int = {
+    val cur = currentVersion
+    val byPart = snapshot(cur).groupBy(_.part)
+    val plan = byPart.flatMap { case (p, fs) =>
+      val want = math.max(1L, math.ceil(fs.map(_.bytes).sum.toDouble / targetFileBytes).toLong).toInt
+      // rewrite when fragmented past the target (too many files) or when a
+      // single file is OVERSIZED — 1.8× target, Iceberg's
+      // MAX_FILE_SIZE_DEFAULT_RATIO: the slack keeps re-encoding growth
+      // (a split can compress worse than the sorted original) from
+      // re-compacting a fresh layout forever
+      val oversized = fs.exists(_.bytes / 1.8 > targetFileBytes.toDouble)
+      if (fs.size > math.max(want, maxFiles) || oversized) Some(p -> (fs, want)) else None
+    }
+    if (plan.isEmpty) return cur
+    val next = cur + 1
+    val (carried, touchedFiles) = splitParent(cur, plan.keySet)
+    val dir = attemptDir(next)
+    // one write job per rewritten partition: each needs its own file count
+    plan.toSeq.sortBy(_._1).foreach { case (p, (fs, want)) =>
+      spark.read.parquet(fs.map(_.path): _*)
+        .repartition(want)
+        .write.parquet(s"$dir/part=$p")
+    }
+    require(touchedFiles.map(_.path).toSet == plan.values.flatMap(_._1.map(_.path)).toSet)
+    val newFiles = statsEntries(dir)
+    val newManifests = writeManifests(newFiles)
+    commitOrCleanup(next, cur, carried ++ newManifests, newFiles, newManifests)
     next
   }
 
   /**
-   * Bin-pack compaction (Iceberg's rewrite_data_files): partitions holding
-   * more than `maxFiles` data files are rewritten into one file each; all
-   * others carry into the new snapshot by reference. Pure layout change —
-   * [[read]] results are identical before and after — but at scale it is
-   * what keeps a frequently-upserted table's file count (and thus manifest
-   * size + scan task count) bounded. Returns the new version (or the
-   * current one when nothing qualifies).
+   * Drop snapshots older than `keepLast` versions, delete data files and
+   * manifest pages no surviving snapshot references, and sweep ORPHAN
+   * ATTEMPT DIRS — directories left by writers that crashed before commit
+   * or lost a commit race (whose files a race loser already deleted) —
+   * none of whose files appear in any surviving manifest (Iceberg's
+   * expire_snapshots + remove_orphan_files). `orphanGraceMs` protects a
+   * CONCURRENT writer's in-flight attempt dir: only dirs untouched for at
+   * least that long are swept (default 24 h, Iceberg's own safety rule;
+   * tests pass 0). Returns the deleted data-file count (orphan-dir files
+   * not included — they were never part of any snapshot).
    */
-  def compact(maxFiles: Int = 1): Int = {
+  def expire(keepLast: Int = 1, orphanGraceMs: Long = 24L * 3600 * 1000): Int = {
     val cur = currentVersion
-    val files = snapshot(cur)
-    val fat = files.groupBy(_.part).filter(_._2.size > maxFiles).keySet
-    if (fat.isEmpty) return cur
-    val (touchedFiles, carried) = files.partition(f => fat(f.part))
-    val merged = spark.read.parquet(touchedFiles.map(_.path): _*)
-      .withColumn("part", col("_part")).drop("_part")
-      .repartition(fat.size, col("part"))
-    val next = cur + 1
-    val newFiles = writeVersionDir(merged, next)
-    commitOrCleanup(next, cur, carried ++ newFiles, newFiles)
-    next
-  }
-
-  /** Drop snapshots older than `keepLast` versions and delete data files no
-    * surviving snapshot references (Iceberg's expire_snapshots + orphan
-    * cleanup). Returns deleted file count. */
-  def expire(keepLast: Int = 1): Int = {
-    val cur = currentVersion
+    if (cur == 0) return 0
     val keep = ((cur - keepLast + 1) max 1) to cur
     val all = (1 to cur).filter(v => Files.exists(snapPath(v)))
-    val live = keep.filter(v => Files.exists(snapPath(v))).flatMap(snapshot).map(_.path).toSet
-    val dead = all.filterNot(keep.contains).flatMap(snapshot).map(_.path).distinct
+    val survivors = keep.filter(v => Files.exists(snapPath(v)))
+    val liveManifests = survivors.flatMap(v => manifestList(v).map(_.path)).toSet
+    val live = liveManifests.flatMap(readManifest(_).map(_.path))
+    val expired = all.filterNot(keep.contains)
+    val deadManifests = expired.flatMap(v => manifestList(v).map(_.path)).distinct
+      .filterNot(liveManifests.contains)
+    val dead = deadManifests.flatMap(readManifest(_).map(_.path)).distinct
       .filterNot(live.contains)
     dead.foreach(p => Files.deleteIfExists(Paths.get(p)))
-    all.filterNot(keep.contains).foreach(v => Files.deleteIfExists(snapPath(v)))
+    deadManifests.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    expired.foreach(v => Files.deleteIfExists(snapPath(v)))
+    // orphan attempt-dir sweep: v*-<uuid> dirs whose files are all
+    // unreferenced and which have aged past the in-flight grace window
+    val rootPath = Paths.get(root)
+    val now = System.currentTimeMillis()
+    val dirs = Files.list(rootPath)
+    val candidates = try dirs.iterator().asScala.filter(d =>
+        Files.isDirectory(d) && d.getFileName.toString.matches("v\\d+-.*")).toSeq
+      finally dirs.close()
+    candidates.foreach { d =>
+      val walk = Files.walk(d)
+      val contents = try walk.iterator().asScala.toSeq finally walk.close()
+      val filesIn = contents.filter(Files.isRegularFile(_))
+      val aged = contents.forall(p =>
+        now - Files.getLastModifiedTime(p).toMillis >= orphanGraceMs)
+      if (aged && filesIn.forall(f => !live.contains(f.toString)))
+        contents.reverseIterator.foreach(Files.deleteIfExists(_))
+    }
     dead.size
   }
 }
@@ -333,10 +559,21 @@ object StreamIngest {
   * equals a from-scratch rebuild. */
 object SnapshotQueries {
 
-  /** Fixed per-SF scratch root, recreated per run: repeated Verify/Bench
-    * sweeps reuse one directory instead of leaking a temp dir per call. */
+  /** Per-process run tag: two concurrent drivers (e.g. Verify and Bench
+    * overlapping) get DISJOINT scratch roots and can no longer clobber
+    * each other's live snapshot table mid-read (round-4 ADVICE). */
+  private val runTag = java.util.UUID.randomUUID().toString.take(8)
+
+  /** The scratch root this process uses for query `name` at `sfDir` —
+    * exposed so specs can inspect the table a catalog query just built. */
+  def rootFor(name: String, sfDir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft-$name-${math.abs(sfDir.hashCode)}-$runTag"
+
+  /** Fixed per-SF-per-process scratch root, recreated per run: repeated
+    * Verify/Bench sweeps within one driver reuse one directory instead of
+    * leaking a temp dir per call. */
   private def freshRoot(name: String, sfDir: String): String = {
-    val root = s"${System.getProperty("java.io.tmpdir")}/graft-$name-${math.abs(sfDir.hashCode)}"
+    val root = rootFor(name, sfDir)
     val rootPath = Paths.get(root)
     if (Files.exists(rootPath)) {
       val s = Files.walk(rootPath)
@@ -379,20 +616,26 @@ object SnapshotQueries {
   /** Routing resolution for the bbox-fetch snapshot index's partitions. */
   final val ROUTE_RES = 4
 
+  /** Manifest page size for the bbox index — small enough that the sf0.01
+    * table pages into several manifests, so manifest-level pruning is
+    * exercised (and spec-pinned) at test scale, not just at 100 TB. */
+  final val BBOX_MANIFEST_FILES = 16
+
   /**
    * The reference's S5/S6 cell fetch SERVED FROM the snapshot table: the
    * point index is snapshotted with the res-[[ROUTE_RES]] routing cell as
    * its partition, a bbox query enumerates its coarse cover cells and
-   * reads ONLY those partitions' files via the manifest ([[SnapshotTable
-   * .readParts]] — at 100 TB the region's files, never the world's), then
-   * refines exactly on lon/lat. The oracle is a plain bbox filter over
-   * the world — parity proves manifest pruning loses nothing.
+   * reads ONLY those partitions' covering manifests and files via the
+   * manifest list ([[SnapshotTable.readParts]] — at 100 TB the region's
+   * metadata and files, never the world's), then refines exactly on
+   * lon/lat. The oracle is a plain bbox filter over the world — parity
+   * proves manifest pruning loses nothing.
    */
   def bboxIndexFetch(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.cell.{CellFunctions, CellIndex}
     graft.gen.GeoWorld.registerUdfs(spark)
     val root = freshRoot("snap-bbox", sfDir)
-    val t = new SnapshotTable(spark, root)
+    val t = new SnapshotTable(spark, root, manifestTargetFiles = BBOX_MANIFEST_FILES)
     t.init(graft.gen.GeoWorld.points(spark, sfDir)
       .select(col("pid"), col("lon"), col("lat"))
       .withColumn("part", CellFunctions.zcell(col("lon"), col("lat"), lit(ROUTE_RES))))

@@ -202,10 +202,133 @@ class SnapshotTableSpec extends SparkSpec {
       .select("pid").collect().map(_.getLong(0)).toSet
     assert(gotPids === want, "manifest pruning must lose no rows")
     // and the scan genuinely pruned: fewer files than the full table
-    val root = s"${System.getProperty("java.io.tmpdir")}/graft-snap-bbox-${math.abs(sfDir.hashCode)}"
+    val root = graft.index.SnapshotQueries.rootFor("snap-bbox", sfDir)
     val t = new graft.index.SnapshotTable(spark, root)
     assert(out.inputFiles.length < t.snapshot(1).size,
       s"${out.inputFiles.length} scanned of ${t.snapshot(1).size} total files")
+    // …and at the METADATA level too: the route cells' covering manifests
+    // are a strict subset of the paged manifest list, so the read expanded
+    // only the region's metadata, never the world's
+    val parts = graft.cell.CellIndex.rectCover(lo0, la0, lo1, la1,
+      graft.index.SnapshotQueries.ROUTE_RES).toSet
+    val all = t.manifestList(1)
+    val covering = all.filter(m => parts.exists(p => m.partLo <= p && p <= m.partHi))
+    assert(all.size > 1, "fixture must page into several manifests")
+    assert(covering.size < all.size,
+      s"${covering.size} covering of ${all.size} manifests — pruning must skip pages")
+  }
+
+  test("paged manifests: a pruned read OPENS only the covering manifest pages") {
+    val root = java.nio.file.Files.createTempDirectory("snappage").toString
+    // 4-file pages over 16 partitions -> several pages with disjoint ranges
+    val t = new SnapshotTable(spark, root, manifestTargetFiles = 4)
+    t.init((0L until 1600L).map(i => (i, i % 16, 1L)).toDF("id", "part", "ver")
+      .repartition(4, $"part")) // each part's files stay few -> clean ranges
+    val all = t.manifestList(1)
+    assert(all.size > 2, s"fixture must page (got ${all.size} manifests)")
+    // bounds sanity: pages carry contiguous, ordered partition ranges
+    assert(all.forall(m => m.partLo <= m.partHi))
+
+    val wantParts = Set(2L)
+    val df = t.readParts(wantParts)
+    assert(df.select("part").distinct().collect().map(_.getLong(0)).toSet === wantParts)
+    assert(df.count() === 100)
+    val covering = all.filter(m => wantParts.exists(p => m.partLo <= p && p <= m.partHi))
+    assert(t.lastManifestsOpened.toSet === covering.map(_.path).toSet,
+      "the read must open EXACTLY the covering pages")
+    assert(t.lastManifestsOpened.size < all.size,
+      s"${t.lastManifestsOpened.size} opened of ${all.size} pages — pruning must skip pages")
+  }
+
+  test("upsert carries untouched manifest PAGES by reference (metadata is O(covering), not O(#files))") {
+    val root = java.nio.file.Files.createTempDirectory("snapcarry").toString
+    val t = new SnapshotTable(spark, root, manifestTargetFiles = 4)
+    t.init((0L until 1600L).map(i => (i, i % 16, 1L)).toDF("id", "part", "ver")
+      .repartition(4, $"part"))
+    val v1 = t.manifestList(1)
+    t.upsert(Seq((2L, 2L, 9L)).toDF("id", "part", "ver"), Seq("id"))
+    val v2 = t.manifestList(2)
+    // pages whose range misses part 2 must be the SAME page files
+    val untouched1 = v1.filter(m => !(m.partLo <= 2L && 2L <= m.partHi)).map(_.path).toSet
+    assert(untouched1.nonEmpty && untouched1.subsetOf(v2.map(_.path).toSet),
+      "untouched pages carry by reference into the child snapshot")
+    // and the touched page was rewritten, not carried
+    val touched1 = v1.filter(m => m.partLo <= 2L && 2L <= m.partHi).map(_.path).toSet
+    assert(touched1.intersect(v2.map(_.path).toSet).isEmpty,
+      "pages covering the touched partition are replaced")
+    // data parity after the page shuffle
+    assert(t.read().filter($"id" === 2L).select("ver").head().getLong(0) === 9L)
+    assert(t.read().count() === 1600L)
+  }
+
+  test("byte-target compaction splits a FAT partition into ~ceil(bytes/target) files, reads identical") {
+    val root = java.nio.file.Files.createTempDirectory("snapfat").toString
+    val t = new SnapshotTable(spark, root)
+    // partition 0 is fat (64k rows in ONE file), partition 1 tiny
+    t.init((0L until 65536L).map(i => (i, 0L, i % 997))
+      .toDF("id", "part", "pay").coalesce(1)
+      .unionByName(Seq((99999L, 1L, 7L)).toDF("id", "part", "pay")))
+    val fat = t.snapshot(1).filter(_.part == 0L)
+    assert(fat.size === 1, "fixture: fat partition starts as one file")
+    val fatBytes = fat.map(_.bytes).sum
+    val target = fatBytes / 4 + 1 // want ~4 output files
+    val dataBefore = t.read().collect().map(_.toSeq).toSet
+
+    val v = t.compact(maxFiles = Int.MaxValue, targetFileBytes = target)
+    assert(v === 2)
+    val after = t.snapshot(2).filter(_.part == 0L)
+    val want = math.ceil(fatBytes.toDouble / target).toInt
+    assert(after.size === want, s"split into ${after.size}, wanted $want")
+    assert(t.snapshot(2).filter(_.part == 1L).map(_.path).toSet ===
+      t.snapshot(1).filter(_.part == 1L).map(_.path).toSet,
+      "the healthy partition carries by reference")
+    assert(t.read().collect().map(_.toSeq).toSet === dataBefore, "compaction is layout-only")
+    // already at target -> no-op
+    assert(t.compact(maxFiles = Int.MaxValue, targetFileBytes = target) === 2)
+  }
+
+  test("a fully-deleted table (and an empty historical read) keeps ITS OWN schema") {
+    val (_, t) = freshTable()
+    t.init(baseDf)
+    // delete everything
+    val keys = (0L until 1000L).map(i => (i, i % 8)).toDF("id", "part")
+    t.delete(keys, Seq("id"))
+    val empty = t.read()
+    assert(empty.count() === 0)
+    assert(empty.columns.toSet === Set("id", "part", "ver"),
+      "schema comes from the persisted table schema, not another version's files")
+    // and the types are the table's own
+    assert(empty.schema("id").dataType === org.apache.spark.sql.types.LongType)
+    // an empty selection of a live version resolves the same way
+    assert(t.readParts(Set(99L), version = 1).columns.toSet === Set("id", "part", "ver"))
+  }
+
+  test("expire sweeps crashed-attempt dirs and race-loser husks (orphan dirs)") {
+    val (root, t) = freshTable()
+    t.init(baseDf)
+    // a writer that crashed before commit: an attempt dir referenced by NO manifest
+    val crashed = java.nio.file.Paths.get(s"$root/v2-deadbeef/part=0")
+    java.nio.file.Files.createDirectories(crashed)
+    java.nio.file.Files.writeString(crashed.resolve("part-00000.parquet"), "junk")
+    // a race loser whose files were already cleaned but whose dirs remain
+    val husk = java.nio.file.Paths.get(s"$root/v2-cafecafe/part=3")
+    java.nio.file.Files.createDirectories(husk)
+    t.expire(keepLast = 10, orphanGraceMs = 0) // keep all snapshots; sweep orphans only
+    assert(!java.nio.file.Files.exists(crashed.getParent), "crashed attempt dir swept")
+    assert(!java.nio.file.Files.exists(husk.getParent), "race-loser husk swept")
+    assert(t.read().count() === 1000L, "live data untouched")
+    // live attempt dirs survive even with zero grace (their files are referenced)
+    assert(t.snapshot(1).forall(f => java.nio.file.Files.exists(java.nio.file.Paths.get(f.path))))
+  }
+
+  test("filesMeta exposes the file inventory THROUGH Spark (no driver file list)") {
+    val (_, t) = freshTable()
+    t.init(baseDf)
+    val meta = t.filesMeta()
+    assert(meta.agg(sum("rows")).head().getLong(0) === 1000L)
+    assert(meta.select("part").distinct().count() === 8L)
+    // bytes recorded for every file
+    assert(meta.filter($"bytes" <= 0L).count() === 0L)
   }
 
   test("expire drops old snapshots' orphan files but keeps everything current") {
