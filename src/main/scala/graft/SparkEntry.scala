@@ -32,6 +32,10 @@ object SparkEntry {
     "q_metro_fuzzy" -> ((s, d) => GeoQueries.metroFuzzy(s, d)),
     // degenerate bowtie overlays: the Try-failure -> false arm decides (Q9)
     "q_fuzzy_invalid" -> ((s, d) => GeoQueries.fuzzyInvalid(s, d)),
+    // hole-bearing areas: PIP excludes points inside the interior ring
+    "q_pip_enclave" -> ((s, d) => GeoQueries.pipEnclave(s, d)),
+    // hole-aware within: exact / hole-rejected / fuzzy arms over the donuts
+    "q_enclave_within" -> ((s, d) => GeoQueries.enclaveWithin(s, d)),
     // chained admin-ladder query (Q11: country -> ... -> community, 8 levels)
     "q_area_chain" -> ((s, d) => graft.api.AstTranslator.areaChain(s, d)),
     // POI queries (Q6 / Q7)
@@ -177,6 +181,8 @@ object SparkEntry {
     "q_containment" -> GeoQueries.containmentJoinSql(),
     "q_metro_fuzzy" -> GeoQueries.metroFuzzySql,
     "q_fuzzy_invalid" -> GeoQueries.fuzzyInvalidSql,
+    "q_pip_enclave" -> GeoQueries.pipEnclaveSql,
+    "q_enclave_within" -> GeoQueries.enclaveWithinSql,
     "q_area_chain" -> graft.api.AstTranslator.areaChainSql(),
     "q_poi_area" -> GeoQueries.poiFromAreaSql(),
     "q_poi_cell" -> GeoQueries.poiByCellSql(),

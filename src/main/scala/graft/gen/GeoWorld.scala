@@ -353,6 +353,125 @@ object GeoWorld {
       .withColumn("wkb", call_function("bowtie_wkb", col("lon0"), col("lat0"), col("lon1"), col("lat1")))
   }
 
+  // ------------------------------------------------------------- enclaves
+
+  /**
+   * Hole-bearing overlays — one DONUT per state (round-4 verdict #1: the
+   * last real geometry gap): an outer rect with an enclave rect CUT OUT as
+   * a polygon interior ring (the Büsingen/Baarle shape; reference ring-list
+   * polygon at GeowGeometryToJTSGeometry.scala:67-69). A point inside the
+   * hole is inside the outer BBOX but NOT inside the area — any
+   * implementation that ignores ring 1+ admits it, and q_pip_enclave goes
+   * red. Specs are milli-degree offsets from the state origin.
+   */
+  final val ENCLAVE_OUTER: (Int, Int, Int, Int) = (4000, 8000, 1000, 5000) // x0,x1,y0,y1
+  final val ENCLAVE_HOLE: (Int, Int, Int, Int) = (5000, 7000, 2000, 4000)
+
+  /** Donut areas (1 per state, level 3, area_id = 700000 + nationkey).
+    * Columns add the hole rect (hlon0..hlat1) to the [[areas]] shape; wkb
+    * is GC(MultiPolygon(Polygon(shell, hole))) — a true interior ring. */
+  def enclaves(spark: SparkSession, sfDir: String): DataFrame = {
+    registerUdfs(spark)
+    val (ox0, ox1, oy0, oy1) = ENCLAVE_OUTER
+    val (hx0, hx1, hy0, hy1) = ENCLAVE_HOLE
+    val ord = col("n_nationkey")
+    nationsIdx(spark, sfDir).select(
+      (lit(700000L) + ord).as("area_id"),
+      concat(lit("donut_"), ord.cast("string")).as("area_name"),
+      lit(3).as("level"),
+      (lit(LON0) + (col("n_regionkey") * 12000L + lit(ox0)) / 1000.0).as("lon0"),
+      (lit(LAT0) + (col("idx") * 7200L + lit(oy0)) / 1000.0).as("lat0"),
+      (lit(LON0) + (col("n_regionkey") * 12000L + lit(ox1)) / 1000.0).as("lon1"),
+      (lit(LAT0) + (col("idx") * 7200L + lit(oy1)) / 1000.0).as("lat1"),
+      (lit(LON0) + (col("n_regionkey") * 12000L + lit(hx0)) / 1000.0).as("hlon0"),
+      (lit(LAT0) + (col("idx") * 7200L + lit(hy0)) / 1000.0).as("hlat0"),
+      (lit(LON0) + (col("n_regionkey") * 12000L + lit(hx1)) / 1000.0).as("hlon1"),
+      (lit(LAT0) + (col("idx") * 7200L + lit(hy1)) / 1000.0).as("hlat1"))
+      .withColumn("wkb", call_function("holey_wkb",
+        col("lon0"), col("lat0"), col("lon1"), col("lat1"),
+        col("hlon0"), col("hlat0"), col("hlon1"), col("hlat1")))
+  }
+
+  /** DuckDB CTE mirroring [[enclaves]] minus wkb (name `enclaves`);
+    * references `nidx` from [[GeoWorld.areasCte]]. */
+  val enclavesCte: String = {
+    val (ox0, ox1, oy0, oy1) = ENCLAVE_OUTER
+    val (hx0, hx1, hy0, hy1) = ENCLAVE_HOLE
+    s"""enclaves AS (
+       |  SELECT CAST(700000 + n_nationkey AS BIGINT) AS area_id,
+       |         'donut_' || CAST(n_nationkey AS VARCHAR) AS area_name,
+       |         3 AS level,
+       |         $LON0 + (n_regionkey * 12000 + $ox0) / 1000.0 AS lon0,
+       |         $LAT0 + (idx * 7200 + $oy0) / 1000.0 AS lat0,
+       |         $LON0 + (n_regionkey * 12000 + $ox1) / 1000.0 AS lon1,
+       |         $LAT0 + (idx * 7200 + $oy1) / 1000.0 AS lat1,
+       |         $LON0 + (n_regionkey * 12000 + $hx0) / 1000.0 AS hlon0,
+       |         $LAT0 + (idx * 7200 + $hy0) / 1000.0 AS hlat0,
+       |         $LON0 + (n_regionkey * 12000 + $hx1) / 1000.0 AS hlon1,
+       |         $LAT0 + (idx * 7200 + $hy1) / 1000.0 AS hlat1
+       |  FROM nidx
+       |)""".stripMargin
+  }
+
+  /**
+   * Containment probes against the donuts (j, x0, x1, y0, y1 mdeg from the
+   * state origin) — each arm of hole-aware `within` decides at least one:
+   *   j=0 fully in the RING (outer minus hole)        → exact within
+   *   j=1 fully INSIDE THE HOLE                       → NOT within (the
+   *       row that flips if interior rings are ignored: frac would be 1.0)
+   *   j=2 50 of 1050 mdeg width dips into the hole    → 1000/1050 ≈ 0.952
+   *       in the donut → admitted by the FUZZY branch only
+   *   j=3 300 of 1300 mdeg width in the hole          → 1000/1300 ≈ 0.769
+   *       < 0.9 → not within
+   * All margins are far from the 0.9 threshold (exact rect arithmetic in
+   * the oracle), so shoelace rounding can never flip a decision.
+   */
+  val ENCLAVE_PROBE_SPECS: Seq[(Int, Int, Int, Int, Int)] = Seq(
+    (0, 4200, 4800, 1200, 1800),
+    (1, 5200, 6800, 2200, 3800),
+    (2, 4000, 5050, 2200, 3800),
+    (3, 4000, 5300, 2200, 3800))
+
+  /** Probe child areas (4 per state, area_id = 800000 + nationkey*4 + j),
+    * same column shape as [[areas]]. */
+  def enclaveProbes(spark: SparkSession, sfDir: String): DataFrame = {
+    registerUdfs(spark)
+    val specStructs = array(ENCLAVE_PROBE_SPECS.map { case (j, x0, x1, y0, y1) =>
+      struct(lit(j).as("j"), lit(x0).as("x0"), lit(x1).as("x1"),
+        lit(y0).as("y0"), lit(y1).as("y1"))
+    }: _*)
+    val ord = col("n_nationkey") * 4 + col("sp.j")
+    nationsIdx(spark, sfDir)
+      .withColumn("sp", explode(specStructs))
+      .select(
+        (lit(800000L) + ord).as("area_id"),
+        concat(lit("eprobe_"), ord.cast("string")).as("area_name"),
+        lit(11).as("level"),
+        (lit(LON0) + (col("n_regionkey") * 12000L + col("sp.x0")) / 1000.0).as("lon0"),
+        (lit(LAT0) + (col("idx") * 7200L + col("sp.y0")) / 1000.0).as("lat0"),
+        (lit(LON0) + (col("n_regionkey") * 12000L + col("sp.x1")) / 1000.0).as("lon1"),
+        (lit(LAT0) + (col("idx") * 7200L + col("sp.y1")) / 1000.0).as("lat1"))
+      .withColumn("wkb", call_function("rect_area_wkb", col("lon0"), col("lat0"), col("lon1"), col("lat1")))
+  }
+
+  /** DuckDB CTE mirroring [[enclaveProbes]] minus wkb (name `eprobes`). */
+  val enclaveProbesCte: String = {
+    val vals = ENCLAVE_PROBE_SPECS.map { case (j, x0, x1, y0, y1) =>
+      s"($j, $x0, $x1, $y0, $y1)"
+    }.mkString(", ")
+    s"""epspec(j, x0, x1, y0, y1) AS (VALUES $vals),
+       |eprobes AS (
+       |  SELECT CAST(800000 + n_nationkey * 4 + j AS BIGINT) AS area_id,
+       |         'eprobe_' || CAST(n_nationkey * 4 + j AS VARCHAR) AS area_name,
+       |         11 AS level,
+       |         $LON0 + (n_regionkey * 12000 + x0) / 1000.0 AS lon0,
+       |         $LAT0 + (idx * 7200 + y0) / 1000.0 AS lat0,
+       |         $LON0 + (n_regionkey * 12000 + x1) / 1000.0 AS lon1,
+       |         $LAT0 + (idx * 7200 + y1) / 1000.0 AS lat1
+       |  FROM nidx CROSS JOIN epspec
+       |)""".stripMargin
+  }
+
   // ------------------------------------------------------------- documents
 
   /** Interleaved document table (input_hint schema):
@@ -414,6 +533,11 @@ object GeoWorld {
         new org.locationtech.jts.geom.Coordinate(lon1, lat0),
         new org.locationtech.jts.geom.Coordinate(lon0, lat1),
         new org.locationtech.jts.geom.Coordinate(lon0, lat0)))))))
+    spark.udf.register("holey_wkb", (lon0: Double, lat0: Double, lon1: Double, lat1: Double,
+        hlon0: Double, hlat0: Double, hlon1: Double, hlat1: Double) =>
+      // ring-list polygon: shell + one interior ring (see [[enclaves]])
+      Geo.toWkb(Geo.areaGeom(Seq(Geo.rectWithHoles(lon0, lat0, lon1, lat1,
+        Seq((hlon0, hlat0, hlon1, hlat1)))))))
     spark.udf.register("diamond_wkb", (lon0: Double, lat0: Double, lon1: Double, lat1: Double) => {
       // non-rectangular test polygon: diamond on the rect-edge midpoints
       // (pure +,/ arithmetic so the oracle can re-derive every vertex)

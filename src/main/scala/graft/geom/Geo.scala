@@ -45,6 +45,31 @@ object Geo {
       new Coordinate(lonMax, latMax), new Coordinate(lonMin, latMax),
       new Coordinate(lonMin, latMin)))
 
+  /** Closed linear ring over an axis-aligned rectangle. */
+  private def rectRing(lonMin: Double, latMin: Double, lonMax: Double, latMax: Double) =
+    factory.createLinearRing(Array(
+      new Coordinate(lonMin, latMin), new Coordinate(lonMax, latMin),
+      new Coordinate(lonMax, latMax), new Coordinate(lonMin, latMax),
+      new Coordinate(lonMin, latMin)))
+
+  /**
+   * Rectangle polygon with rectangular INTERIOR RINGS (holes) — the
+   * reference's polygon is a ring LIST, shell + holes
+   * (reference: util/src/main/scala/io/plasmap/util/
+   * GeowGeometryToJTSGeometry.scala:67-69 `createPolygon(l.head, l.tail)`;
+   * the 3-deep multipolygon coordinates at GeoCalculator.scala:154 carry
+   * them). JTS `within`/`contains`/`getArea`/`getCoordinates` all honor
+   * interior rings, so every containment/cover/stats path downstream of
+   * this constructor is hole-aware with no further special-casing — the
+   * real-world shape is an admin boundary with an enclave cut out
+   * (Büsingen, Baarle).
+   */
+  def rectWithHoles(lonMin: Double, latMin: Double, lonMax: Double, latMax: Double,
+      holes: Seq[(Double, Double, Double, Double)]): org.locationtech.jts.geom.Polygon =
+    factory.createPolygon(
+      rectRing(lonMin, latMin, lonMax, latMax),
+      holes.map { case (h0, a0, h1, a1) => rectRing(h0, a0, h1, a1) }.toArray)
+
   /** Wrap polygons into the reference's denormalised-relation shape:
     * GeometryCollection(MultiPolygon...). */
   def areaGeom(polys: Seq[org.locationtech.jts.geom.Polygon]): GeometryCollection =

@@ -315,6 +315,83 @@ object GeoQueries {
     * [[metroFuzzySql]] under the cand_id name. */
   def fuzzyInvalidSql: String = metroFuzzySqlAs("cand_id")
 
+  // ------------------------------------------------------------- enclaves
+
+  /**
+   * PIP against HOLE-BEARING areas ([[GeoWorld.enclaves]]; round-4 verdict
+   * #1): which points fall inside each donut — inside the outer shell but
+   * NOT inside its interior ring. Plan shape = [[pipLookup]]: the donut
+   * cover cells (outer-bbox rectCover — a correct SUPERSET; interior-ring
+   * geometry only ever SHRINKS an area, so bbox covers stay complete)
+   * broadcast against the cell-encoded point stream, then the exact JTS
+   * refine — where `MultiPolygon.contains` honors the interior ring —
+   * rejects every hole point. The oracle is point-in-outer-rect MINUS
+   * point-in-hole-rect arithmetic: ignore ring 1+ anywhere in the engine
+   * and the hole points appear as extra rows.
+   */
+  def pipEnclave(spark: SparkSession, sfDir: String): DataFrame = {
+    init(spark)
+    val pts = GeoWorld.points(spark, sfDir)
+      .withColumn("cell", CellFunctions.zcell(col("lon"), col("lat"), lit(RES_COARSE)))
+    val ec = GeoWorld.enclaves(spark, sfDir)
+      .withColumn("cell", explode(GeoWorld.coverCells(col("lon0"), col("lat0"), col("lon1"), col("lat1"), RES_COARSE)))
+      .select(col("cell"), col("area_id"), col("area_name"), col("wkb"))
+    pts.join(broadcast(ec), "cell")
+      .filter(GeoCols.geoContainsPoint(col("wkb"), col("lon"), col("lat")))
+      .select(col("pid"), col("area_id"), col("area_name"))
+  }
+
+  val pipEnclaveSql: String =
+    withWorld(GeoWorld.enclavesCte) +
+      s"""SELECT p.pid, e.area_id, e.area_name
+         |FROM pts p JOIN enclaves e
+         |  ON  p.lon > e.lon0 AND p.lon < e.lon1 AND p.lat > e.lat0 AND p.lat < e.lat1
+         |  AND NOT (p.lon > e.hlon0 AND p.lon < e.hlon1 AND p.lat > e.hlat0 AND p.lat < e.hlat1)""".stripMargin
+
+  /**
+   * Area containment against the donuts: every [[GeoWorld.ENCLAVE_PROBE_SPECS]]
+   * arm of hole-aware `within` decides at least one admitted/rejected pair —
+   * exact within (ring child), hole rejection (a child INSIDE the hole has
+   * naive bbox-fraction 1.0 but true intersection 0), and the fuzzy branch
+   * straddling the hole edge at 0.952 / 0.769. Plan shape =
+   * [[containmentJoin]]: probe principal cell vs broadcast donut cover,
+   * JTS refine on candidates.
+   */
+  def enclaveWithin(spark: SparkSession, sfDir: String): DataFrame = {
+    init(spark)
+    val c = GeoWorld.enclaveProbes(spark, sfDir)
+      .select(col("area_id").as("probe_id"), col("wkb").as("probe_wkb"),
+        CellFunctions.zcell((col("lon0") + col("lon1")) / 2.0, (col("lat0") + col("lat1")) / 2.0,
+          lit(RES_COARSE)).as("cell"))
+    val donut = GeoWorld.enclaves(spark, sfDir)
+      .withColumn("cell", explode(GeoWorld.coverCells(col("lon0"), col("lat0"), col("lon1"), col("lat1"), RES_COARSE)))
+      .select(col("cell"), col("area_id").as("enclave_id"), col("wkb").as("donut_wkb"))
+    c.join(broadcast(donut), "cell")
+      .filter(GeoCols.geoWithin(col("probe_wkb"), col("donut_wkb")))
+      .withColumn("fuzzy", !GeoCols.geoWithinExact(col("probe_wkb"), col("donut_wkb")))
+      .select(col("probe_id"), col("enclave_id"), col("fuzzy"))
+  }
+
+  /** Oracle: probe ∩ donut = probe ∩ outer − probe ∩ hole (the hole is
+    * strictly inside the outer rect), all exact rect arithmetic; the
+    * threshold interpolates [[graft.geom.Geo.FUZZY_THRESHOLD]] so both
+    * engines move together. */
+  val enclaveWithinSql: String =
+    withWorld(GeoWorld.enclavesCte, GeoWorld.enclaveProbesCte) +
+      s"""SELECT probe_id, enclave_id, fuzzy FROM (
+         |  SELECT c.area_id AS probe_id, e.area_id AS enclave_id,
+         |         NOT (c.lon0 >= e.lon0 AND c.lon1 <= e.lon1
+         |              AND c.lat0 >= e.lat0 AND c.lat1 <= e.lat1
+         |              AND (GREATEST(0, LEAST(c.lon1, e.hlon1) - GREATEST(c.lon0, e.hlon0)) *
+         |                   GREATEST(0, LEAST(c.lat1, e.hlat1) - GREATEST(c.lat0, e.hlat0))) = 0) AS fuzzy,
+         |         ((GREATEST(0, LEAST(c.lon1, e.lon1) - GREATEST(c.lon0, e.lon0)) *
+         |           GREATEST(0, LEAST(c.lat1, e.lat1) - GREATEST(c.lat0, e.lat0))) -
+         |          (GREATEST(0, LEAST(c.lon1, e.hlon1) - GREATEST(c.lon0, e.hlon0)) *
+         |           GREATEST(0, LEAST(c.lat1, e.hlat1) - GREATEST(c.lat0, e.hlat0))))
+         |         / ((c.lon1 - c.lon0) * (c.lat1 - c.lat0)) AS frac
+         |  FROM eprobes c JOIN enclaves e ON 1 = 1
+         |) WHERE frac >= ${graft.geom.Geo.FUZZY_THRESHOLD}""".stripMargin
+
   // ------------------------------------------------------------------ POI
 
   /** POIs-from-area (reference Q6, Queries.scala:188-209): all points with a

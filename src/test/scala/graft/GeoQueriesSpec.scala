@@ -240,6 +240,50 @@ class GeoQueriesSpec extends SparkSpec {
     assert((cachedAfter -- cachedBefore).isEmpty, "knn leaked persisted RDDs")
   }
 
+  test("enclave PIP: hole points exist, are excluded, and ring points are kept (set-exact)") {
+    val pts = GeoWorld.points(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(3), r.getDouble(4))) // pid, lon, lat
+    val (ox0, ox1, oy0, oy1) = GeoWorld.ENCLAVE_OUTER
+    val (hx0, hx1, hy0, hy1) = GeoWorld.ENCLAVE_HOLE
+    // driver-side arithmetic truth, per state frame
+    def stateLocal(lon: Double, lat: Double): (Double, Double) = {
+      val xm = (lon - GeoWorld.LON0) * 1000.0
+      val ym = (lat - GeoWorld.LAT0) * 1000.0
+      (xm % 12000.0, ym % 7200.0)
+    }
+    def inRect(x: Double, y: Double, r: (Int, Int, Int, Int)) =
+      x > r._1 && x < r._2 && y > r._3 && y < r._4
+    val inHole = pts.filter { case (_, lon, lat) =>
+      val (x, y) = stateLocal(lon, lat)
+      inRect(x, y, (hx0, hx1, hy0, hy1))
+    }.map(_._1).toSet
+    val inDonut = pts.filter { case (_, lon, lat) =>
+      val (x, y) = stateLocal(lon, lat)
+      inRect(x, y, (ox0, ox1, oy0, oy1)) && !inRect(x, y, (hx0, hx1, hy0, hy1))
+    }.map(_._1).toSet
+    assert(inHole.nonEmpty, "fixture must place probe points INSIDE a hole")
+    val got = GeoQueries.pipEnclave(spark, sfDir).select("pid").collect().map(_.getLong(0)).toSet
+    assert(got === inDonut, "engine membership must equal outer-minus-hole arithmetic")
+    assert(got.intersect(inHole).isEmpty, "every hole point is excluded")
+  }
+
+  test("enclave within: the four probe arms decide exact/hole/fuzzy membership per state") {
+    val rows = GeoQueries.enclaveWithin(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val nStates = spark.read.parquet(s"$sfDir/nation.parquet").count()
+    // j=0 exact (fuzzy=false) and j=2 fuzzy (fuzzy=true) admitted, per state
+    assert(rows.length === 2 * nStates)
+    val byJ = rows.groupBy { case (pid, _, _) => ((pid - 800000L) % 4).toInt }
+    assert(byJ(0).forall(!_._3) && byJ(0).length === nStates)
+    assert(byJ(2).forall(_._3) && byJ(2).length === nStates)
+    assert(!byJ.contains(1), "a child INSIDE the hole is never admitted")
+    assert(!byJ.contains(3), "0.769 straddler is below the fuzzy threshold")
+    // each admitted pair binds a probe to ITS OWN state's donut
+    rows.foreach { case (pid, eid, _) =>
+      assert(eid === 700000L + (pid - 800000L) / 4)
+    }
+  }
+
   test("metro fuzzy-within: exact metros flagged fuzzy=false, straddlers admitted by the 0.9 branch only") {
     val rows = GeoQueries.metroFuzzy(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))

@@ -142,6 +142,44 @@ class GeoSpec extends AnyFunSuite {
     assert(!Geo.within(gc(bowtie), state)) // (d)
   }
 
+  test("polygon interior rings: holes exclude, ring admits, fuzzy straddles, area/cover see both rings") {
+    // donut: shell (0,0)-(4,4), hole (1,1)-(3,3) — the reference's ring-list
+    // polygon (GeowGeometryToJTSGeometry.scala:67-69 createPolygon(shell,
+    // holes)); every assert here FLIPS if ring 1+ is ignored
+    val donut = gc(Geo.rectWithHoles(0, 0, 4, 4, Seq((1.0, 1.0, 3.0, 3.0))))
+    // (a) a point inside the hole is inside the outer bbox but NOT contained
+    assert(!Geo.within(Geo.point(2, 2), donut))
+    // (b) a point in the ring part IS contained
+    assert(Geo.within(Geo.point(0.5, 2), donut))
+    // (c) a child rect fully inside the hole: naive bbox overlap is 1.0 but
+    //     true intersection is 0 — rejected by exact AND fuzzy arms
+    val holeChild = gc(Geo.rect(1.2, 1.2, 2.8, 2.8))
+    assert(!Geo.withinExact(holeChild, donut))
+    assert(!Geo.within(holeChild, donut))
+    // (d) a child in the ring part: exact within
+    assert(Geo.withinExact(gc(Geo.rect(0.2, 0.2, 0.8, 3.8)), donut))
+    // (e) fuzzy with holes: child (0.2,1.2)-(1.05,2.8) dips 0.05/0.85 into
+    //     the hole -> 0.941 of it in the donut -> fuzzy admits, exact doesn't
+    val straddle = gc(Geo.rect(0.2, 1.2, 1.05, 2.8))
+    assert(!Geo.withinExact(straddle, donut))
+    assert(Geo.within(straddle, donut))
+    // (f) ...and a 0.769 version ((0.2,1.2)-(1.5,2.8): 0.5/1.3 in hole) is out
+    assert(!Geo.within(gc(Geo.rect(0.2, 1.2, 1.5, 2.8)), donut))
+    // (g) area honors the hole: 16 - 4 = 12
+    assert(math.abs(donut.getArea - 12.0) < 1e-9)
+    // (h) the vertex cover includes the INTERIOR ring's vertices (T14 indexes
+    //     every coordinate of every ring)
+    val cover = Geo.vertexCover(Geo.toWkb(donut), 9).toSet
+    assert(cover.contains(graft.cell.CellIndex.encode(1.0, 1.0, 9)))
+    assert(cover.contains(graft.cell.CellIndex.encode(3.0, 3.0, 9)))
+    // (i) WKB round-trips the ring list intact
+    val rt = Geo.fromWkb(Geo.toWkb(donut))
+    val poly = rt.getGeometryN(0).asInstanceOf[org.locationtech.jts.geom.MultiPolygon]
+      .getGeometryN(0).asInstanceOf[Polygon]
+    assert(poly.getNumInteriorRing === 1)
+    assert(!Geo.within(Geo.point(2, 2), rt.asInstanceOf[org.locationtech.jts.geom.GeometryCollection]))
+  }
+
   test("DOCUMENTED DEVIATION: precision-reduce sits INSIDE our Try (failure→false), OUTSIDE the reference's") {
     // Reference fuzzyWithin (GeoCalculator.scala:133-136) calls
     // precisionReducer.reduce(p)/reduce(q) BEFORE entering its Try — a

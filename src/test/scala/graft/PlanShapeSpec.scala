@@ -99,6 +99,16 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("round-6 queries: enclave PIP/within are broadcast-hash joins, no cartesian/BNL/sort-merge") {
+    for (q <- Seq("q_pip_enclave", "q_enclave_within")) {
+      val p = plan(SparkEntry.queries(q)(spark, sfDir))
+      assert(p.contains("BroadcastHashJoin"), s"$q:\n${p.take(600)}")
+      assert(!p.contains("CartesianProduct"), s"$q:\n${p.take(600)}")
+      assert(!p.contains("BroadcastNestedLoop"), s"$q:\n${p.take(600)}")
+      assert(!p.contains("SortMergeJoin"), s"$q:\n${p.take(600)}")
+    }
+  }
+
   test("optimizer rule collapses zcell_parent(zcell(x, r), r, r2) into one coarse encode") {
     import org.apache.spark.sql.functions._
     import graft.cell.{CellFunctions, CellIndex}
