@@ -36,6 +36,8 @@ object SparkEntry {
     "q_pip_enclave" -> ((s, d) => GeoQueries.pipEnclave(s, d)),
     // hole-aware within: exact / hole-rejected / fuzzy arms over the donuts
     "q_enclave_within" -> ((s, d) => GeoQueries.enclaveWithin(s, d)),
+    // dateline-straddling bbox: two-hemisphere cover + wrapped refine
+    "q_dateline_bbox" -> ((s, d) => GeoQueries.datelineBbox(s, d)),
     // chained admin-ladder query (Q11: country -> ... -> community, 8 levels)
     "q_area_chain" -> ((s, d) => graft.api.AstTranslator.areaChain(s, d)),
     // POI queries (Q6 / Q7)
@@ -183,6 +185,7 @@ object SparkEntry {
     "q_fuzzy_invalid" -> GeoQueries.fuzzyInvalidSql,
     "q_pip_enclave" -> GeoQueries.pipEnclaveSql,
     "q_enclave_within" -> GeoQueries.enclaveWithinSql,
+    "q_dateline_bbox" -> GeoQueries.datelineBboxSql,
     "q_area_chain" -> graft.api.AstTranslator.areaChainSql(),
     "q_poi_area" -> GeoQueries.poiFromAreaSql(),
     "q_poi_cell" -> GeoQueries.poiByCellSql(),

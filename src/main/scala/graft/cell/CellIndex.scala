@@ -106,8 +106,19 @@ object CellIndex {
    * Mirrors the reference's `encapsulatingRectangleHashes` matrix
    * (reference: util/.../GeoCalculator.scala:151-202; used Queries.scala:360-375).
    * Cells are emitted row-major (y outer, x inner) and are distinct.
+   *
+   * ANTIMERIDIAN CONTRACT (pinned; the reference's rectangle math at
+   * GeoCalculator.scala:151-202 leaves this undefined): a bbox with
+   * `lonMin > lonMax` is a DATELINE-CROSSING box and covers
+   * [lonMin, 180) ∪ [-180, lonMax] — the union of its two hemisphere
+   * halves, deduplicated. `encode` itself never wraps: longitudes must be
+   * canonical [-180, 180]; +180 clamps into the last cell column (the
+   * same column as 180-ε, not column 0).
    */
   def rectCover(lonMin: Double, latMin: Double, lonMax: Double, latMax: Double, r: Int): Array[Long] = {
+    if (lonMin > lonMax)
+      return (rectCover(lonMin, latMin, 180.0, latMax, r) ++
+        rectCover(-180.0, latMin, lonMax, latMax, r)).distinct
     val x0 = ix(lonMin, r); val x1 = ix(lonMax, r)
     val y0 = iy(latMin, r); val y1 = iy(latMax, r)
     val out = new Array[Long](((x1 - x0 + 1) * (y1 - y0 + 1)).toInt)
@@ -122,21 +133,33 @@ object CellIndex {
   }
 
   /**
-   * k-ring: the (2k+1)² block of cells centred on `cell` (clipped at the
-   * domain edge). The Spark analog of the reference's radius cover
-   * (Queries.scala:211-262 `radiusToBoundingBoxes`) and H3's kRing.
+   * k-ring: the (2k+1)² block of cells centred on `cell`. The Spark analog
+   * of the reference's radius cover (Queries.scala:211-262
+   * `radiusToBoundingBoxes`) and H3's kRing.
+   *
+   * ANTIMERIDIAN CONTRACT (pinned): the ring is TOROIDAL in x — columns
+   * wrap across ±180 (a probe at 179.9°E sees candidates at 179.9°W), and
+   * never repeat (a ring wider than the globe covers each column once) —
+   * and CLIPPED in y (there is nothing beyond the poles to wrap to).
+   * kNN widening and radius queries inherit dateline correctness from
+   * this; haversine is periodic in Δlon, so refinement needs no wrap
+   * handling of its own.
    */
   def ring(cell: Long, r: Int, k: Int): Array[Long] = {
+    val n = 1L << r
     val cx = cellX(cell); val cy = cellY(cell)
-    val max = (1L << r) - 1
-    val x0 = math.max(0L, cx - k); val x1 = math.min(max, cx + k)
+    val max = n - 1
     val y0 = math.max(0L, cy - k); val y1 = math.min(max, cy + k)
-    val out = new Array[Long](((x1 - x0 + 1) * (y1 - y0 + 1)).toInt)
+    val nx = math.min(n, 2L * k + 1) // full orbit: each column exactly once
+    val out = new Array[Long]((nx * (y1 - y0 + 1)).toInt)
     var i = 0
     var y = y0
     while (y <= y1) {
-      var x = x0
-      while (x <= x1) { out(i) = encodeXY(x, y); i += 1; x += 1 }
+      var d = 0L
+      while (d < nx) {
+        out(i) = encodeXY(java.lang.Math.floorMod(cx - k + d, n), y)
+        i += 1; d += 1
+      }
       y += 1
     }
     out

@@ -392,6 +392,51 @@ object GeoQueries {
          |  FROM eprobes c JOIN enclaves e ON 1 = 1
          |) WHERE frac >= ${graft.geom.Geo.FUZZY_THRESHOLD}""".stripMargin
 
+  // ------------------------------------------------------------- dateline
+
+  /** The dateline view's longitude shift: the regional world
+    * (lon ∈ [-20, 40)) re-anchored so it STRADDLES ±180 —
+    * wlon = lon + 160 wrapped into [140, 180) ∪ [-180, -160). Pure IEEE
+    * +/- arithmetic, so the DuckDB oracle reproduces every wlon exactly. */
+  final val DATELINE_SHIFT = 160.0
+
+  /** Dateline-crossing query bbox: lonMin > lonMax ⇒ wraps across ±180
+    * (the [[CellIndex.rectCover]] antimeridian contract). */
+  final val DATELINE_BBOX: (Double, Double, Double, Double) = (170.0, 40.0, -170.0, 50.0)
+
+  /**
+   * Dateline-straddling bbox fetch (round-4 verdict #3: antimeridian
+   * semantics, pinned): points are cell-encoded on the WRAPPED longitude,
+   * the bbox cover is the two-hemisphere union [[CellIndex.rectCover]]
+   * emits for `lonMin > lonMax`, and the exact refine is the wrapped
+   * predicate `wlon > lonMin OR wlon < lonMax`. A planetary corpus's
+   * Bering-strait query is exactly this shape; the clamp-only behavior
+   * the reference inherits (GeoCalculator.scala:151-202 has the same
+   * blind spot) would return ZERO rows for this bbox.
+   */
+  def datelineBbox(spark: SparkSession, sfDir: String): DataFrame = {
+    init(spark)
+    import spark.implicits._
+    val (lo0, la0, lo1, la1) = DATELINE_BBOX
+    val wlonRaw = col("lon") + lit(DATELINE_SHIFT)
+    val wlon = when(wlonRaw >= 180.0, wlonRaw - 360.0).otherwise(wlonRaw)
+    val pts = GeoWorld.points(spark, sfDir)
+      .withColumn("wlon", wlon)
+      .withColumn("cell", CellFunctions.zcell(col("wlon"), col("lat"), lit(RES_MID)))
+    val cells = CellIndex.rectCover(lo0, la0, lo1, la1, RES_MID).toSeq.toDF("cell")
+    pts.join(broadcast(cells), "cell")
+      .filter((col("wlon") > lo0 || col("wlon") < lo1) && col("lat") > la0 && col("lat") < la1)
+      .select(col("pid"), col("wlon"), col("lat"))
+  }
+
+  val datelineBboxSql: String = {
+    val (lo0, la0, lo1, la1) = DATELINE_BBOX
+    val wlon = s"CASE WHEN lon + $DATELINE_SHIFT >= 180.0 THEN lon + $DATELINE_SHIFT - 360.0 ELSE lon + $DATELINE_SHIFT END"
+    withWorld() +
+      s"""SELECT pid, $wlon AS wlon, lat FROM pts
+         |WHERE (($wlon) > $lo0 OR ($wlon) < $lo1) AND lat > $la0 AND lat < $la1""".stripMargin
+  }
+
   // ------------------------------------------------------------------ POI
 
   /** POIs-from-area (reference Q6, Queries.scala:188-209): all points with a
@@ -508,11 +553,12 @@ object GeoQueries {
         val top = topByQid.getOrElse(qid, Seq.empty)
         (top.size >= k && top.last._1 <= g) ||
           g >= pruneM || // ring covers the whole prune radius -> complete
-          // ring spans the ENTIRE grid (zcell_ring clamps to bounds): every
-          // point is a candidate, so the top-k is final no matter what the
-          // cos-shrunk guarantee says — without this, a near-pole probe's
-          // longitudinal guarantee never reaches pruneM and the probe would
-          // silently die at the iteration cap (review finding)
+          // ring spans the ENTIRE grid (zcell_ring wraps x toroidally and
+          // clips y at the poles): every point is a candidate, so the top-k
+          // is final no matter what the cos-shrunk guarantee says — without
+          // this, a near-pole probe's longitudinal guarantee never reaches
+          // pruneM and the probe would silently die at the iteration cap
+          // (review finding)
           ringK >= (1 << RES_COARSE)
       }
       done ++= proved.map { case (qid, _, _) => qid -> topByQid.getOrElse(qid, Seq.empty) }

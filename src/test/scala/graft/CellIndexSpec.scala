@@ -80,8 +80,9 @@ class CellIndexSpec extends AnyFunSuite {
     assert(r1.contains(c))
     val r0 = ring(c, RES_COARSE, 0)
     assert(r0.toSeq === Seq(c))
-    // clipped at the corner of the domain
-    assert(ring(encode(-180.0, -90.0, RES_COARSE), RES_COARSE, 1).length === 4)
+    // at the domain corner: y clips at the pole (2 rows), x WRAPS across
+    // the dateline (3 columns) -> 6 cells, per the antimeridian contract
+    assert(ring(encode(-180.0, -90.0, RES_COARSE), RES_COARSE, 1).length === 6)
   }
 
   test("ring cells are exactly those within Chebyshev distance k") {
@@ -89,8 +90,11 @@ class CellIndexSpec extends AnyFunSuite {
       case (lon, lat, k) =>
         val c = encode(lon, lat, RES_COARSE)
         val cx = cellX(c); val cy = cellY(c)
+        val n = 1L << RES_COARSE
         ring(c, RES_COARSE, k).foreach { m =>
-          assert(math.abs(cellX(m) - cx) <= k && math.abs(cellY(m) - cy) <= k)
+          val dx = math.abs(cellX(m) - cx)
+          assert(math.min(dx, n - dx) <= k, "x distance is MODULAR (toroidal)")
+          assert(math.abs(cellY(m) - cy) <= k)
         }
     }
   }
@@ -171,5 +175,48 @@ class CellIndexSpec extends AnyFunSuite {
       val c = encode(lon, lat, RES_MID)
       assert(parent(c, RES_MID, RES_MID) === c)
     }
+  }
+
+  test("ANTIMERIDIAN: wrapped rectCover is the union of the two hemisphere halves, deduped") {
+    val r = 9
+    // bbox from 170E to 170W, crossing the dateline
+    val wrapped = rectCover(170.0, 40.0, -170.0, 50.0, r).toSet
+    val east = rectCover(170.0, 40.0, 180.0, 50.0, r).toSet
+    val west = rectCover(-180.0, 40.0, -170.0, 50.0, r).toSet
+    assert(wrapped === east ++ west)
+    // every point with wrapped-range lon lands in a cover cell (property
+    // sweep either side of the line)
+    for (lon <- Seq(170.001, 175.5, 179.999, -179.999, -175.5, -170.001);
+         lat <- Seq(40.001, 45.0, 49.999)) {
+      assert(wrapped.contains(encode(lon, lat, r)), s"($lon,$lat)")
+    }
+    // and nothing outside the lon range sneaks in
+    assert(!wrapped.contains(encode(169.0, 45.0, r)))
+    assert(!wrapped.contains(encode(-169.0, 45.0, r)))
+    // a nearly-all-world wrap (lonMin just under 180, lonMax just above
+    // -180 + one cell) stays duplicate-free
+    val tight = rectCover(179.9, 40.0, 179.8, 50.0, r)
+    assert(tight.length === tight.distinct.length)
+  }
+
+  test("ANTIMERIDIAN: ring wraps x across the dateline, clips y at the poles, never repeats a cell") {
+    val r = 9
+    val n = 1L << r
+    // centre cell on the last column (lon just under 180)
+    val edge = encode(179.9, 45.0, r)
+    val ringCells = ring(edge, r, 2)
+    assert(ringCells.length === 25, "toroidal x: full (2k+1)^2 block even at the edge")
+    assert(ringCells.length === ringCells.distinct.length)
+    val xs = ringCells.map(cellX).toSet
+    assert(xs.contains(0L) && xs.contains(n - 1), "columns wrap to the other hemisphere")
+    // a point just across the line is inside the edge probe's ring
+    assert(ringCells.contains(encode(-179.9, 45.0, r)))
+    // poles still clip: a ring at the top row loses rows, not wraps
+    val top = encode(0.0, 89.9, r)
+    assert(ring(top, r, 2).length === 5 * 3)
+    // a ring wider than the globe covers each column exactly once
+    val orbit = ring(edge, r, (n / 2).toInt + 3)
+    assert(orbit.map(cellX).distinct.length === n.toInt)
+    assert(orbit.length === orbit.distinct.length)
   }
 }
