@@ -577,13 +577,19 @@ object GeoQueries {
     * for the plan-shape regression test: MUST stay an equi-join, never a
     * cartesian/broadcast-NL product). `pts` carries (pid, lon, lat, cell). */
   private[graft] def knnPass(spark: SparkSession, pts: DataFrame, pr: DataFrame,
-      ringK: Int, k: Int, pruneM: Double): DataFrame = {
+      ringK: Int, k: Int, pruneM: Double, broadcastProbes: Boolean = true): DataFrame = {
     import spark.implicits._
     val probeCells = pr.withColumn("cell", explode(call_function("zcell_ring",
       CellFunctions.zcell(col("qlon"), col("qlat"), lit(RES_COARSE)), lit(RES_COARSE), lit(ringK))))
       .select("cell", "qid", "qlon", "qlat")
     val agg = new TopKSmallest(k).toColumn
-    pts.join(broadcast(probeCells), "cell")
+    // service shape: the probe ring set is small -> broadcast it against the
+    // streaming corpus. Batch shape (knnBatch): 10^5+ probes x (2k+1)^2 ring
+    // cells is too big to broadcast -> shuffle hash equi-join on cell.
+    val joined =
+      if (broadcastProbes) pts.join(broadcast(probeCells), "cell")
+      else pts.hint("shuffle_hash").join(probeCells, "cell")
+    joined
       .select(col("qid"),
         GeoCols.haversineM(col("lon"), col("lat"), col("qlon"), col("qlat")).as("dist_m"),
         col("pid"))
@@ -593,6 +599,88 @@ object GeoQueries {
       .mapValues(r => (r._2, r._3))
       .agg(agg)
       .toDF("qid", "top")
+  }
+
+  /**
+   * BATCH kNN-JOIN over a LARGE probe table (round-4 verdict #5). The
+   * per-probe service loop in [[knnForProbes]] holds every pending probe
+   * on the driver — right for the query-service shape (O(probes) tiny),
+   * wrong for a 10^6-probe batch join. Here the per-probe ring state
+   * lives in a DATAFRAME end to end: each iteration
+   *   1. joins the pending probes' rings against the corpus — a SHUFFLE
+   *      HASH equi-join on cell (the probe ring set is far too big to
+   *      broadcast at this shape),
+   *   2. PROVES completion with a column predicate — the identical ring
+   *      guarantee arithmetic as the service path, evaluated per row on
+   *      executors (top-k full AND kth distance ≤ guaranteed covered
+   *      radius, OR the ring covers the prune radius / whole grid),
+   *   3. anti-filters the survivors into the next round.
+   * The driver holds only the loop counter and ring size; each round is
+   * rebased on a materialized RDD so the iterated plan stays constant
+   * size (the [[graft.text.DedupGraph]] star-round trick). Output schema
+   * and values equal [[knnForProbes]] on the same probes (spec-pinned).
+   */
+  def knnBatch(spark: SparkSession, sfDir: String, probeDf: DataFrame,
+      k: Int, pruneM: Double): DataFrame = {
+    init(spark)
+    val pts = GeoWorld.points(spark, sfDir).select(
+      col("pid"), col("lon"), col("lat"),
+      CellFunctions.zcell(col("lon"), col("lat"), lit(RES_COARSE)).as("cell"))
+
+    val mPerDegLat = math.Pi * graft.geom.Geo.EARTH_R / 180.0
+    val cellW = CellIndex.LON_SPAN / (1L << RES_COARSE)
+    val cellH = CellIndex.LAT_SPAN / (1L << RES_COARSE)
+    /** [[knnForProbes]]' guaranteeM as a column over qlat — same doubles. */
+    def guaranteeCol(rk: Int): org.apache.spark.sql.Column = {
+      val latReach = least(lit(89.9), abs(col("qlat")) + lit((rk + 1) * cellH))
+      least(lit(rk * cellH * mPerDegLat),
+        lit(rk * cellW * mPerDegLat) * cos(radians(latReach)))
+    }
+    def materialize(df: DataFrame): DataFrame = {
+      val out = spark.createDataFrame(df.rdd, df.schema).persist()
+      out.count()
+      out
+    }
+
+    var pending = materialize(probeDf.select(col("qid"), col("qlon"), col("qlat")))
+    val spent = scala.collection.mutable.ListBuffer(pending)
+    val provedParts = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    var ringK = 3
+    var iter = 0
+    while (iter < 16 && !pending.isEmpty) {
+      val tops = knnPass(spark, pts, pending, ringK, k, pruneM, broadcastProbes = false)
+      // left join: a probe with an EMPTY ring stays pending (the service
+      // path's vanished-probe fix, as a join shape)
+      val joined = pending.join(tops, Seq("qid"), "left")
+        .withColumn("top", coalesce(col("top"), array()))
+      val g = guaranteeCol(ringK)
+      val provedCond =
+        (size(col("top")) >= k && element_at(col("top"), -1).getField("_1") <= g) ||
+          g >= pruneM || lit(ringK >= (1 << RES_COARSE))
+      val decided = materialize(joined.withColumn("proved", provedCond))
+      spent += decided
+      val proved = materialize(decided.filter(col("proved")).select("qid", "top"))
+      provedParts += proved
+      spent += proved
+      val next = materialize(decided.filter(!col("proved")).select("qid", "qlon", "qlat"))
+      spent += next
+      pending = next
+      ringK *= 2
+      iter += 1
+    }
+    val out = provedParts.reduceOption(_ unionByName _) match {
+      case None => // empty probe table: empty result, right schema
+        import org.apache.spark.sql.types._
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("qid", LongType), StructField("rank", IntegerType),
+            StructField("pid", LongType), StructField("dist_m", DoubleType))))
+      case Some(all) => materialize(
+        all.select(col("qid"), posexplode(col("top")).as(Seq("i", "t")))
+          .select(col("qid"), (col("i") + 1).cast("int").as("rank"),
+            col("t._2").as("pid"), round(col("t._1"), 3).as("dist_m")))
+    }
+    spent.foreach(_.unpersist(blocking = false))
+    out
   }
 
   def knnSql(k: Int = 5, pruneM: Double = 600000.0): String = {

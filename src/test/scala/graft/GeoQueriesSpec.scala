@@ -240,6 +240,40 @@ class GeoQueriesSpec extends SparkSpec {
     assert((cachedAfter -- cachedBefore).isEmpty, "knn leaked persisted RDDs")
   }
 
+  test("batch kNN-join equals the per-probe service path; driver state is only the loop counter") {
+    // parity on the service probe set (25 state centres)
+    val svc = GeoQueries.knnForProbes(spark, sfDir, GeoQueries.probes(spark, sfDir),
+      k = 5, pruneM = 600000.0).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val bat = GeoQueries.knnBatch(spark, sfDir, GeoQueries.probes(spark, sfDir),
+      k = 5, pruneM = 600000.0).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(bat === svc, "batch widening must reproduce the per-probe path exactly")
+  }
+
+  test("batch kNN-join handles a 100k-probe table (the shape the driver loop cannot)") {
+    import org.apache.spark.sql.functions._
+    // 100,000 deterministic probes on a 500x200 grid over the world frame
+    val probes = spark.range(100000).select(
+      col("id").as("qid"),
+      (lit(GeoWorld.LON0) + (col("id") % 500) * 0.12 + 0.05).as("qlon"),
+      (lit(GeoWorld.LAT0) + (col("id") / 500) * 0.18 + 0.07).as("qlat"))
+    val out = GeoQueries.knnBatch(spark, sfDir, probes, k = 3, pruneM = 150000.0)
+    val perProbe = out.groupBy("qid").agg(count(lit(1)).as("n"), max("rank").as("mr"))
+    // every answered probe has <= k dense ranks
+    assert(perProbe.filter(col("n") > 3 || col("mr") =!= col("n")).count() === 0)
+    // the world is dense enough that most probes find 3 neighbours in 150 km
+    assert(out.select("qid").distinct().count() > 50000)
+    // spot parity: 50 grid probes against the service path
+    val sample = probes.filter(col("qid") % 2000 === 0)
+    val svc = GeoQueries.knnForProbes(spark, sfDir, sample, k = 3, pruneM = 150000.0)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val bat = out.join(sample, "qid")
+      .select("qid", "rank", "pid", "dist_m")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(bat === svc)
+  }
+
   test("enclave PIP: hole points exist, are excluded, and ring points are kept (set-exact)") {
     val pts = GeoWorld.points(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getDouble(3), r.getDouble(4))) // pid, lon, lat
