@@ -147,6 +147,8 @@ object SparkEntry {
     "q_geojson_way" -> ((s, d) => graft.index.IndexBuild.geojsonWay(s, d)),
     // area boundaries as Polygon / GeometryCollection(MultiPolygon) GeoJSON
     "q_geojson_area" -> ((s, d) => graft.index.IndexBuild.geojsonArea(s, d)),
+    // GeoJSON with interior rings: donut polygons carry a ring LIST
+    "q_geojson_enclave" -> ((s, d) => graft.index.IndexBuild.geojsonEnclave(s, d)),
     // the full type-routed serialisation dispatch over all object classes (Q14)
     "q_geojson_dispatch" -> ((s, d) => graft.index.IndexBuild.geojsonDispatch(s, d)),
     // streaming surface: batch twin of the watermarked windowed aggregation
@@ -254,6 +256,7 @@ object SparkEntry {
     "q_geojson" -> graft.index.IndexBuild.geojsonSql,
     "q_geojson_way" -> graft.index.IndexBuild.geojsonWaySql,
     "q_geojson_area" -> graft.index.IndexBuild.geojsonAreaSql,
+    "q_geojson_enclave" -> graft.index.IndexBuild.geojsonEnclaveSql,
     "q_geojson_dispatch" -> graft.index.IndexBuild.geojsonDispatchSql,
     "q_stream_window" -> graft.streaming.StreamNormalize.windowedCellCountsSql,
     "q_stream_sliding" -> graft.streaming.StreamNormalize.slidingCellCountsSql,

@@ -427,6 +427,55 @@ object IndexBuild {
 
   val geojsonAreaSql: String = GeoQueries.withWorld() + geojsonAreaBody
 
+  /**
+   * GeoJSON with INTERIOR RINGS: the donut enclaves serialise as
+   * GeometryCollection(MultiPolygon) whose polygon carries a ring LIST —
+   * ring 0 the shell, ring 1 the hole (RFC 7946: shell CCW, holes CW;
+   * the reference's ring-list polygon, GeowGeometryToJTSGeometry.scala:
+   * 67-69). Same exact fixed-point milli-degree formatting as
+   * [[geojsonArea]]; the oracle rebuilds the identical string from the
+   * enclave rect columns, so a serialiser that drops ring 1+ goes red.
+   */
+  def geojsonEnclave(spark: SparkSession, sfDir: String): DataFrame = {
+    init(spark)
+    val e = graft.gen.GeoWorld.enclaves(spark, sfDir)
+    def lonM(c: Column): Column = lit(LONM0) + round((c - lit(GeoWorld.LON0)) * 1000).cast("long") * 1000L
+    def latM(c: Column): Column = lit(LATM0) + round((c - lit(GeoWorld.LAT0)) * 1000).cast("long") * 1000L
+    def pt(x: Column, y: Column): Column =
+      concat(lit("["), microToDec(x), lit(","), microToDec(y), lit("]"))
+    def ccw(x0: Column, y0: Column, x1: Column, y1: Column): Column =
+      concat(lit("["), pt(x0, y0), lit(","), pt(x1, y0), lit(","),
+        pt(x1, y1), lit(","), pt(x0, y1), lit(","), pt(x0, y0), lit("]"))
+    def cw(x0: Column, y0: Column, x1: Column, y1: Column): Column =
+      concat(lit("["), pt(x0, y0), lit(","), pt(x0, y1), lit(","),
+        pt(x1, y1), lit(","), pt(x1, y0), lit(","), pt(x0, y0), lit("]"))
+    val shell = ccw(lonM(col("lon0")), latM(col("lat0")), lonM(col("lon1")), latM(col("lat1")))
+    val hole = cw(lonM(col("hlon0")), latM(col("hlat0")), lonM(col("hlon1")), latM(col("hlat1")))
+    val props = concat(lit("""},"properties":{"name":""""), jsonEscape(col("area_name")),
+      lit("""","level":"""), col("level").cast("string"), lit("}}"))
+    e.select(col("area_id"),
+      concat(lit("""{"type":"Feature","geometry":{"type":"GeometryCollection","geometries":[{"type":"MultiPolygon","coordinates":[["""),
+        shell, lit(","), hole, lit("]]}]"), props).as("feature"))
+  }
+
+  val geojsonEnclaveSql: String = {
+    def lonM(c: String) = s"($LONM0 + CAST(ROUND(($c - ${GeoWorld.LON0}) * 1000) AS BIGINT) * 1000)"
+    def latM(c: String) = s"($LATM0 + CAST(ROUND(($c - ${GeoWorld.LAT0}) * 1000) AS BIGINT) * 1000)"
+    def pt(x: String, y: String) = s"'[' || ${microToDecSql(x)} || ',' || ${microToDecSql(y)} || ']'"
+    def ccw(x0: String, y0: String, x1: String, y1: String) =
+      s"'[' || ${pt(x0, y0)} || ',' || ${pt(x1, y0)} || ',' || ${pt(x1, y1)} || ',' || ${pt(x0, y1)} || ',' || ${pt(x0, y0)} || ']'"
+    def cw(x0: String, y0: String, x1: String, y1: String) =
+      s"'[' || ${pt(x0, y0)} || ',' || ${pt(x0, y1)} || ',' || ${pt(x1, y1)} || ',' || ${pt(x1, y0)} || ',' || ${pt(x0, y0)} || ']'"
+    val shell = ccw(lonM("lon0"), latM("lat0"), lonM("lon1"), latM("lat1"))
+    val hole = cw(lonM("hlon0"), latM("hlat0"), lonM("hlon1"), latM("hlat1"))
+    val props = s"""'},"properties":{"name":"' || ${jsonEscapeSql("area_name")} || '","level":' || CAST(level AS VARCHAR) || '}}'"""
+    GeoQueries.withWorld(GeoWorld.enclavesCte) +
+      s"""SELECT area_id,
+         |  '{"type":"Feature","geometry":{"type":"GeometryCollection","geometries":[{"type":"MultiPolygon","coordinates":[[' ||
+         |  $shell || ',' || $hole || ']]}]' || $props AS feature
+         |FROM enclaves""".stripMargin
+  }
+
   private val geojsonWayBody: String = {
     val xy = s"""('[' || ${microToDecSql(lonMicroSqlOf("p.lonm"))} || ',' || ${microToDecSql(latMicroSqlOf("p.latm"))} || ']')"""
     val props = s"""'},"properties":{"doc_id":"' || ${jsonEscapeSql("doc_id")} || '"}}'"""

@@ -100,7 +100,7 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("round-6 queries: enclave PIP/within are broadcast-hash joins, no cartesian/BNL/sort-merge") {
-    for (q <- Seq("q_pip_enclave", "q_enclave_within")) {
+    for (q <- Seq("q_pip_enclave", "q_enclave_within", "q_dateline_bbox")) {
       val p = plan(SparkEntry.queries(q)(spark, sfDir))
       assert(p.contains("BroadcastHashJoin"), s"$q:\n${p.take(600)}")
       assert(!p.contains("CartesianProduct"), s"$q:\n${p.take(600)}")
