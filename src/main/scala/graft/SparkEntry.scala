@@ -38,6 +38,10 @@ object SparkEntry {
     "q_enclave_within" -> ((s, d) => GeoQueries.enclaveWithin(s, d)),
     // dateline-straddling bbox: two-hemisphere cover + wrapped refine
     "q_dateline_bbox" -> ((s, d) => GeoQueries.datelineBbox(s, d)),
+    // hole-aware polyfill: outer grid minus cells strictly inside the hole
+    "q_enclave_polyfill" -> ((s, d) => GeoQueries.enclavePolyfill(s, d)),
+    // geometry-derived area/perimeter over the donuts (JTS honors rings)
+    "q_enclave_stats" -> ((s, d) => graft.query.GeoMeasures.enclaveStats(s, d)),
     // chained admin-ladder query (Q11: country -> ... -> community, 8 levels)
     "q_area_chain" -> ((s, d) => graft.api.AstTranslator.areaChain(s, d)),
     // POI queries (Q6 / Q7)
@@ -188,6 +192,8 @@ object SparkEntry {
     "q_pip_enclave" -> GeoQueries.pipEnclaveSql,
     "q_enclave_within" -> GeoQueries.enclaveWithinSql,
     "q_dateline_bbox" -> GeoQueries.datelineBboxSql,
+    "q_enclave_polyfill" -> GeoQueries.enclavePolyfillSql(),
+    "q_enclave_stats" -> graft.query.GeoMeasures.enclaveStatsSql,
     "q_area_chain" -> graft.api.AstTranslator.areaChainSql(),
     "q_poi_area" -> GeoQueries.poiFromAreaSql(),
     "q_poi_cell" -> GeoQueries.poiByCellSql(),

@@ -46,6 +46,14 @@ object GeoCols {
     spark.udf.register("geo_contains_point", (outer: Array[Byte], lon: Double, lat: Double) =>
       if (outer == null) false
       else GeoCache.containsCoord(outer, lon, lat))
+    // Geometry-derived measures (degree units). JTS honors interior rings:
+    // getArea subtracts holes, getLength adds hole-ring perimeters — the
+    // q_enclave_stats oracle recomputes both arithmetically, so a parser
+    // that drops ring 1+ flips the row.
+    spark.udf.register("geo_area_deg2", (wkb: Array[Byte]) =>
+      if (wkb == null) 0.0 else Geo.fromWkb(wkb).getArea)
+    spark.udf.register("geo_perimeter_deg", (wkb: Array[Byte]) =>
+      if (wkb == null) 0.0 else Geo.fromWkb(wkb).getLength)
   }
 
   def geoWithin(inner: Column, outer: Column): Column =

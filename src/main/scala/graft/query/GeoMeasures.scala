@@ -28,4 +28,25 @@ object GeoMeasures {
          |       ROUND(SUM((lon1 - lon0) * (lat1 - lat0)), 6) AS deg2_sum,
          |       ROUND(AVG(${GeoCols.haversineSql("lon0", "lat0", "lon1", "lat0")}), 3) AS ew_mean_m
          |FROM areas GROUP BY level""".stripMargin
+
+  /**
+   * GEOMETRY-derived measures over the hole-bearing donuts: area and
+   * perimeter come from the WKB through JTS (`getArea` SUBTRACTS interior
+   * rings, `getLength` ADDS their perimeters), while the oracle recomputes
+   * both from the rect columns (outer − hole / outer + hole). A geometry
+   * path that ignores ring 1+ reports 16 deg² instead of 12 and the row
+   * goes red. Map-only over the 25-row dim.
+   */
+  def enclaveStats(spark: SparkSession, sfDir: String): DataFrame =
+    graft.gen.GeoWorld.enclaves(spark, sfDir)
+      .select(col("area_id"),
+        round(call_function("geo_area_deg2", col("wkb")), 6).as("area_deg2"),
+        round(call_function("geo_perimeter_deg", col("wkb")), 6).as("perim_deg"))
+
+  val enclaveStatsSql: String =
+    GeoQueries.withWorld(graft.gen.GeoWorld.enclavesCte) +
+      s"""SELECT area_id,
+         |       ROUND((lon1 - lon0) * (lat1 - lat0) - (hlon1 - hlon0) * (hlat1 - hlat0), 6) AS area_deg2,
+         |       ROUND(2 * ((lon1 - lon0) + (lat1 - lat0)) + 2 * ((hlon1 - hlon0) + (hlat1 - hlat0)), 6) AS perim_deg
+         |FROM enclaves""".stripMargin
 }

@@ -906,6 +906,64 @@ object GeoQueries {
          |FROM grid WHERE $dx + $dy <= 1.0""".stripMargin
   }
 
+  /**
+   * HOLE-AWARE polyfill over the donut enclaves: all cells at `res` whose
+   * rect intersects the donut — i.e. every cell of the outer bbox grid
+   * EXCEPT those strictly inside the hole's interior (a cell touching the
+   * hole RING still intersects the donut's boundary and stays). Cell
+   * edges (multiples of 360/2^res) never coincide with the milli-degree
+   * hole edges, so strict-vs-closed cannot diverge between engines;
+   * GeoQueriesSpec pins EXACT equality against JTS `intersects` over the
+   * ring-list geometry. Same map-only grid-explode scale shape as
+   * [[areaPolyfill]].
+   */
+  def enclavePolyfill(spark: SparkSession, sfDir: String, res: Int = 10): DataFrame = {
+    init(spark)
+    val n = 1L << res
+    val w = CellIndex.LON_SPAN / n
+    val h = CellIndex.LAT_SPAN / n
+    def ixCol(lon: Column): Column =
+      least(greatest(floor((lon - CellIndex.LON_MIN) / CellIndex.LON_SPAN * n).cast("long"), lit(0L)), lit(n - 1))
+    def iyCol(lat: Column): Column =
+      least(greatest(floor((lat - CellIndex.LAT_MIN) / CellIndex.LAT_SPAN * n).cast("long"), lit(0L)), lit(n - 1))
+    val cells = GeoWorld.enclaves(spark, sfDir)
+      .withColumn("ix", explode(sequence(ixCol(col("lon0")), ixCol(col("lon1")))))
+      .withColumn("iy", explode(sequence(iyCol(col("lat0")), iyCol(col("lat1")))))
+      .withColumn("clon0", lit(CellIndex.LON_MIN) + col("ix") * w)
+      .withColumn("clat0", lit(CellIndex.LAT_MIN) + col("iy") * h)
+    val insideHole = col("clon0") > col("hlon0") && col("clon0") + w < col("hlon1") &&
+      col("clat0") > col("hlat0") && col("clat0") + h < col("hlat1")
+    cells.filter(!insideHole)
+      .select(col("area_id"),
+        CellFunctions.zcell(col("clon0") + w / 2, col("clat0") + h / 2, lit(res)).as("cell"))
+  }
+
+  def enclavePolyfillSql(res: Int = 10): String = {
+    val n = 1L << res
+    val w = CellIndex.LON_SPAN / n
+    val h = CellIndex.LAT_SPAN / n
+    withWorld(GeoWorld.enclavesCte,
+      s"""egx AS (
+         |  SELECT area_id, hlon0, hlat0, hlon1, hlat1, lat0, lat1,
+         |         UNNEST(range(${CellSql.ix("lon0", res)}, ${CellSql.ix("lon1", res)} + 1)) AS ix
+         |  FROM enclaves
+         |)""".stripMargin,
+      s"""egxy AS (
+         |  SELECT area_id, hlon0, hlat0, hlon1, hlat1, ix,
+         |         UNNEST(range(${CellSql.iy("lat0", res)}, ${CellSql.iy("lat1", res)} + 1)) AS iy
+         |  FROM egx
+         |)""".stripMargin,
+      s"""egrid AS (
+         |  SELECT area_id, hlon0, hlat0, hlon1, hlat1,
+         |         ${CellIndex.LON_MIN} + ix * $w AS clon0, ${CellIndex.LAT_MIN} + iy * $h AS clat0
+         |  FROM egxy
+         |)""".stripMargin) +
+      s"""SELECT area_id,
+         |       ${CellSql.encode(s"clon0 + ${w / 2}", s"clat0 + ${h / 2}", res)} AS cell
+         |FROM egrid
+         |WHERE NOT (clon0 > hlon0 AND clon0 + $w < hlon1 AND clat0 > hlat0 AND clat0 + $h < hlat1)""".stripMargin
+  }
+
   // ------------------------------------------------- counts / name search
 
   /** Count-by-cell (reference S8 `countBB`). */

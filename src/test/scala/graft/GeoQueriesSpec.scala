@@ -318,6 +318,38 @@ class GeoQueriesSpec extends SparkSpec {
     }
   }
 
+  test("enclave polyfill equals JTS intersects over the ring-list geometry (exact, no tangencies)") {
+    import graft.cell.CellIndex
+    val res = 10
+    val n = 1L << res
+    val w = CellIndex.LON_SPAN / n; val h = CellIndex.LAT_SPAN / n
+    val got = GeoQueries.enclavePolyfill(spark, sfDir, res).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // JTS truth: every outer-bbox grid cell rect intersects-tested against
+    // the ACTUAL donut geometry (hole honored)
+    val donuts = GeoWorld.enclaves(spark, sfDir)
+      .select("area_id", "lon0", "lat0", "lon1", "lat1", "wkb").collect()
+    val want = donuts.flatMap { r =>
+      val geom = graft.geom.Geo.fromWkb(r.getAs[Array[Byte]]("wkb"))
+      val x0 = CellIndex.ix(r.getDouble(1), res); val x1 = CellIndex.ix(r.getDouble(3), res)
+      val y0 = CellIndex.iy(r.getDouble(2), res); val y1 = CellIndex.iy(r.getDouble(4), res)
+      for (x <- x0 to x1; y <- y0 to y1;
+           rect = graft.geom.Geo.rect(
+             CellIndex.LON_MIN + x * w, CellIndex.LAT_MIN + y * h,
+             CellIndex.LON_MIN + (x + 1) * w, CellIndex.LAT_MIN + (y + 1) * h)
+           if geom.intersects(rect))
+        yield (r.getLong(0), CellIndex.encodeXY(x, y))
+    }.toSet
+    assert(got === want, "hole-aware polyfill must equal the JTS intersects set exactly")
+    // and the hole genuinely removes cells: fewer than the full bbox grid
+    val full = donuts.map { r =>
+      val x0 = CellIndex.ix(r.getDouble(1), res); val x1 = CellIndex.ix(r.getDouble(3), res)
+      val y0 = CellIndex.iy(r.getDouble(2), res); val y1 = CellIndex.iy(r.getDouble(4), res)
+      (x1 - x0 + 1) * (y1 - y0 + 1)
+    }.sum
+    assert(got.size < full, s"${got.size} cells of $full bbox cells — the hole must cut some")
+  }
+
   test("metro fuzzy-within: exact metros flagged fuzzy=false, straddlers admitted by the 0.9 branch only") {
     val rows = GeoQueries.metroFuzzy(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
