@@ -386,18 +386,26 @@ object IndexBuild {
    * integer exactly in BOTH engines (same IEEE double ops) and the string
    * is the same exact fixed-point formatting as [[geojson]].
    */
+  // Shared micro-degree GeoJSON formatting (Column + SQL twins) — the
+  // milli-degree rounding here IS the engine/oracle parity contract for
+  // every area serialiser; one definition so a precision tweak can never
+  // reach one family and miss the other (review finding).
+  private def gjLonM(c: Column): Column = lit(LONM0) + round((c - lit(GeoWorld.LON0)) * 1000).cast("long") * 1000L
+  private def gjLatM(c: Column): Column = lit(LATM0) + round((c - lit(GeoWorld.LAT0)) * 1000).cast("long") * 1000L
+  private def gjPt(x: Column, y: Column): Column =
+    concat(lit("["), microToDec(x), lit(","), microToDec(y), lit("]"))
+  private def gjLonMSql(c: String) = s"($LONM0 + CAST(ROUND(($c - ${GeoWorld.LON0}) * 1000) AS BIGINT) * 1000)"
+  private def gjLatMSql(c: String) = s"($LATM0 + CAST(ROUND(($c - ${GeoWorld.LAT0}) * 1000) AS BIGINT) * 1000)"
+  private def gjPtSql(x: String, y: String) = s"'[' || ${microToDecSql(x)} || ',' || ${microToDecSql(y)} || ']'"
+
   def geojsonArea(spark: SparkSession, sfDir: String): DataFrame = {
     init(spark)
     val a = GeoWorld.areas(spark, sfDir)
-    def lonM(c: Column): Column = lit(LONM0) + round((c - lit(GeoWorld.LON0)) * 1000).cast("long") * 1000L
-    def latM(c: Column): Column = lit(LATM0) + round((c - lit(GeoWorld.LAT0)) * 1000).cast("long") * 1000L
-    def pt(x: Column, y: Column): Column =
-      concat(lit("["), microToDec(x), lit(","), microToDec(y), lit("]"))
-    val (x0, x1) = (lonM(col("lon0")), lonM(col("lon1")))
-    val (y0, y1) = (latM(col("lat0")), latM(col("lat1")))
+    val (x0, x1) = (gjLonM(col("lon0")), gjLonM(col("lon1")))
+    val (y0, y1) = (gjLatM(col("lat0")), gjLatM(col("lat1")))
     // closed CCW shell, same vertex order as Geo.rect
-    val ring = concat(lit("[["), pt(x0, y0), lit(","), pt(x1, y0), lit(","),
-      pt(x1, y1), lit(","), pt(x0, y1), lit(","), pt(x0, y0), lit("]]"))
+    val ring = concat(lit("[["), gjPt(x0, y0), lit(","), gjPt(x1, y0), lit(","),
+      gjPt(x1, y1), lit(","), gjPt(x0, y1), lit(","), gjPt(x0, y0), lit("]]"))
     val props = concat(lit("""},"properties":{"name":""""), jsonEscape(col("area_name")),
       lit("""","level":"""), col("level").cast("string"), lit("}}"))
     a.select(col("area_id"),
@@ -411,10 +419,7 @@ object IndexBuild {
   }
 
   private val geojsonAreaBody: String = {
-    def lonM(c: String) = s"($LONM0 + CAST(ROUND(($c - ${GeoWorld.LON0}) * 1000) AS BIGINT) * 1000)"
-    def latM(c: String) = s"($LATM0 + CAST(ROUND(($c - ${GeoWorld.LAT0}) * 1000) AS BIGINT) * 1000)"
-    def pt(x: String, y: String) = s"'[' || ${microToDecSql(x)} || ',' || ${microToDecSql(y)} || ']'"
-    val ring = s"'[[' || ${pt(lonM("lon0"), latM("lat0"))} || ',' || ${pt(lonM("lon1"), latM("lat0"))} || ',' || ${pt(lonM("lon1"), latM("lat1"))} || ',' || ${pt(lonM("lon0"), latM("lat1"))} || ',' || ${pt(lonM("lon0"), latM("lat0"))} || ']]'"
+    val ring = s"'[[' || ${gjPtSql(gjLonMSql("lon0"), gjLatMSql("lat0"))} || ',' || ${gjPtSql(gjLonMSql("lon1"), gjLatMSql("lat0"))} || ',' || ${gjPtSql(gjLonMSql("lon1"), gjLatMSql("lat1"))} || ',' || ${gjPtSql(gjLonMSql("lon0"), gjLatMSql("lat1"))} || ',' || ${gjPtSql(gjLonMSql("lon0"), gjLatMSql("lat0"))} || ']]'"
     val props = s"""'},"properties":{"name":"' || ${jsonEscapeSql("area_name")} || '","level":' || CAST(level AS VARCHAR) || '}}'"""
     s"""SELECT area_id,
        |  CASE WHEN level <= 4 THEN
@@ -439,18 +444,14 @@ object IndexBuild {
   def geojsonEnclave(spark: SparkSession, sfDir: String): DataFrame = {
     init(spark)
     val e = graft.gen.GeoWorld.enclaves(spark, sfDir)
-    def lonM(c: Column): Column = lit(LONM0) + round((c - lit(GeoWorld.LON0)) * 1000).cast("long") * 1000L
-    def latM(c: Column): Column = lit(LATM0) + round((c - lit(GeoWorld.LAT0)) * 1000).cast("long") * 1000L
-    def pt(x: Column, y: Column): Column =
-      concat(lit("["), microToDec(x), lit(","), microToDec(y), lit("]"))
     def ccw(x0: Column, y0: Column, x1: Column, y1: Column): Column =
-      concat(lit("["), pt(x0, y0), lit(","), pt(x1, y0), lit(","),
-        pt(x1, y1), lit(","), pt(x0, y1), lit(","), pt(x0, y0), lit("]"))
+      concat(lit("["), gjPt(x0, y0), lit(","), gjPt(x1, y0), lit(","),
+        gjPt(x1, y1), lit(","), gjPt(x0, y1), lit(","), gjPt(x0, y0), lit("]"))
     def cw(x0: Column, y0: Column, x1: Column, y1: Column): Column =
-      concat(lit("["), pt(x0, y0), lit(","), pt(x0, y1), lit(","),
-        pt(x1, y1), lit(","), pt(x1, y0), lit(","), pt(x0, y0), lit("]"))
-    val shell = ccw(lonM(col("lon0")), latM(col("lat0")), lonM(col("lon1")), latM(col("lat1")))
-    val hole = cw(lonM(col("hlon0")), latM(col("hlat0")), lonM(col("hlon1")), latM(col("hlat1")))
+      concat(lit("["), gjPt(x0, y0), lit(","), gjPt(x0, y1), lit(","),
+        gjPt(x1, y1), lit(","), gjPt(x1, y0), lit(","), gjPt(x0, y0), lit("]"))
+    val shell = ccw(gjLonM(col("lon0")), gjLatM(col("lat0")), gjLonM(col("lon1")), gjLatM(col("lat1")))
+    val hole = cw(gjLonM(col("hlon0")), gjLatM(col("hlat0")), gjLonM(col("hlon1")), gjLatM(col("hlat1")))
     val props = concat(lit("""},"properties":{"name":""""), jsonEscape(col("area_name")),
       lit("""","level":"""), col("level").cast("string"), lit("}}"))
     e.select(col("area_id"),
@@ -459,15 +460,12 @@ object IndexBuild {
   }
 
   val geojsonEnclaveSql: String = {
-    def lonM(c: String) = s"($LONM0 + CAST(ROUND(($c - ${GeoWorld.LON0}) * 1000) AS BIGINT) * 1000)"
-    def latM(c: String) = s"($LATM0 + CAST(ROUND(($c - ${GeoWorld.LAT0}) * 1000) AS BIGINT) * 1000)"
-    def pt(x: String, y: String) = s"'[' || ${microToDecSql(x)} || ',' || ${microToDecSql(y)} || ']'"
     def ccw(x0: String, y0: String, x1: String, y1: String) =
-      s"'[' || ${pt(x0, y0)} || ',' || ${pt(x1, y0)} || ',' || ${pt(x1, y1)} || ',' || ${pt(x0, y1)} || ',' || ${pt(x0, y0)} || ']'"
+      s"'[' || ${gjPtSql(x0, y0)} || ',' || ${gjPtSql(x1, y0)} || ',' || ${gjPtSql(x1, y1)} || ',' || ${gjPtSql(x0, y1)} || ',' || ${gjPtSql(x0, y0)} || ']'"
     def cw(x0: String, y0: String, x1: String, y1: String) =
-      s"'[' || ${pt(x0, y0)} || ',' || ${pt(x0, y1)} || ',' || ${pt(x1, y1)} || ',' || ${pt(x1, y0)} || ',' || ${pt(x0, y0)} || ']'"
-    val shell = ccw(lonM("lon0"), latM("lat0"), lonM("lon1"), latM("lat1"))
-    val hole = cw(lonM("hlon0"), latM("hlat0"), lonM("hlon1"), latM("hlat1"))
+      s"'[' || ${gjPtSql(x0, y0)} || ',' || ${gjPtSql(x0, y1)} || ',' || ${gjPtSql(x1, y1)} || ',' || ${gjPtSql(x1, y0)} || ',' || ${gjPtSql(x0, y0)} || ']'"
+    val shell = ccw(gjLonMSql("lon0"), gjLatMSql("lat0"), gjLonMSql("lon1"), gjLatMSql("lat1"))
+    val hole = cw(gjLonMSql("hlon0"), gjLatMSql("hlat0"), gjLonMSql("hlon1"), gjLatMSql("hlat1"))
     val props = s"""'},"properties":{"name":"' || ${jsonEscapeSql("area_name")} || '","level":' || CAST(level AS VARCHAR) || '}}'"""
     GeoQueries.withWorld(GeoWorld.enclavesCte) +
       s"""SELECT area_id,

@@ -136,10 +136,17 @@ class SnapshotTable(spark: SparkSession, root: String,
       val w = Files.newBufferedWriter(Paths.get(p))
       try page.foreach { f => w.write(fileJson(f)); w.newLine() }
       finally w.close()
-      val los = page.flatMap(_.lo); val his = page.flatMap(_.hi)
+      // page bounds are defined ONLY when every entry carries bounds: a
+      // bound-less file (all-NULL stats column) matches every readRange at
+      // the FILE level, so its page must match every range at the MANIFEST
+      // level too — otherwise identical data prunes differently depending
+      // on how files packed into pages (review finding)
+      val (lo, hi) =
+        if (page.forall(f => f.lo.isDefined && f.hi.isDefined))
+          (Some(page.flatMap(_.lo).min), Some(page.flatMap(_.hi).max))
+        else (None, None)
       ManifestMeta(p, page.map(_.part).min, page.map(_.part).max,
-        page.size, page.map(_.rows).sum,
-        if (los.isEmpty) None else Some(los.min), if (his.isEmpty) None else Some(his.max))
+        page.size, page.map(_.rows).sum, lo, hi)
     }.toSeq
 
   private def fileJson(f: FileEntry): String = {
@@ -234,11 +241,14 @@ class SnapshotTable(spark: SparkSession, root: String,
     * manifests whose bounds miss `touched` (or whose actual entries do)
     * carry into the child by reference; the rest are rewritten minus the
     * touched partitions' entries. Returns (carried+filtered manifest
-    * list, the touched partitions' file entries). Only intersecting
-    * manifests are ever opened. */
-  private def splitParent(parent: Int, touched: Set[Long]): (Seq[ManifestMeta], Seq[FileEntry]) = {
+    * list, the touched partitions' file entries, the FRESHLY-WRITTEN
+    * filtered pages — the commit loser must delete these too, review
+    * finding). Only intersecting manifests are ever opened. */
+  private def splitParent(parent: Int, touched: Set[Long])
+      : (Seq[ManifestMeta], Seq[FileEntry], Seq[ManifestMeta]) = {
     val out = Seq.newBuilder[ManifestMeta]
     val touchedFiles = Seq.newBuilder[FileEntry]
+    val fresh = Seq.newBuilder[ManifestMeta]
     manifestList(parent).foreach { m =>
       if (!touched.exists(p => m.partLo <= p && p <= m.partHi)) out += m
       else {
@@ -247,11 +257,15 @@ class SnapshotTable(spark: SparkSession, root: String,
         if (hit.isEmpty) out += m // bounds false-positive: carry unopened-equivalent
         else {
           touchedFiles ++= hit
-          if (kept.nonEmpty) out ++= writeManifests(kept)
+          if (kept.nonEmpty) {
+            val filtered = writeManifests(kept)
+            out ++= filtered
+            fresh ++= filtered
+          }
         }
       }
     }
-    (out.result(), touchedFiles.result())
+    (out.result(), touchedFiles.result(), fresh.result())
   }
 
   /** Commit `manifests` as snapshot v; on a lost commit race, delete this
@@ -333,7 +347,7 @@ class SnapshotTable(spark: SparkSession, root: String,
     try {
       // touched partitions: driver-bounded by partition count, not rows
       val touched = cachedDelta.select("part").distinct().collect().map(_.getLong(0)).toSet
-      val (carried, touchedFiles) = splitParent(cur, touched)
+      val (carried, touchedFiles, filteredPages) = splitParent(cur, touched)
       val merged = if (touchedFiles.nonEmpty) {
         val base = spark.read.parquet(touchedFiles.map(_.path): _*)
           .withColumn("part", col("_part")).drop("_part")
@@ -343,7 +357,8 @@ class SnapshotTable(spark: SparkSession, root: String,
       } else cachedDelta
       val newFiles = writeVersionDir(merged, next)
       val newManifests = writeManifests(newFiles)
-      commitOrCleanup(next, cur, carried ++ newManifests, newFiles, newManifests)
+      commitOrCleanup(next, cur, carried ++ newManifests, newFiles,
+        newManifests ++ filteredPages)
       next
     } finally cachedDelta.unpersist()
   }
@@ -418,7 +433,7 @@ class SnapshotTable(spark: SparkSession, root: String,
     val cachedKeys = keys.persist()
     try {
       val touched = cachedKeys.select("part").distinct().collect().map(_.getLong(0)).toSet
-      val (carried, touchedFiles) = splitParent(cur, touched)
+      val (carried, touchedFiles, filteredPages) = splitParent(cur, touched)
       val (newFiles, newManifests) = if (touchedFiles.nonEmpty) {
         val base = spark.read.parquet(touchedFiles.map(_.path): _*)
           .withColumn("part", col("_part")).drop("_part")
@@ -426,7 +441,8 @@ class SnapshotTable(spark: SparkSession, root: String,
           "part" +: keyCols, "left_anti"), next)
         (nf, writeManifests(nf))
       } else (Seq.empty[FileEntry], Seq.empty[ManifestMeta])
-      commitOrCleanup(next, cur, carried ++ newManifests, newFiles, newManifests)
+      commitOrCleanup(next, cur, carried ++ newManifests, newFiles,
+        newManifests ++ filteredPages)
       next
     } finally cachedKeys.unpersist()
   }
@@ -464,18 +480,28 @@ class SnapshotTable(spark: SparkSession, root: String,
     }
     if (plan.isEmpty) return cur
     val next = cur + 1
-    val (carried, touchedFiles) = splitParent(cur, plan.keySet)
+    val (carried, touchedFiles, filteredPages) = splitParent(cur, plan.keySet)
     val dir = attemptDir(next)
-    // one write job per rewritten partition: each needs its own file count
+    // one write job per rewritten partition: each needs its own file count.
+    // When a stats column is tracked, split by RANGE on it (Iceberg's
+    // rewrite preserves sort order) so each output file keeps TIGHT [lo,hi]
+    // bounds — a round-robin split would smear every file across the
+    // partition's whole range and silently disable readRange's file
+    // skipping (review finding).
     plan.toSeq.sortBy(_._1).foreach { case (p, (fs, want)) =>
-      spark.read.parquet(fs.map(_.path): _*)
-        .repartition(want)
-        .write.parquet(s"$dir/part=$p")
+      val base = spark.read.parquet(fs.map(_.path): _*)
+      val sliced = statsCol match {
+        case Some(c) if want > 1 => base.repartitionByRange(want, col(c))
+        case Some(c) => base.coalesce(1).sortWithinPartitions(col(c))
+        case None => base.repartition(want)
+      }
+      sliced.write.parquet(s"$dir/part=$p")
     }
     require(touchedFiles.map(_.path).toSet == plan.values.flatMap(_._1.map(_.path)).toSet)
     val newFiles = statsEntries(dir)
     val newManifests = writeManifests(newFiles)
-    commitOrCleanup(next, cur, carried ++ newManifests, newFiles, newManifests)
+    commitOrCleanup(next, cur, carried ++ newManifests, newFiles,
+      newManifests ++ filteredPages)
     next
   }
 
@@ -512,9 +538,15 @@ class SnapshotTable(spark: SparkSession, root: String,
     val rootPath = Paths.get(root)
     val now = System.currentTimeMillis()
     val dirs = Files.list(rootPath)
-    val candidates = try dirs.iterator().asScala.filter(d =>
-        Files.isDirectory(d) && d.getFileName.toString.matches("v\\d+-.*")).toSeq
-      finally dirs.close()
+    val (candidates, loosePages) = {
+      val all = try dirs.iterator().asScala.toSeq finally dirs.close()
+      (all.filter(d => Files.isDirectory(d) && d.getFileName.toString.matches("v\\d+-.*")),
+        // manifest pages written by a splitParent whose commit never landed
+        // (pre-commit crash): referenced by NO snapshot, swept behind the
+        // same grace window (review finding — these leaked before)
+        all.filter(f => Files.isRegularFile(f) &&
+          f.getFileName.toString.matches("m-.*\\.jsonl")))
+    }
     candidates.foreach { d =>
       val walk = Files.walk(d)
       val contents = try walk.iterator().asScala.toSeq finally walk.close()
@@ -523,6 +555,13 @@ class SnapshotTable(spark: SparkSession, root: String,
         now - Files.getLastModifiedTime(p).toMillis >= orphanGraceMs)
       if (aged && filesIn.forall(f => !live.contains(f.toString)))
         contents.reverseIterator.foreach(Files.deleteIfExists(_))
+    }
+    val referencedPages = (1 to cur).filter(v => Files.exists(snapPath(v)))
+      .flatMap(v => manifestList(v).map(_.path)).toSet
+    loosePages.foreach { p =>
+      if (!referencedPages.contains(p.toString) &&
+          now - Files.getLastModifiedTime(p).toMillis >= orphanGraceMs)
+        Files.deleteIfExists(p)
     }
     dead.size
   }
@@ -569,17 +608,38 @@ object SnapshotQueries {
   def rootFor(name: String, sfDir: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft-$name-${math.abs(sfDir.hashCode)}-$runTag"
 
+  /** A sibling scratch root from a PREVIOUS driver process (different
+    * runTag) is stale once untouched this long; a live Verify/Bench run
+    * writes continuously, so two hours is far outside any in-flight
+    * window. */
+  private val STALE_SIBLING_MS = 2L * 3600 * 1000
+
   /** Fixed per-SF-per-process scratch root, recreated per run: repeated
     * Verify/Bench sweeps within one driver reuse one directory instead of
-    * leaking a temp dir per call. */
+    * leaking a temp dir per call. Also sweeps STALE sibling roots left by
+    * earlier processes (the runTag isolation would otherwise accumulate
+    * one snapshot-table copy in tmpdir per driver invocation — review
+    * finding); the age guard keeps a CONCURRENT process's live root safe,
+    * which is the whole point of the tag. */
   private def freshRoot(name: String, sfDir: String): String = {
     val root = rootFor(name, sfDir)
-    val rootPath = Paths.get(root)
-    if (Files.exists(rootPath)) {
-      val s = Files.walk(rootPath)
+    def rmTree(p: Path): Unit = {
+      val s = Files.walk(p)
       try s.iterator().asScala.toSeq.reverseIterator.foreach(Files.deleteIfExists(_))
       finally s.close()
     }
+    val rootPath = Paths.get(root)
+    if (Files.exists(rootPath)) rmTree(rootPath)
+    val tmp = Paths.get(System.getProperty("java.io.tmpdir"))
+    val prefix = s"graft-$name-${math.abs(sfDir.hashCode)}-"
+    val now = System.currentTimeMillis()
+    val siblings = Files.list(tmp)
+    try siblings.iterator().asScala
+      .filter(d => d.getFileName.toString.startsWith(prefix) && d.toString != root)
+      .filter(d => scala.util.Try(
+        now - Files.getLastModifiedTime(d).toMillis >= STALE_SIBLING_MS).getOrElse(false))
+      .foreach(d => scala.util.Try(rmTree(d)))
+    finally siblings.close()
     root
   }
 

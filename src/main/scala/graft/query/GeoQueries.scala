@@ -585,10 +585,13 @@ object GeoQueries {
     val agg = new TopKSmallest(k).toColumn
     // service shape: the probe ring set is small -> broadcast it against the
     // streaming corpus. Batch shape (knnBatch): 10^5+ probes x (2k+1)^2 ring
-    // cells is too big to broadcast -> shuffle hash equi-join on cell.
+    // cells is too big to broadcast -> shuffle hash equi-join on cell, with
+    // the hint on the PROBE side so it becomes the build side — hinting the
+    // corpus would build per-task hash maps over the 10^12-doc side and OOM
+    // (review finding).
     val joined =
       if (broadcastProbes) pts.join(broadcast(probeCells), "cell")
-      else pts.hint("shuffle_hash").join(probeCells, "cell")
+      else pts.join(probeCells.hint("shuffle_hash"), "cell")
     joined
       .select(col("qid"),
         GeoCols.haversineM(col("lon"), col("lat"), col("qlon"), col("qlat")).as("dist_m"),
@@ -659,9 +662,12 @@ object GeoQueries {
           g >= pruneM || lit(ringK >= (1 << RES_COARSE))
       val decided = materialize(joined.withColumn("proved", provedCond))
       spent += decided
+      // proved parts stay persisted: they BACK the returned DataFrame (its
+      // lazy plan reads them); Spark's ContextCleaner reclaims the blocks
+      // once the caller drops the result (review finding: the result itself
+      // is no longer double-cached — nothing else stays pinned)
       val proved = materialize(decided.filter(col("proved")).select("qid", "top"))
       provedParts += proved
-      spent += proved
       val next = materialize(decided.filter(!col("proved")).select("qid", "qlon", "qlat"))
       spent += next
       pending = next
@@ -674,10 +680,10 @@ object GeoQueries {
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           StructType(Seq(StructField("qid", LongType), StructField("rank", IntegerType),
             StructField("pid", LongType), StructField("dist_m", DoubleType))))
-      case Some(all) => materialize(
+      case Some(all) =>
         all.select(col("qid"), posexplode(col("top")).as(Seq("i", "t")))
           .select(col("qid"), (col("i") + 1).cast("int").as("rank"),
-            col("t._2").as("pid"), round(col("t._1"), 3).as("dist_m")))
+            col("t._2").as("pid"), round(col("t._1"), 3).as("dist_m"))
     }
     spent.foreach(_.unpersist(blocking = false))
     out

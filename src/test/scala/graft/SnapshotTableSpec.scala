@@ -144,6 +144,76 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.readRange(125, 130).filter($"ver" === 2L).count() === 1)
   }
 
+  test("a bound-less (all-NULL stats) file makes its PAGE match every range — packing cannot change results") {
+    val root = java.nio.file.Files.createTempDirectory("snapnull").toString
+    val t = new graft.index.SnapshotTable(spark, root, statsCol = Some("v"))
+    // part 0 carries stats [0,99]; part 1's stats column is all NULL
+    val df = (0L until 100L).map(i => (i, 0L, Some(i))).toDF("id", "part", "v")
+      .unionByName(Seq((1000L, 1L, Option.empty[Long])).toDF("id", "part", "v"))
+      .coalesce(1)
+    t.init(df)
+    // the single page holds both files -> its bounds must be MATCH-ALL
+    val metas = t.manifestList(1)
+    assert(metas.forall(m => m.lo.isEmpty && m.hi.isEmpty),
+      "a page containing a bound-less file must record match-all bounds")
+    // a range far outside part 0's stats still scans the NULL-stats file
+    assert(t.readRange(100000, 200000).filter($"id" === 1000L).count() === 1)
+  }
+
+  test("a raced-away commit leaves no orphan manifest pages; crashed-writer pages are expired") {
+    val (root, t) = freshTable()
+    t.init(baseDf)
+    def pages() = java.nio.file.Files.list(java.nio.file.Paths.get(root)).iterator()
+    val before = {
+      import scala.jdk.CollectionConverters._
+      pages().asScala.map(_.getFileName.toString).filter(_.endsWith(".jsonl")).toSet
+    }
+    // simulate a PHOTO-FINISH race: the rival's snap-2 lands while OUR
+    // upsert is mid-flight (the delta's evaluation side-effects the write,
+    // which happens strictly after upsert read currentVersion = 1)
+    val rival = org.apache.spark.sql.functions.udf { (part: Long) =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$root/snap-2.json"),
+        """{"version":2,"parent":1,"manifests":[]}""")
+      part
+    }
+    val delta = Seq((3L, 3L, 9L)).toDF("id", "part", "ver")
+      .withColumn("part", rival($"part"))
+    intercept[java.nio.file.FileAlreadyExistsException] {
+      t.upsert(delta, Seq("id"))
+    }
+    val after = {
+      import scala.jdk.CollectionConverters._
+      pages().asScala.map(_.getFileName.toString).filter(_.endsWith(".jsonl")).toSet
+    }
+    assert(after === before, "the loser must delete its filtered AND new manifest pages")
+    // a crashed writer's page (written, never committed) is swept by expire
+    val stray = java.nio.file.Paths.get(s"$root/m-deadbeefdead.jsonl")
+    java.nio.file.Files.writeString(stray, "")
+    t.expire(keepLast = 10, orphanGraceMs = 0)
+    assert(!java.nio.file.Files.exists(stray), "unreferenced loose page swept")
+    assert(t.read(1).count() === 1000L, "live metadata untouched")
+  }
+
+  test("byte-target compaction with a stats column keeps per-file bounds TIGHT (range split, not round-robin)") {
+    val root = java.nio.file.Files.createTempDirectory("snapsort").toString
+    val t = new graft.index.SnapshotTable(spark, root, statsCol = Some("v"))
+    // one fat clustered file: v strictly increasing
+    t.init((0L until 65536L).map(i => (i, 0L, i)).toDF("id", "part", "v").coalesce(1))
+    val fatBytes = t.snapshot(1).map(_.bytes).sum
+    val v = t.compact(maxFiles = Int.MaxValue, targetFileBytes = fatBytes / 4 + 1)
+    assert(v === 2)
+    val files = t.snapshot(2)
+    assert(files.size >= 3, s"fixture must split (got ${files.size})")
+    // ranges must be (near-)disjoint: total covered span ~= sum of spans
+    val spans = files.map(f => f.hi.get - f.lo.get + 1).sum
+    assert(spans <= 65536L + files.size, s"file ranges overlap heavily (sum $spans) — clustering lost")
+    // and readRange now skips files
+    assert(t.readRange(0, 1000).count() >= 1001)
+    assert(t.lastManifestsOpened.nonEmpty)
+    val scanned = t.readRange(0, 1000).inputFiles.length
+    assert(scanned < files.size, s"$scanned of ${files.size} — bounds must actually skip files")
+  }
+
   test("COW delete removes keys, drops emptied partitions, time travel keeps them") {
     val (_, t) = freshTable()
     t.init(baseDf)
