@@ -51,6 +51,8 @@ object SparkEntry {
     "q_poi_catalog" -> ((s, d) => graft.query.PoiCatalog.poisOf(s, d)),
     // kNN + radius (Q8)
     "q_knn" -> ((s, d) => GeoQueries.knn(s, d)),
+    // distributed batch kNN-join over a 200-probe grid (ring state in DFs)
+    "q_knn_batch" -> ((s, d) => GeoQueries.knnBatchGrid(s, d)),
     "q_radius" -> ((s, d) => GeoQueries.radius(s, d)),
     // tiling (north-star raster/vector)
     "q_tile_assign" -> ((s, d) => GeoQueries.tileAssign(s, d)),
@@ -199,6 +201,7 @@ object SparkEntry {
     "q_poi_cell" -> GeoQueries.poiByCellSql(),
     "q_poi_catalog" -> graft.query.PoiCatalog.poisOfSql(),
     "q_knn" -> GeoQueries.knnSql(),
+    "q_knn_batch" -> GeoQueries.knnBatchGridSql,
     "q_radius" -> GeoQueries.radiusSql(),
     "q_tile_assign" -> GeoQueries.tileAssignSql(),
     "q_raster_vector" -> GeoQueries.rasterVectorSql(),

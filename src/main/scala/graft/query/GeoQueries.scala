@@ -689,6 +689,41 @@ object GeoQueries {
     out
   }
 
+  /** Deterministic 20×10 probe grid over the world frame for the BATCH
+    * kNN catalog query: both engines derive every coordinate with the
+    * same + and * on the same integers. */
+  final val KNN_BATCH_GRID = 200
+  final val KNN_BATCH_K = 3
+  final val KNN_BATCH_PRUNE_M = 150000.0
+
+  /** [[knnBatch]] driven end-to-end as a catalog query: the distributed
+    * widening loop (DataFrame ring state, shuffle-hash ring joins,
+    * column-predicate completion proofs) against a brute-force DuckDB
+    * oracle — the BATCH path is oracle-checked, not just spec-pinned. */
+  def knnBatchGrid(spark: SparkSession, sfDir: String): DataFrame = {
+    val probes = spark.range(KNN_BATCH_GRID).select(
+      col("id").as("qid"),
+      (lit(GeoWorld.LON0) + (col("id") % 20) * 3.0 + 0.05).as("qlon"),
+      (lit(GeoWorld.LAT0) + floor(col("id") / 20) * 3.6 + 0.07).as("qlat"))
+    knnBatch(spark, sfDir, probes, KNN_BATCH_K, KNN_BATCH_PRUNE_M)
+  }
+
+  val knnBatchGridSql: String = {
+    val dist = GeoCols.haversineSql("p.lon", "p.lat", "q.qlon", "q.qlat")
+    withWorld(
+      s"""bprobes AS (
+         |  SELECT qid, ${GeoWorld.LON0} + (qid % 20) * 3.0 + 0.05 AS qlon,
+         |         ${GeoWorld.LAT0} + FLOOR(qid / 20) * 3.6 + 0.07 AS qlat
+         |  FROM (SELECT UNNEST(RANGE(0, $KNN_BATCH_GRID)) AS qid)
+         |)""".stripMargin) +
+      s"""SELECT qid, CAST(rank AS INTEGER) AS rank, pid, dist_m FROM (
+         |  SELECT q.qid, p.pid, ROUND($dist, 3) AS dist_m,
+         |         ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY $dist, p.pid) AS rank
+         |  FROM pts p CROSS JOIN bprobes q
+         |  WHERE $dist <= $KNN_BATCH_PRUNE_M
+         |) WHERE rank <= $KNN_BATCH_K""".stripMargin
+  }
+
   def knnSql(k: Int = 5, pruneM: Double = 600000.0): String = {
     val dist = GeoCols.haversineSql("p.lon", "p.lat", "q.qlon", "q.qlat")
     withWorld(probesCte) +
