@@ -329,9 +329,13 @@ object GeoQueries {
    * point-in-hole-rect arithmetic: ignore ring 1+ anywhere in the engine
    * and the hole points appear as extra rows.
    */
-  def pipEnclave(spark: SparkSession, sfDir: String): DataFrame = {
+  def pipEnclave(spark: SparkSession, sfDir: String): DataFrame =
+    pipEnclaveOf(spark, sfDir, GeoWorld.points(spark, sfDir))
+
+  /** [[pipEnclave]] over an injected point table (scale probes). */
+  def pipEnclaveOf(spark: SparkSession, sfDir: String, points: DataFrame): DataFrame = {
     init(spark)
-    val pts = GeoWorld.points(spark, sfDir)
+    val pts = points
       .withColumn("cell", CellFunctions.zcell(col("lon"), col("lat"), lit(RES_COARSE)))
     val ec = GeoWorld.enclaves(spark, sfDir)
       .withColumn("cell", explode(GeoWorld.coverCells(col("lon0"), col("lat0"), col("lon1"), col("lat1"), RES_COARSE)))
@@ -414,13 +418,17 @@ object GeoQueries {
    * the reference inherits (GeoCalculator.scala:151-202 has the same
    * blind spot) would return ZERO rows for this bbox.
    */
-  def datelineBbox(spark: SparkSession, sfDir: String): DataFrame = {
+  def datelineBbox(spark: SparkSession, sfDir: String): DataFrame =
+    datelineBboxOf(spark, GeoWorld.points(spark, sfDir))
+
+  /** [[datelineBbox]] over an injected point table (scale probes). */
+  def datelineBboxOf(spark: SparkSession, points: DataFrame): DataFrame = {
     init(spark)
     import spark.implicits._
     val (lo0, la0, lo1, la1) = DATELINE_BBOX
     val wlonRaw = col("lon") + lit(DATELINE_SHIFT)
     val wlon = when(wlonRaw >= 180.0, wlonRaw - 360.0).otherwise(wlonRaw)
-    val pts = GeoWorld.points(spark, sfDir)
+    val pts = points
       .withColumn("wlon", wlon)
       .withColumn("cell", CellFunctions.zcell(col("wlon"), col("lat"), lit(RES_MID)))
     val cells = CellIndex.rectCover(lo0, la0, lo1, la1, RES_MID).toSeq.toDF("cell")
