@@ -128,8 +128,17 @@ class SnapshotTable(spark: SparkSession, root: String,
 
   /** Write `entries` (sorted by partition) as one or more manifest pages of
     * ≤ [[manifestTargetFiles]] files, each covering a contiguous partition
-    * range, and return their list entries. */
-  private def writeManifests(entries: Seq[FileEntry]): Seq[ManifestMeta] =
+    * range, and return their list entries. Bound-less entries (all-NULL
+    * stats column) are SEGREGATED into their own pages: they force
+    * match-all page bounds, and mixing them in would disable stats pruning
+    * for every bounded file sharing their page. */
+  private def writeManifests(entries: Seq[FileEntry]): Seq[ManifestMeta] = {
+    val (unbounded, bounded) =
+      entries.partition(f => statsCol.isDefined && (f.lo.isEmpty || f.hi.isEmpty))
+    writeManifestPages(bounded) ++ writeManifestPages(unbounded)
+  }
+
+  private def writeManifestPages(entries: Seq[FileEntry]): Seq[ManifestMeta] =
     entries.sortBy(f => (f.part, f.path)).grouped(manifestTargetFiles).map { page =>
       val p = s"$root/m-${java.util.UUID.randomUUID().toString.take(12)}.jsonl"
       Files.createDirectories(Paths.get(root))

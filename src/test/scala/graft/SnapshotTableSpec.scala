@@ -152,12 +152,17 @@ class SnapshotTableSpec extends SparkSpec {
       .unionByName(Seq((1000L, 1L, Option.empty[Long])).toDF("id", "part", "v"))
       .coalesce(1)
     t.init(df)
-    // the single page holds both files -> its bounds must be MATCH-ALL
+    // bound-less files are SEGREGATED into match-all pages; bounded files
+    // keep tight page bounds (mixing would disable pruning for the page)
     val metas = t.manifestList(1)
-    assert(metas.forall(m => m.lo.isEmpty && m.hi.isEmpty),
-      "a page containing a bound-less file must record match-all bounds")
+    val (matchAll, boundedPages) = metas.partition(m => m.lo.isEmpty && m.hi.isEmpty)
+    assert(matchAll.nonEmpty, "the NULL-stats file must live in a match-all page")
+    assert(boundedPages.forall(m => m.lo.isDefined && m.hi.isDefined))
     // a range far outside part 0's stats still scans the NULL-stats file
     assert(t.readRange(100000, 200000).filter($"id" === 1000L).count() === 1)
+    // ...while the bounded pages ARE pruned for that range
+    assert(t.lastManifestsOpened.toSet === matchAll.map(_.path).toSet,
+      "only the match-all pages may be opened for an out-of-bounds range")
   }
 
   test("a raced-away commit leaves no orphan manifest pages; crashed-writer pages are expired") {
