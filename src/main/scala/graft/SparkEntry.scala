@@ -175,6 +175,8 @@ object SparkEntry {
     "q_media_caption" -> ((s, d) => graft.media.MediaOps.mediaCaption(s, d)),
     // Iceberg-style snapshot table: COW merge + time travel, read via manifest
     "q_index_upsert" -> ((s, d) => graft.index.SnapshotQueries.indexUpsert(s, d)),
+    // full maintenance cycle: upsert -> compact -> expire, layout-only
+    "q_snap_maintain" -> ((s, d) => graft.index.SnapshotQueries.snapMaintain(s, d)),
     // S5/S6 bbox fetch served from the snapshot index via manifest pruning
     "q_snap_bbox" -> ((s, d) => graft.index.SnapshotQueries.bboxIndexFetch(s, d)),
     // tag whitelist (T10/T11) + distinct stats (G7 exact twin)
@@ -276,6 +278,7 @@ object SparkEntry {
     "q_media_frames" -> graft.media.MediaOps.frameSampleSql(),
     "q_media_caption" -> graft.media.MediaOps.mediaCaptionSql,
     "q_index_upsert" -> graft.index.SnapshotQueries.indexUpsertSql,
+    "q_snap_maintain" -> graft.index.SnapshotQueries.snapMaintainSql,
     "q_snap_bbox" -> graft.index.SnapshotQueries.bboxIndexFetchSql,
     "q_tag_whitelist" -> graft.index.TagOps.tagWhitelistSql,
     "q_cell_distinct" -> graft.index.TagOps.distinctTagsByCellSql,

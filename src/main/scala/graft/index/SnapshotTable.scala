@@ -677,6 +677,44 @@ object SnapshotQueries {
          |FROM pts""".stripMargin
   }
 
+  /**
+   * Full MAINTENANCE cycle through the oracle gate: init (quarter of the
+   * point index — the cycle runs five jobs, so the slice keeps bench cost
+   * honest) → COW upsert → byte-target compaction → snapshot expiry →
+   * read. Compaction and expiry are LAYOUT-ONLY, so the oracle is the
+   * same from-scratch MERGE recomputation as q_index_upsert's — any
+   * maintenance step that loses or duplicates a row goes red — while the
+   * spec-level pins (file counts, tight bounds, orphan sweep) stay in
+   * SnapshotTableSpec.
+   */
+  def snapMaintain(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.cell.{CellFunctions, CellIndex}
+    graft.gen.GeoWorld.registerUdfs(spark)
+    val root = freshRoot("snap-maintain", sfDir)
+    val t = new SnapshotTable(spark, root, statsCol = Some("cell"))
+    val base = graft.gen.GeoWorld.points(spark, sfDir)
+      .filter(col("pid") % 4 === 0)
+      .select(col("pid"),
+        CellFunctions.zcell(col("lon"), col("lat"), lit(CellIndex.RES_MID)).as("cell"))
+      .withColumn("part", CellFunctions.zcellParent(
+        col("cell"), lit(CellIndex.RES_MID), lit(2)))
+      .withColumn("ver", lit(1L))
+    t.init(base)
+    t.upsert(base.filter(col("pid") % 3 === 0).withColumn("ver", lit(2L)), Seq("pid"))
+    t.compact(maxFiles = 4)
+    t.expire(keepLast = 1, orphanGraceMs = 0)
+    t.read().select(col("pid"), col("cell"), col("ver"))
+  }
+
+  val snapMaintainSql: String = {
+    import graft.cell.{CellIndex, CellSql}
+    graft.query.GeoQueries.withWorld() +
+      s"""SELECT pid,
+         |       ${CellSql.encode("lon", "lat", CellIndex.RES_MID)} AS cell,
+         |       CAST(CASE WHEN pid % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS ver
+         |FROM pts WHERE pid % 4 = 0""".stripMargin
+  }
+
   /** Bbox fetch query window (a state-sized rect inside the world). */
   final val BBOX: (Double, Double, Double, Double) =
     (graft.gen.GeoWorld.LON0 + 2.0, graft.gen.GeoWorld.LAT0 + 2.0,
