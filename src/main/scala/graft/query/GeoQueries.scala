@@ -670,10 +670,6 @@ object GeoQueries {
           g >= pruneM || lit(ringK >= (1 << RES_COARSE))
       val decided = materialize(joined.withColumn("proved", provedCond))
       spent += decided
-      // proved parts stay persisted: they BACK the returned DataFrame (its
-      // lazy plan reads them); Spark's ContextCleaner reclaims the blocks
-      // once the caller drops the result (review finding: the result itself
-      // is no longer double-cached — nothing else stays pinned)
       val proved = materialize(decided.filter(col("proved")).select("qid", "top"))
       provedParts += proved
       val next = materialize(decided.filter(!col("proved")).select("qid", "qlon", "qlat"))
@@ -689,7 +685,15 @@ object GeoQueries {
           StructType(Seq(StructField("qid", LongType), StructField("rank", IntegerType),
             StructField("pid", LongType), StructField("dist_m", DoubleType))))
       case Some(all) =>
-        all.select(col("qid"), posexplode(col("top")).as(Seq("i", "t")))
+        // collapse the per-iteration proved parts into ONE materialized
+        // union backing the result, then free every per-iteration block —
+        // repeated knnBatch calls in a long session no longer accumulate
+        // persisted RDDs while a result is held (round-5 ADVICE). The one
+        // collapsed RDD is reclaimed by ContextCleaner when the caller
+        // drops the returned DataFrame.
+        val collapsed = materialize(all)
+        provedParts.foreach(_.unpersist(blocking = false))
+        collapsed.select(col("qid"), posexplode(col("top")).as(Seq("i", "t")))
           .select(col("qid"), (col("i") + 1).cast("int").as("rank"),
             col("t._2").as("pid"), round(col("t._1"), 3).as("dist_m"))
     }

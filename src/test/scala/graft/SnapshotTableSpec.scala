@@ -406,6 +406,40 @@ class SnapshotTableSpec extends SparkSpec {
     assert(meta.filter($"bytes" <= 0L).count() === 0L)
   }
 
+  test("maintenance planning is DISTRIBUTED: compact sees only the touched region's entries on the driver; expire none") {
+    val root = java.nio.file.Files.createTempDirectory("snapdist").toString
+    val t = new SnapshotTable(spark, root, manifestTargetFiles = 4)
+    // 16 one-file partitions, except partition 2 which is fragmented 4 ways
+    val others = (0L until 16L).filter(_ != 2L)
+      .flatMap(p => (0L until 100L).map(i => (p * 1000 + i, p, 1L)))
+      .toDF("id", "part", "ver").repartition(1)
+    val frag = (0L until 100L).map(i => (2000L + i, 2L, 1L))
+      .toDF("id", "part", "ver").repartition(4)
+    t.init(others.unionByName(frag))
+    val total = t.snapshot(1).size
+    assert(t.snapshot(1).count(_.part == 2L) > 1, "fixture: partition 2 must be fragmented")
+    val dataBefore = t.read().collect().map(_.toSeq).toSet
+
+    assert(t.compact(maxFiles = 1) === 2)
+    // THE SCALE PIN: planning ran over filesMeta() DataFrames, so the only
+    // file entries the driver materialised are the touched partition's
+    // covering manifests (splitParent) — never the table's inventory
+    val covering = t.manifestList(1)
+      .filter(m => m.partLo <= 2L && 2L <= m.partHi).map(_.files.toLong).sum
+    assert(t.lastMaintenanceDriverEntries === covering,
+      s"driver saw ${t.lastMaintenanceDriverEntries} entries, covering manifests hold $covering")
+    assert(t.lastMaintenanceDriverEntries < total,
+      s"${t.lastMaintenanceDriverEntries} of $total entries — the full inventory must never hit the driver")
+    assert(t.read().collect().map(_.toSeq).toSet === dataBefore, "compaction is layout-only")
+
+    // expire decides liveness with a distributed anti-join and sweeps via
+    // executor-side deletes: ZERO file entries on the driver
+    assert(t.expire(keepLast = 1, orphanGraceMs = 0) > 0)
+    assert(t.lastMaintenanceDriverEntries === 0L,
+      s"expire materialised ${t.lastMaintenanceDriverEntries} entries on the driver")
+    assert(t.read().collect().map(_.toSeq).toSet === dataBefore, "expire keeps the live snapshot intact")
+  }
+
   test("expire drops old snapshots' orphan files but keeps everything current") {
     val (_, t) = freshTable()
     t.init(baseDf)
