@@ -66,6 +66,7 @@ object SparkEntry {
     "q_counts_by_cell" -> ((s, d) => GeoQueries.countsByCell(s, d)),
     "q_counts_by_cell_tag" -> ((s, d) => GeoQueries.countsByCellTag(s, d)),
     "q_name_search" -> ((s, d) => GeoQueries.nameSearch(s, d)),
+    "q_name_ranked" -> ((s, d) => GeoQueries.nameRanked(s, d)),
     // relation-by-name full chain (Q2): search -> mapping -> fetch -> tag -> dedup
     "q_area_by_name" -> ((s, d) => GeoQueries.areaByNameChain(s, d)),
     // normalize + span invariants + way assembly (T2/T3, input_hint)
@@ -213,6 +214,7 @@ object SparkEntry {
     "q_counts_by_cell" -> GeoQueries.countsByCellSql,
     "q_counts_by_cell_tag" -> GeoQueries.countsByCellTagSql,
     "q_name_search" -> GeoQueries.nameSearchSql(),
+    "q_name_ranked" -> GeoQueries.nameRankedSql(),
     "q_area_by_name" -> GeoQueries.areaByNameChainSql(),
     "q_normalize" -> GeoQueries.normalizeSql,
     "q_span_roundtrip" -> GeoQueries.spanRoundtripSql,

@@ -1065,6 +1065,77 @@ object GeoQueries {
          |FROM pts WHERE name LIKE '$q%'""".stripMargin
 
   /**
+   * RANKED name search — the reference's scored index search restored
+   * (S10's last delta): `IndexSearchHit(id, score)` from an ES
+   * query-string search (`dal/.../mappings/IndexingService.scala:13-14`,
+   * `ElasticIndexingService.scala:154-165`), searching relations, ways and
+   * nodes and concatenating the hits (`:160-165`). Here the corpus is the
+   * multi-kind union (areas as relations, points as nodes), tokenised into
+   * an INVERTED postings table; the score is a deterministic integer
+   * tf·idf: each matched query token contributes `N div df(token)` (rare
+   * tokens dominate, exactly ES's idf intuition, but integer-exact so the
+   * DuckDB oracle reproduces it bit-for-bit).
+   *
+   * Scale shape: the postings build is the INDEXING job (one explode +
+   * distinct, shuffle ∝ corpus tokens — at 100 TB it persists as a
+   * token-bucketed table and queries skip straight to the probe); the
+   * query itself filters postings to the query's tokens (predicate before
+   * any shuffle), broadcasts the per-token weights (≤ #query tokens rows),
+   * and aggregates only MATCHING docs. The top-k is a TakeOrdered — no
+   * global sort.
+   */
+  def nameRanked(spark: SparkSession, sfDir: String,
+      q: String = "state 7", k: Int = 12): DataFrame = {
+    init(spark)
+    val qTokens = q.split("\\s+").toSeq
+    val corpus = GeoWorld.points(spark, sfDir)
+      .select(lit("node").as("kind"), col("pid").as("id"), col("name"))
+      .unionByName(GeoWorld.areas(spark, sfDir)
+        .select(lit("relation").as("kind"), col("area_id").as("id"),
+          col("area_name").as("name")))
+    val n = corpus.count()
+    // postings restricted to the query's tokens; DISTINCT = a token counts
+    // once per document (document frequency, not term frequency)
+    val postings = corpus
+      .select(col("kind"), col("id"), explode(split(col("name"), "_")).as("token"))
+      .filter(col("token").isin(qTokens: _*))
+      .distinct()
+    val weights = postings.groupBy("token").agg(count(lit(1)).as("df"))
+      .withColumn("w", expr(s"CAST($n AS BIGINT) div df"))
+    val scored = postings.join(broadcast(weights.select("token", "w")), "token")
+      .groupBy("kind", "id").agg(sum("w").as("score"))
+    // (score DESC, kind, id) is a TOTAL order — the top-k is deterministic
+    val top = scored.orderBy(col("score").desc, col("kind"), col("id")).limit(k)
+    top.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("kind"), col("id"))))
+      .select("rank", "kind", "id", "score")
+  }
+
+  def nameRankedSql(q: String = "state 7", k: Int = 12): String = {
+    val inList = q.split("\\s+").map(t => s"'$t'").mkString(", ")
+    withWorld(
+      s"""corpus AS (
+         |  SELECT 'node' AS kind, pid AS id, name FROM pts
+         |  UNION ALL
+         |  SELECT 'relation' AS kind, area_id AS id, area_name AS name FROM areas
+         |), tok AS (
+         |  SELECT kind, id, UNNEST(string_split(name, '_')) AS token FROM corpus
+         |), post AS (
+         |  SELECT DISTINCT kind, id, token FROM tok WHERE token IN ($inList)
+         |), w AS (
+         |  SELECT token, (SELECT COUNT(*) FROM corpus) // COUNT(*) AS w
+         |  FROM post GROUP BY token
+         |), scored AS (
+         |  SELECT kind, id, CAST(SUM(w.w) AS BIGINT) AS score
+         |  FROM post JOIN w USING (token) GROUP BY kind, id
+         |)""".stripMargin) +
+      s"""SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, kind, id) AS INT) AS rank,
+         |       kind, id, score
+         |FROM scored ORDER BY score DESC, kind, id LIMIT $k""".stripMargin
+  }
+
+  /**
    * Relation-by-name, the FULL reference chain (Q2, Queries.scala:279-299):
    * name search (CONTAINS — the reference uses query-string search, not a
    * prefix) → mapping lookup (id → cells, T7) → fetch by (cell, id) from
