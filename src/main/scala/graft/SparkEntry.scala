@@ -34,14 +34,17 @@ object SparkEntry {
     "q_fuzzy_invalid" -> ((s, d) => GeoQueries.fuzzyInvalid(s, d)),
     // hole-bearing areas: PIP excludes points inside the interior ring
     "q_pip_enclave" -> ((s, d) => GeoQueries.pipEnclave(s, d)),
+    "q_pip_baarle" -> ((s, d) => GeoQueries.pipBaarle(s, d)),
     // hole-aware within: exact / hole-rejected / fuzzy arms over the donuts
     "q_enclave_within" -> ((s, d) => GeoQueries.enclaveWithin(s, d)),
     // dateline-straddling bbox: two-hemisphere cover + wrapped refine
     "q_dateline_bbox" -> ((s, d) => GeoQueries.datelineBbox(s, d)),
     // hole-aware polyfill: outer grid minus cells strictly inside the hole
     "q_enclave_polyfill" -> ((s, d) => GeoQueries.enclavePolyfill(s, d)),
+    "q_baarle_polyfill" -> ((s, d) => GeoQueries.baarlePolyfill(s, d)),
     // geometry-derived area/perimeter over the donuts (JTS honors rings)
     "q_enclave_stats" -> ((s, d) => graft.query.GeoMeasures.enclaveStats(s, d)),
+    "q_baarle_stats" -> ((s, d) => graft.query.GeoMeasures.baarleStats(s, d)),
     // chained admin-ladder query (Q11: country -> ... -> community, 8 levels)
     "q_area_chain" -> ((s, d) => graft.api.AstTranslator.areaChain(s, d)),
     // POI queries (Q6 / Q7)
@@ -156,6 +159,7 @@ object SparkEntry {
     "q_geojson_area" -> ((s, d) => graft.index.IndexBuild.geojsonArea(s, d)),
     // GeoJSON with interior rings: donut polygons carry a ring LIST
     "q_geojson_enclave" -> ((s, d) => graft.index.IndexBuild.geojsonEnclave(s, d)),
+    "q_geojson_baarle" -> ((s, d) => graft.index.IndexBuild.geojsonBaarle(s, d)),
     // the full type-routed serialisation dispatch over all object classes (Q14)
     "q_geojson_dispatch" -> ((s, d) => graft.index.IndexBuild.geojsonDispatch(s, d)),
     // streaming surface: batch twin of the watermarked windowed aggregation
@@ -195,10 +199,13 @@ object SparkEntry {
     "q_metro_fuzzy" -> GeoQueries.metroFuzzySql,
     "q_fuzzy_invalid" -> GeoQueries.fuzzyInvalidSql,
     "q_pip_enclave" -> GeoQueries.pipEnclaveSql,
+    "q_pip_baarle" -> GeoQueries.pipBaarleSql,
     "q_enclave_within" -> GeoQueries.enclaveWithinSql,
     "q_dateline_bbox" -> GeoQueries.datelineBboxSql,
     "q_enclave_polyfill" -> GeoQueries.enclavePolyfillSql(),
+    "q_baarle_polyfill" -> GeoQueries.baarlePolyfillSql(),
     "q_enclave_stats" -> graft.query.GeoMeasures.enclaveStatsSql,
+    "q_baarle_stats" -> graft.query.GeoMeasures.baarleStatsSql,
     "q_area_chain" -> graft.api.AstTranslator.areaChainSql(),
     "q_poi_area" -> GeoQueries.poiFromAreaSql(),
     "q_poi_cell" -> GeoQueries.poiByCellSql(),
@@ -270,6 +277,7 @@ object SparkEntry {
     "q_geojson_way" -> graft.index.IndexBuild.geojsonWaySql,
     "q_geojson_area" -> graft.index.IndexBuild.geojsonAreaSql,
     "q_geojson_enclave" -> graft.index.IndexBuild.geojsonEnclaveSql,
+    "q_geojson_baarle" -> graft.index.IndexBuild.geojsonBaarleSql,
     "q_geojson_dispatch" -> graft.index.IndexBuild.geojsonDispatchSql,
     "q_stream_window" -> graft.streaming.StreamNormalize.windowedCellCountsSql,
     "q_stream_sliding" -> graft.streaming.StreamNormalize.slidingCellCountsSql,

@@ -413,6 +413,123 @@ object GeoWorld {
        |)""".stripMargin
   }
 
+  // ------------------------------------------------------ baarle nests
+
+  /**
+   * Baarle-style NESTED enclave per state (round-5 verdict #3): a
+   * MultiPolygon of TWO polygons — Polygon(shell, [holeA, holeB]) plus a
+   * counter-enclave ISLAND polygon strictly inside holeA (the real
+   * Baarle-Hertog-inside-Baarle-Nassau shape; the reference's ring-list
+   * polygon model carries arbitrarily many rings and polygons,
+   * GeowGeometryToJTSGeometry.scala:67-69 + the 3-deep multipolygon
+   * coordinates at GeoCalculator.scala:154). A point in holeA is OUTSIDE
+   * the area, a point in the island inside holeA is INSIDE again — any
+   * implementation that honours only ring 1 (one hole) or only polygon 1
+   * (no counter-enclave) flips a probe row. Specs are milli-degree
+   * offsets from the state origin; the x band (8500..11500) is disjoint
+   * from the donuts (4000..8000) and glitches (1000..3000).
+   */
+  final val BAARLE_OUTER: (Int, Int, Int, Int) = (8500, 11500, 1000, 5000) // x0,x1,y0,y1
+  final val BAARLE_HOLE_A: (Int, Int, Int, Int) = (9000, 10200, 1800, 3400)
+  final val BAARLE_ISLAND: (Int, Int, Int, Int) = (9400, 9800, 2200, 3000)
+  final val BAARLE_HOLE_B: (Int, Int, Int, Int) = (10600, 11200, 3800, 4600)
+
+  /** Baarle areas (1 per state, level 3, area_id = 950000 + nationkey).
+    * Columns carry all four rects (outer lon0..lat1, holeA alon0..alat1,
+    * island ilon0..ilat1, holeB blon0..blat1); wkb is
+    * GC(MultiPolygon(Polygon(shell, [holeA, holeB]), Polygon(island))). */
+  def baarles(spark: SparkSession, sfDir: String): DataFrame = {
+    registerUdfs(spark)
+    val ord = col("n_nationkey")
+    def lonOf(x: Int) = (lit(LON0) + (col("n_regionkey") * 12000L + lit(x)) / 1000.0)
+    def latOf(y: Int) = (lit(LAT0) + (col("idx") * 7200L + lit(y)) / 1000.0)
+    val (ox0, ox1, oy0, oy1) = BAARLE_OUTER
+    val (ax0, ax1, ay0, ay1) = BAARLE_HOLE_A
+    val (ix0, ix1, iy0, iy1) = BAARLE_ISLAND
+    val (bx0, bx1, by0, by1) = BAARLE_HOLE_B
+    nationsIdx(spark, sfDir).select(
+      (lit(950000L) + ord).as("area_id"),
+      concat(lit("baarle_"), ord.cast("string")).as("area_name"),
+      lit(3).as("level"),
+      lonOf(ox0).as("lon0"), latOf(oy0).as("lat0"), lonOf(ox1).as("lon1"), latOf(oy1).as("lat1"),
+      lonOf(ax0).as("alon0"), latOf(ay0).as("alat0"), lonOf(ax1).as("alon1"), latOf(ay1).as("alat1"),
+      lonOf(ix0).as("ilon0"), latOf(iy0).as("ilat0"), lonOf(ix1).as("ilon1"), latOf(iy1).as("ilat1"),
+      lonOf(bx0).as("blon0"), latOf(by0).as("blat0"), lonOf(bx1).as("blon1"), latOf(by1).as("blat1"))
+      .withColumn("wkb", call_function("baarle_wkb",
+        col("lon0"), col("lat0"), col("lon1"), col("lat1"),
+        col("alon0"), col("alat0"), col("alon1"), col("alat1"),
+        col("ilon0"), col("ilat0"), col("ilon1"), col("ilat1"),
+        col("blon0"), col("blat0"), col("blon1"), col("blat1")))
+  }
+
+  /** DuckDB CTE mirroring [[baarles]] minus wkb (name `baarles`);
+    * references `nidx` from [[GeoWorld.areasCte]]. */
+  val baarlesCte: String = {
+    def lonOf(x: Int) = s"$LON0 + (n_regionkey * 12000 + $x) / 1000.0"
+    def latOf(y: Int) = s"$LAT0 + (idx * 7200 + $y) / 1000.0"
+    val (ox0, ox1, oy0, oy1) = BAARLE_OUTER
+    val (ax0, ax1, ay0, ay1) = BAARLE_HOLE_A
+    val (ix0, ix1, iy0, iy1) = BAARLE_ISLAND
+    val (bx0, bx1, by0, by1) = BAARLE_HOLE_B
+    s"""baarles AS (
+       |  SELECT CAST(950000 + n_nationkey AS BIGINT) AS area_id,
+       |         'baarle_' || CAST(n_nationkey AS VARCHAR) AS area_name,
+       |         3 AS level,
+       |         ${lonOf(ox0)} AS lon0, ${latOf(oy0)} AS lat0, ${lonOf(ox1)} AS lon1, ${latOf(oy1)} AS lat1,
+       |         ${lonOf(ax0)} AS alon0, ${latOf(ay0)} AS alat0, ${lonOf(ax1)} AS alon1, ${latOf(ay1)} AS alat1,
+       |         ${lonOf(ix0)} AS ilon0, ${latOf(iy0)} AS ilat0, ${lonOf(ix1)} AS ilon1, ${latOf(iy1)} AS ilat1,
+       |         ${lonOf(bx0)} AS blon0, ${latOf(by0)} AS blat0, ${lonOf(bx1)} AS blon1, ${latOf(by1)} AS blat1
+       |  FROM nidx
+       |)""".stripMargin
+  }
+
+  /**
+   * Point probes against the baarles (j, x, y mdeg from the state origin)
+   * — one per containment class, each at a rect CENTER (milli-degree
+   * arithmetic, far from every ring edge):
+   *   j=0 in the RING (outer minus both holes)  → INSIDE
+   *   j=1 in holeA, outside the island          → OUTSIDE (flips if
+   *       interior rings are ignored)
+   *   j=2 in the ISLAND inside holeA            → INSIDE again (flips if
+   *       the counter-enclave polygon is ignored)
+   *   j=3 in holeB                              → OUTSIDE (flips if only
+   *       the FIRST interior ring is honoured)
+   *   j=4 outside the outer, inside the state   → OUTSIDE
+   */
+  val BAARLE_PROBE_SPECS: Seq[(Int, Int, Int)] = Seq(
+    (0, 8750, 3000),
+    (1, 9150, 2600),
+    (2, 9600, 2600),
+    (3, 10900, 4200),
+    (4, 8000, 600))
+
+  /** Probe points (5 per state, bp_id = nationkey*8 + j). */
+  def baarleProbes(spark: SparkSession, sfDir: String): DataFrame = {
+    registerUdfs(spark)
+    val specStructs = array(BAARLE_PROBE_SPECS.map { case (j, x, y) =>
+      struct(lit(j).as("j"), lit(x).as("x"), lit(y).as("y"))
+    }: _*)
+    nationsIdx(spark, sfDir)
+      .withColumn("sp", explode(specStructs))
+      .select(
+        (col("n_nationkey") * 8 + col("sp.j")).cast("long").as("bp_id"),
+        col("sp.j").as("j"),
+        (lit(LON0) + (col("n_regionkey") * 12000L + col("sp.x")) / 1000.0).as("lon"),
+        (lit(LAT0) + (col("idx") * 7200L + col("sp.y")) / 1000.0).as("lat"))
+  }
+
+  /** DuckDB CTE mirroring [[baarleProbes]] (name `bprobes`). */
+  val baarleProbesCte: String = {
+    val vals = BAARLE_PROBE_SPECS.map { case (j, x, y) => s"($j, $x, $y)" }.mkString(", ")
+    s"""bpspec(j, x, y) AS (VALUES $vals),
+       |bprobes AS (
+       |  SELECT CAST(n_nationkey * 8 + j AS BIGINT) AS bp_id, j,
+       |         $LON0 + (n_regionkey * 12000 + x) / 1000.0 AS lon,
+       |         $LAT0 + (idx * 7200 + y) / 1000.0 AS lat
+       |  FROM nidx, bpspec
+       |)""".stripMargin
+  }
+
   /**
    * Containment probes against the donuts (j, x0, x1, y0, y1 mdeg from the
    * state origin) — each arm of hole-aware `within` decides at least one:
@@ -538,6 +655,16 @@ object GeoWorld {
       // ring-list polygon: shell + one interior ring (see [[enclaves]])
       Geo.toWkb(Geo.areaGeom(Seq(Geo.rectWithHoles(lon0, lat0, lon1, lat1,
         Seq((hlon0, hlat0, hlon1, hlat1)))))))
+    spark.udf.register("baarle_wkb", (lon0: Double, lat0: Double, lon1: Double, lat1: Double,
+        alon0: Double, alat0: Double, alon1: Double, alat1: Double,
+        ilon0: Double, ilat0: Double, ilon1: Double, ilat1: Double,
+        blon0: Double, blat0: Double, blon1: Double, blat1: Double) =>
+      // TWO-polygon multipolygon: shell with TWO interior rings, plus a
+      // counter-enclave island inside ring A (see [[baarles]])
+      Geo.toWkb(Geo.areaGeom(Seq(
+        Geo.rectWithHoles(lon0, lat0, lon1, lat1,
+          Seq((alon0, alat0, alon1, alat1), (blon0, blat0, blon1, blat1))),
+        Geo.rectWithHoles(ilon0, ilat0, ilon1, ilat1, Seq.empty)))))
     spark.udf.register("diamond_wkb", (lon0: Double, lat0: Double, lon1: Double, lat1: Double) => {
       // non-rectangular test polygon: diamond on the rect-edge midpoints
       // (pure +,/ arithmetic so the oracle can re-derive every vertex)

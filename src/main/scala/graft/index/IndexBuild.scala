@@ -474,6 +474,55 @@ object IndexBuild {
          |FROM enclaves""".stripMargin
   }
 
+  /**
+   * GeoJSON for the Baarle-style NESTED enclaves: a MultiPolygon with TWO
+   * member polygons — [shell CCW, holeA CW, holeB CW] and [island CCW]
+   * (RFC 7946 winding per ring; the counter-enclave island is its own
+   * polygon, NOT a ring of the first — GeoJSON has no third nesting
+   * level, exactly like the reference's ring-list/polygon-list model).
+   * A serialiser that drops ring 2+ or polygon 2 goes red against the
+   * oracle's rebuilt string.
+   */
+  def geojsonBaarle(spark: SparkSession, sfDir: String): DataFrame = {
+    init(spark)
+    val e = graft.gen.GeoWorld.baarles(spark, sfDir)
+    def ccw(x0: Column, y0: Column, x1: Column, y1: Column): Column =
+      concat(lit("["), gjPt(x0, y0), lit(","), gjPt(x1, y0), lit(","),
+        gjPt(x1, y1), lit(","), gjPt(x0, y1), lit(","), gjPt(x0, y0), lit("]"))
+    def cw(x0: Column, y0: Column, x1: Column, y1: Column): Column =
+      concat(lit("["), gjPt(x0, y0), lit(","), gjPt(x0, y1), lit(","),
+        gjPt(x1, y1), lit(","), gjPt(x1, y0), lit(","), gjPt(x0, y0), lit("]"))
+    val shell = ccw(gjLonM(col("lon0")), gjLatM(col("lat0")), gjLonM(col("lon1")), gjLatM(col("lat1")))
+    val holeA = cw(gjLonM(col("alon0")), gjLatM(col("alat0")), gjLonM(col("alon1")), gjLatM(col("alat1")))
+    val holeB = cw(gjLonM(col("blon0")), gjLatM(col("blat0")), gjLonM(col("blon1")), gjLatM(col("blat1")))
+    val island = ccw(gjLonM(col("ilon0")), gjLatM(col("ilat0")), gjLonM(col("ilon1")), gjLatM(col("ilat1")))
+    val props = concat(lit("""},"properties":{"name":""""), jsonEscape(col("area_name")),
+      lit("""","level":"""), col("level").cast("string"), lit("}}"))
+    e.select(col("area_id"),
+      concat(lit("""{"type":"Feature","geometry":{"type":"GeometryCollection","geometries":[{"type":"MultiPolygon","coordinates":[["""),
+        shell, lit(","), holeA, lit(","), holeB, lit("],["), island, lit("]]}]"), props).as("feature"))
+  }
+
+  val geojsonBaarleSql: String = {
+    // variadic CONCAT (flat argument list) instead of nested `||` — four
+    // rings of fixed-point formatting overflow DuckDB's 128-deep binder
+    // recursion when chained pairwise
+    def ccw(x0: String, y0: String, x1: String, y1: String) =
+      s"CONCAT('[', ${gjPtSql(x0, y0)}, ',', ${gjPtSql(x1, y0)}, ',', ${gjPtSql(x1, y1)}, ',', ${gjPtSql(x0, y1)}, ',', ${gjPtSql(x0, y0)}, ']')"
+    def cw(x0: String, y0: String, x1: String, y1: String) =
+      s"CONCAT('[', ${gjPtSql(x0, y0)}, ',', ${gjPtSql(x0, y1)}, ',', ${gjPtSql(x1, y1)}, ',', ${gjPtSql(x1, y0)}, ',', ${gjPtSql(x0, y0)}, ']')"
+    val shell = ccw(gjLonMSql("lon0"), gjLatMSql("lat0"), gjLonMSql("lon1"), gjLatMSql("lat1"))
+    val holeA = cw(gjLonMSql("alon0"), gjLatMSql("alat0"), gjLonMSql("alon1"), gjLatMSql("alat1"))
+    val holeB = cw(gjLonMSql("blon0"), gjLatMSql("blat0"), gjLonMSql("blon1"), gjLatMSql("blat1"))
+    val island = ccw(gjLonMSql("ilon0"), gjLatMSql("ilat0"), gjLonMSql("ilon1"), gjLatMSql("ilat1"))
+    val props = s"""'},"properties":{"name":"', ${jsonEscapeSql("area_name")}, '","level":', CAST(level AS VARCHAR), '}}'"""
+    GeoQueries.withWorld(GeoWorld.baarlesCte) +
+      s"""SELECT area_id,
+         |  CONCAT('{"type":"Feature","geometry":{"type":"GeometryCollection","geometries":[{"type":"MultiPolygon","coordinates":[[',
+         |  $shell, ',', $holeA, ',', $holeB, '],[', $island, ']]}]', $props) AS feature
+         |FROM baarles""".stripMargin
+  }
+
   private val geojsonWayBody: String = {
     val xy = s"""('[' || ${microToDecSql(lonMicroSqlOf("p.lonm"))} || ',' || ${microToDecSql(latMicroSqlOf("p.latm"))} || ']')"""
     val props = s"""'},"properties":{"doc_id":"' || ${jsonEscapeSql("doc_id")} || '"}}'"""

@@ -49,4 +49,27 @@ object GeoMeasures {
          |       ROUND((lon1 - lon0) * (lat1 - lat0) - (hlon1 - hlon0) * (hlat1 - hlat0), 6) AS area_deg2,
          |       ROUND(2 * ((lon1 - lon0) + (lat1 - lat0)) + 2 * ((hlon1 - hlon0) + (hlat1 - hlat0)), 6) AS perim_deg
          |FROM enclaves""".stripMargin
+
+  /**
+   * [[enclaveStats]] over the Baarle-style NESTED enclaves: JTS `getArea`
+   * subtracts BOTH interior rings of polygon 1 and ADDS the island
+   * polygon back (multipolygon area is the sum over members); `getLength`
+   * sums all four ring perimeters. The oracle recomputes
+   * outer − holeA − holeB + island from the rect columns — a geometry
+   * path that honours only ring 1 or only polygon 1 goes red here too.
+   */
+  def baarleStats(spark: SparkSession, sfDir: String): DataFrame =
+    graft.gen.GeoWorld.baarles(spark, sfDir)
+      .select(col("area_id"),
+        round(call_function("geo_area_deg2", col("wkb")), 6).as("area_deg2"),
+        round(call_function("geo_perimeter_deg", col("wkb")), 6).as("perim_deg"))
+
+  val baarleStatsSql: String =
+    GeoQueries.withWorld(graft.gen.GeoWorld.baarlesCte) +
+      s"""SELECT area_id,
+         |       ROUND((lon1 - lon0) * (lat1 - lat0) - (alon1 - alon0) * (alat1 - alat0)
+         |             - (blon1 - blon0) * (blat1 - blat0) + (ilon1 - ilon0) * (ilat1 - ilat0), 6) AS area_deg2,
+         |       ROUND(2 * ((lon1 - lon0) + (lat1 - lat0)) + 2 * ((alon1 - alon0) + (alat1 - alat0))
+         |             + 2 * ((blon1 - blon0) + (blat1 - blat0)) + 2 * ((ilon1 - ilon0) + (ilat1 - ilat0)), 6) AS perim_deg
+         |FROM baarles""".stripMargin
 }

@@ -376,6 +376,38 @@ object GeoQueries {
       .select(col("probe_id"), col("enclave_id"), col("fuzzy"))
   }
 
+  /**
+   * PIP against the Baarle-style NESTED enclaves (round-5 verdict #3):
+   * deterministic per-class probe points vs the two-polygon multipolygon —
+   * ring point INSIDE, holeA point OUTSIDE, island-in-holeA point INSIDE
+   * AGAIN (the counter-enclave re-inclusion), holeB point OUTSIDE. Plan =
+   * [[pipEnclave]]: coarse-cell broadcast join + JTS refine, where
+   * `MultiPolygon.contains` honours every ring of every member polygon.
+   * The oracle is pure rect arithmetic `(in outer AND NOT in holeA AND
+   * NOT in holeB) OR in island` — honour only ring 1, or only polygon 1,
+   * and a probe row flips.
+   */
+  def pipBaarle(spark: SparkSession, sfDir: String): DataFrame = {
+    init(spark)
+    val pr = GeoWorld.baarleProbes(spark, sfDir)
+      .withColumn("cell", CellFunctions.zcell(col("lon"), col("lat"), lit(RES_COARSE)))
+    val ba = GeoWorld.baarles(spark, sfDir)
+      .withColumn("cell", explode(GeoWorld.coverCells(col("lon0"), col("lat0"), col("lon1"), col("lat1"), RES_COARSE)))
+      .select(col("cell"), col("area_id"), col("wkb"))
+    pr.join(broadcast(ba), "cell")
+      .filter(GeoCols.geoContainsPoint(col("wkb"), col("lon"), col("lat")))
+      .select(col("bp_id"), col("j"), col("area_id"))
+  }
+
+  val pipBaarleSql: String =
+    withWorld(GeoWorld.baarlesCte, GeoWorld.baarleProbesCte) +
+      s"""SELECT b.bp_id, b.j, e.area_id
+         |FROM bprobes b JOIN baarles e
+         |  ON ((b.lon > e.lon0 AND b.lon < e.lon1 AND b.lat > e.lat0 AND b.lat < e.lat1
+         |       AND NOT (b.lon > e.alon0 AND b.lon < e.alon1 AND b.lat > e.alat0 AND b.lat < e.alat1)
+         |       AND NOT (b.lon > e.blon0 AND b.lon < e.blon1 AND b.lat > e.blat0 AND b.lat < e.blat1))
+         |      OR (b.lon > e.ilon0 AND b.lon < e.ilon1 AND b.lat > e.ilat0 AND b.lat < e.ilat1))""".stripMargin
+
   /** Oracle: probe ∩ donut = probe ∩ outer − probe ∩ hole (the hole is
     * strictly inside the outer rect), all exact rect arithmetic; the
     * threshold interpolates [[graft.geom.Geo.FUZZY_THRESHOLD]] so both
@@ -1015,6 +1047,73 @@ object GeoQueries {
          |       ${CellSql.encode(s"clon0 + ${w / 2}", s"clat0 + ${h / 2}", res)} AS cell
          |FROM egrid
          |WHERE NOT (clon0 > hlon0 AND clon0 + $w < hlon1 AND clat0 > hlat0 AND clat0 + $h < hlat1)""".stripMargin
+  }
+
+  /**
+   * [[enclavePolyfill]] over the Baarle-style NESTED enclaves: grid cells
+   * of the outer bbox, minus cells strictly inside either hole's interior
+   * — EXCEPT cells that overlap the counter-enclave island inside holeA,
+   * which re-enter the cover (they intersect polygon 2). Cell edges
+   * (multiples of 360/2^res) never coincide with the milli-degree ring
+   * edges, so strict-vs-closed cannot diverge between engines;
+   * GeoQueriesSpec pins EXACT equality against JTS `intersects` over the
+   * two-polygon geometry.
+   */
+  def baarlePolyfill(spark: SparkSession, sfDir: String, res: Int = 10): DataFrame = {
+    init(spark)
+    val n = 1L << res
+    val w = CellIndex.LON_SPAN / n
+    val h = CellIndex.LAT_SPAN / n
+    def ixCol(lon: Column): Column =
+      least(greatest(floor((lon - CellIndex.LON_MIN) / CellIndex.LON_SPAN * n).cast("long"), lit(0L)), lit(n - 1))
+    def iyCol(lat: Column): Column =
+      least(greatest(floor((lat - CellIndex.LAT_MIN) / CellIndex.LAT_SPAN * n).cast("long"), lit(0L)), lit(n - 1))
+    val cells = GeoWorld.baarles(spark, sfDir)
+      .withColumn("ix", explode(sequence(ixCol(col("lon0")), ixCol(col("lon1")))))
+      .withColumn("iy", explode(sequence(iyCol(col("lat0")), iyCol(col("lat1")))))
+      .withColumn("clon0", lit(CellIndex.LON_MIN) + col("ix") * w)
+      .withColumn("clat0", lit(CellIndex.LAT_MIN) + col("iy") * h)
+    def insideRect(x0: Column, y0: Column, x1: Column, y1: Column) =
+      col("clon0") > x0 && col("clon0") + w < x1 && col("clat0") > y0 && col("clat0") + h < y1
+    def overlapsRect(x0: Column, y0: Column, x1: Column, y1: Column) =
+      col("clon0") < x1 && col("clon0") + w > x0 && col("clat0") < y1 && col("clat0") + h > y0
+    val insideA = insideRect(col("alon0"), col("alat0"), col("alon1"), col("alat1"))
+    val insideB = insideRect(col("blon0"), col("blat0"), col("blon1"), col("blat1"))
+    val onIsland = overlapsRect(col("ilon0"), col("ilat0"), col("ilon1"), col("ilat1"))
+    cells.filter((!insideA || onIsland) && !insideB)
+      .select(col("area_id"),
+        CellFunctions.zcell(col("clon0") + w / 2, col("clat0") + h / 2, lit(res)).as("cell"))
+  }
+
+  def baarlePolyfillSql(res: Int = 10): String = {
+    val n = 1L << res
+    val w = CellIndex.LON_SPAN / n
+    val h = CellIndex.LAT_SPAN / n
+    withWorld(GeoWorld.baarlesCte,
+      s"""bgx AS (
+         |  SELECT area_id, alon0, alat0, alon1, alat1, ilon0, ilat0, ilon1, ilat1,
+         |         blon0, blat0, blon1, blat1, lat0, lat1,
+         |         UNNEST(range(${CellSql.ix("lon0", res)}, ${CellSql.ix("lon1", res)} + 1)) AS ix
+         |  FROM baarles
+         |)""".stripMargin,
+      s"""bgxy AS (
+         |  SELECT area_id, alon0, alat0, alon1, alat1, ilon0, ilat0, ilon1, ilat1,
+         |         blon0, blat0, blon1, blat1, ix,
+         |         UNNEST(range(${CellSql.iy("lat0", res)}, ${CellSql.iy("lat1", res)} + 1)) AS iy
+         |  FROM bgx
+         |)""".stripMargin,
+      s"""bgrid AS (
+         |  SELECT area_id, alon0, alat0, alon1, alat1, ilon0, ilat0, ilon1, ilat1,
+         |         blon0, blat0, blon1, blat1,
+         |         ${CellIndex.LON_MIN} + ix * $w AS clon0, ${CellIndex.LAT_MIN} + iy * $h AS clat0
+         |  FROM bgxy
+         |)""".stripMargin) +
+      s"""SELECT area_id,
+         |       ${CellSql.encode(s"clon0 + ${w / 2}", s"clat0 + ${h / 2}", res)} AS cell
+         |FROM bgrid
+         |WHERE (NOT (clon0 > alon0 AND clon0 + $w < alon1 AND clat0 > alat0 AND clat0 + $h < alat1)
+         |       OR (clon0 < ilon1 AND clon0 + $w > ilon0 AND clat0 < ilat1 AND clat0 + $h > ilat0))
+         |  AND NOT (clon0 > blon0 AND clon0 + $w < blon1 AND clat0 > blat0 AND clat0 + $h < blat1)""".stripMargin
   }
 
   // ------------------------------------------------- counts / name search

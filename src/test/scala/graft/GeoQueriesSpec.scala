@@ -318,6 +318,59 @@ class GeoQueriesSpec extends SparkSpec {
     }
   }
 
+  test("baarle PIP admits exactly the ring and ISLAND probes; holes and outside are excluded") {
+    val rows = GeoQueries.pipBaarle(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // per class: j=0 (ring) and j=2 (island-in-hole, re-INCLUDED) admitted;
+    // j=1 (hole A), j=3 (hole B), j=4 (outside) excluded
+    assert(rows.map(_._2).toSet === Set(0, 2), "only ring and island probes may match")
+    val nStates = GeoWorld.baarles(spark, sfDir).count()
+    assert(rows.length === 2 * nStates, "every state contributes its ring AND island probe")
+    // each admitted probe binds to ITS OWN state's baarle area
+    rows.foreach { case (bpId, _, areaId) => assert(areaId === 950000L + bpId / 8) }
+  }
+
+  test("baarle polyfill equals JTS intersects over the two-polygon nested geometry (exact, no tangencies)") {
+    import graft.cell.CellIndex
+    val res = 10
+    val n = 1L << res
+    val w = CellIndex.LON_SPAN / n; val h = CellIndex.LAT_SPAN / n
+    val got = GeoQueries.baarlePolyfill(spark, sfDir, res).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bs = GeoWorld.baarles(spark, sfDir)
+      .select("area_id", "lon0", "lat0", "lon1", "lat1", "wkb").collect()
+    val want = bs.flatMap { r =>
+      val geom = graft.geom.Geo.fromWkb(r.getAs[Array[Byte]]("wkb"))
+      val x0 = CellIndex.ix(r.getDouble(1), res); val x1 = CellIndex.ix(r.getDouble(3), res)
+      val y0 = CellIndex.iy(r.getDouble(2), res); val y1 = CellIndex.iy(r.getDouble(4), res)
+      for (x <- x0 to x1; y <- y0 to y1;
+           rect = graft.geom.Geo.rect(
+             CellIndex.LON_MIN + x * w, CellIndex.LAT_MIN + y * h,
+             CellIndex.LON_MIN + (x + 1) * w, CellIndex.LAT_MIN + (y + 1) * h)
+           if geom.intersects(rect))
+        yield (r.getLong(0), CellIndex.encodeXY(x, y))
+    }.toSet
+    assert(got === want, "nested-enclave polyfill must equal the JTS intersects set exactly")
+    // the island genuinely re-admits cells: strictly more cells than a
+    // version that honours the holes but ignores polygon 2
+    val holesOnly = bs.flatMap { r =>
+      val mp = graft.geom.Geo.fromWkb(r.getAs[Array[Byte]]("wkb"))
+        .asInstanceOf[org.locationtech.jts.geom.GeometryCollection]
+        .getGeometryN(0).asInstanceOf[org.locationtech.jts.geom.MultiPolygon]
+      val firstPolyOnly = mp.getGeometryN(0) // drops the island polygon
+      val x0 = CellIndex.ix(r.getDouble(1), res); val x1 = CellIndex.ix(r.getDouble(3), res)
+      val y0 = CellIndex.iy(r.getDouble(2), res); val y1 = CellIndex.iy(r.getDouble(4), res)
+      for (x <- x0 to x1; y <- y0 to y1;
+           rect = graft.geom.Geo.rect(
+             CellIndex.LON_MIN + x * w, CellIndex.LAT_MIN + y * h,
+             CellIndex.LON_MIN + (x + 1) * w, CellIndex.LAT_MIN + (y + 1) * h)
+           if firstPolyOnly.intersects(rect))
+        yield (r.getLong(0), CellIndex.encodeXY(x, y))
+    }.toSet
+    assert(holesOnly.subsetOf(got) && holesOnly.size < got.size,
+      s"island must re-admit cells (${got.size} vs ${holesOnly.size} without polygon 2)")
+  }
+
   test("enclave polyfill equals JTS intersects over the ring-list geometry (exact, no tangencies)") {
     import graft.cell.CellIndex
     val res = 10

@@ -180,6 +180,38 @@ class GeoSpec extends AnyFunSuite {
     assert(!Geo.within(Geo.point(2, 2), rt.asInstanceOf[org.locationtech.jts.geom.GeometryCollection]))
   }
 
+  test("nested enclaves (Baarle): 2 holes + counter-enclave island — flips if only ring 1 OR only polygon 1 is honoured") {
+    // multipolygon of [shell (0,0)-(10,10) with holes A (2,2)-(5,5) and
+    // B (7,7)-(9,9)] plus island (3,3)-(4,4) strictly inside hole A — the
+    // reference's ring-LIST polygon and polygon-LIST multipolygon
+    // (GeowGeometryToJTSGeometry.scala:67-69, GeoCalculator.scala:154)
+    val nested = gc(
+      Geo.rectWithHoles(0, 0, 10, 10, Seq((2.0, 2.0, 5.0, 5.0), (7.0, 7.0, 9.0, 9.0))),
+      Geo.rectWithHoles(3, 3, 4, 4, Seq.empty))
+    // (a) ring point: inside
+    assert(Geo.within(Geo.point(1, 1), nested))
+    // (b) hole-A point outside the island: NOT inside (flips if rings ignored)
+    assert(!Geo.within(Geo.point(2.5, 2.5), nested))
+    // (c) ISLAND point: inside AGAIN (flips if polygon 2 is ignored)
+    assert(Geo.within(Geo.point(3.5, 3.5), nested))
+    // (d) hole-B point: NOT inside (flips if only the FIRST ring is honoured)
+    assert(!Geo.within(Geo.point(8, 8), nested))
+    // (e) the same matrix through the SERIALISED path (WKB round-trip)
+    val rt = Geo.fromWkb(Geo.toWkb(nested)).asInstanceOf[org.locationtech.jts.geom.GeometryCollection]
+    assert(!Geo.within(Geo.point(2.5, 2.5), rt) && Geo.within(Geo.point(3.5, 3.5), rt))
+    val mp = rt.getGeometryN(0).asInstanceOf[org.locationtech.jts.geom.MultiPolygon]
+    assert(mp.getNumGeometries === 2)
+    assert(mp.getGeometryN(0).asInstanceOf[Polygon].getNumInteriorRing === 2)
+    // (f) area: 100 − 9 − 4 + 1 = 88 (both holes subtracted, island added back)
+    assert(math.abs(nested.getArea - 88.0) < 1e-9)
+    // (g) a child rect fully inside the ISLAND is exactly within
+    assert(Geo.withinExact(gc(Geo.rect(3.2, 3.2, 3.8, 3.8)), nested))
+    // (h) a child straddling island and hole A (3.5,3.5)-(4.5,4.4):
+    //     intersection with the area = island part only, 0.5/1.0 of width
+    //     -> 0.5 < 0.9, rejected by exact AND fuzzy
+    assert(!Geo.within(gc(Geo.rect(3.5, 3.5, 4.5, 4.4)), nested))
+  }
+
   test("DOCUMENTED DEVIATION: precision-reduce sits INSIDE our Try (failure→false), OUTSIDE the reference's") {
     // Reference fuzzyWithin (GeoCalculator.scala:133-136) calls
     // precisionReducer.reduce(p)/reduce(q) BEFORE entering its Try — a
