@@ -55,7 +55,11 @@ object SparkEntry {
     // kNN + radius (Q8)
     "q_knn" -> ((s, d) => GeoQueries.knn(s, d)),
     // distributed batch kNN-join over a 200-probe grid (ring state in DFs)
-    "q_knn_batch" -> ((s, d) => GeoQueries.knnBatchGrid(s, d)),
+    // built THROUGH the serialisable AST (round-5 verdict #4: the batch
+    // surface is wire-addressable — translate(KnnBatch) = knnBatchGrid)
+    "q_knn_batch" -> ((s, d) => graft.api.AstTranslator.translate(s, d,
+      graft.api.GeoAst.KnnBatch("grid", GeoQueries.KNN_BATCH_K, GeoQueries.KNN_BATCH_PRUNE_M))
+      .fold(e => throw new IllegalArgumentException(e.msg), identity)),
     "q_radius" -> ((s, d) => GeoQueries.radius(s, d)),
     // tiling (north-star raster/vector)
     "q_tile_assign" -> ((s, d) => GeoQueries.tileAssign(s, d)),

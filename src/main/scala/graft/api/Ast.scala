@@ -41,6 +41,18 @@ object GeoAst {
   /** S10: POIs whose name starts with the given prefix (the reference's
     * ES name search collapsed to its hit predicate). */
   final case class PoiByName(name: String) extends GeoAst
+  /** Q4 + the antimeridian contract: points in a bbox; `lonMin > lonMax`
+    * wraps across ±180 (the [[graft.cell.CellIndex.rectCover]] dateline
+    * rule — round-5 surface, now wire-addressable). */
+  final case class BboxFetch(lonMin: Double, latMin: Double,
+      lonMax: Double, latMax: Double) extends GeoAst
+  /** Q8 at BATCH shape: the distributed kNN-join over a NAMED probe set
+    * (probe tables live server-side; the wire carries a reference, the
+    * same pattern as the reference's named POI query types). */
+  final case class KnnBatch(probeSet: String, k: Int, pruneM: Double) extends GeoAst
+  /** Time-travel read of the engine's snapshot point index: version ≥ 1,
+    * or -1 for the current snapshot. */
+  final case class SnapshotRead(version: Int) extends GeoAst
 }
 
 sealed trait TranslateError { def msg: String }
@@ -198,6 +210,42 @@ object AstTranslator {
         Right(GeoWorld.points(spark, sfDir)
           .filter(col("name").startsWith(name))
           .select(col("pid"), col("name"), col("tag_k"), col("tag_v")))
+
+      case BboxFetch(lo0, la0, lo1, la1) =>
+        if (la0 >= la1 || la0 < -90 || la1 > 90 ||
+            lo0 < -180 || lo0 > 180 || lo1 < -180 || lo1 > 180)
+          Left(TranslateError.CouldNotCreateInputQuery(
+            s"bad bbox ($lo0,$la0)-($lo1,$la1): lat range must ascend within ±90, lons within ±180"))
+        else {
+          // lonMin > lonMax ⇒ the cover is rectCover's two-hemisphere
+          // union and the refine is the WRAPPED predicate (never 0 rows,
+          // the clamp-only blind spot the reference inherits)
+          import spark.implicits._
+          val cover = CellIndex.rectCover(lo0, la0, lo1, la1, RES_MID).toSeq.toDF("cell")
+          val lonPred =
+            if (lo0 <= lo1) col("lon") > lo0 && col("lon") < lo1
+            else col("lon") > lo0 || col("lon") < lo1
+          Right(GeoWorld.points(spark, sfDir)
+            .withColumn("cell", CellFunctions.zcell(col("lon"), col("lat"), lit(RES_MID)))
+            .join(broadcast(cover), "cell")
+            .filter(lonPred && col("lat") > la0 && col("lat") < la1)
+            .select(col("pid"), col("lon"), col("lat")))
+        }
+
+      case KnnBatch(_, k, pruneM) if k <= 0 || pruneM <= 0 =>
+        Left(TranslateError.CouldNotCreateInputQuery(
+          s"k and pruneM must be positive, got k=$k pruneM=$pruneM"))
+      case KnnBatch("grid", k, pruneM) =>
+        Right(GeoQueries.knnBatchGrid(spark, sfDir, k, pruneM))
+      case KnnBatch(ps, _, _) =>
+        Left(TranslateError.CouldNotCreateInputQuery(s"unknown probe set '$ps'"))
+
+      case SnapshotRead(v) =>
+        val t = graft.index.SnapshotQueries.astTable(spark, sfDir)
+        val cur = t.currentVersion
+        if (v == -1 || (v >= 1 && v <= cur)) Right(t.read(v))
+        else Left(TranslateError.CouldNotCreateInputQuery(
+          s"no snapshot version $v (table is at v$cur)"))
     }
   }
 }

@@ -39,6 +39,12 @@ object AstJson {
       s"""{"type":"NearbyRanked","lon":$lon,"lat":$lat,"k":$k}"""
     case PoiByName(n) =>
       s"""{"type":"PoiByName","name":"${esc(n)}"}"""
+    case BboxFetch(lo0, la0, lo1, la1) =>
+      s"""{"type":"BboxFetch","lonMin":$lo0,"latMin":$la0,"lonMax":$lo1,"latMax":$la1}"""
+    case KnnBatch(p, k, m) =>
+      s"""{"type":"KnnBatch","probeSet":"${esc(p)}","k":$k,"pruneM":$m}"""
+    case SnapshotRead(v) =>
+      s"""{"type":"SnapshotRead","version":$v}"""
   }
 
   /** Minimal recursive-descent parser for the fixed AST grammar. Returns
@@ -135,6 +141,9 @@ object AstJson {
       case "Nearby" => Nearby(num(m, "lon"), num(m, "lat"), num(m, "radiusM"))
       case "NearbyRanked" => NearbyRanked(num(m, "lon"), num(m, "lat"), num(m, "k").toInt)
       case "PoiByName" => PoiByName(str(m, "name"))
+      case "BboxFetch" => BboxFetch(num(m, "lonMin"), num(m, "latMin"), num(m, "lonMax"), num(m, "latMax"))
+      case "KnnBatch" => KnnBatch(str(m, "probeSet"), num(m, "k").toInt, num(m, "pruneM"))
+      case "SnapshotRead" => SnapshotRead(num(m, "version").toInt)
       case t => fail(s"unknown query type '$t'") // the reference's UnknownCommand
     }
   }

@@ -744,6 +744,27 @@ object SnapshotQueries {
     root
   }
 
+  /** Build-once snapshot table backing the AST's `SnapshotRead` surface:
+    * v1 = the point→cell index, v2 = the re-versioned pid%3 delta (the
+    * [[indexUpsert]] shape). Reused across translate calls within one
+    * process (per-process root via runTag, so no cross-driver clobber). */
+  def astTable(spark: SparkSession, sfDir: String): SnapshotTable = synchronized {
+    import graft.cell.{CellFunctions, CellIndex}
+    graft.gen.GeoWorld.registerUdfs(spark)
+    val t = new SnapshotTable(spark, rootFor("snap-ast", sfDir))
+    if (t.currentVersion == 0) {
+      val base = graft.gen.GeoWorld.points(spark, sfDir)
+        .select(col("pid"),
+          CellFunctions.zcell(col("lon"), col("lat"), lit(CellIndex.RES_MID)).as("cell"))
+        .withColumn("part", CellFunctions.zcellParent(
+          col("cell"), lit(CellIndex.RES_MID), lit(2)))
+        .withColumn("ver", lit(1L))
+      t.init(base)
+      t.upsert(base.filter(col("pid") % 3 === 0).withColumn("ver", lit(2L)), Seq("pid"))
+    }
+    t
+  }
+
   def indexUpsert(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.cell.{CellFunctions, CellIndex}
     graft.gen.GeoWorld.registerUdfs(spark)

@@ -744,12 +744,13 @@ object GeoQueries {
     * widening loop (DataFrame ring state, shuffle-hash ring joins,
     * column-predicate completion proofs) against a brute-force DuckDB
     * oracle — the BATCH path is oracle-checked, not just spec-pinned. */
-  def knnBatchGrid(spark: SparkSession, sfDir: String): DataFrame = {
+  def knnBatchGrid(spark: SparkSession, sfDir: String,
+      k: Int = KNN_BATCH_K, pruneM: Double = KNN_BATCH_PRUNE_M): DataFrame = {
     val probes = spark.range(KNN_BATCH_GRID).select(
       col("id").as("qid"),
       (lit(GeoWorld.LON0) + (col("id") % 20) * 3.0 + 0.05).as("qlon"),
       (lit(GeoWorld.LAT0) + floor(col("id") / 20) * 3.6 + 0.07).as("qlat"))
-    knnBatch(spark, sfDir, probes, KNN_BATCH_K, KNN_BATCH_PRUNE_M)
+    knnBatch(spark, sfDir, probes, k, pruneM)
   }
 
   val knnBatchGridSql: String = {

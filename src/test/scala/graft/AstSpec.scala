@@ -43,7 +43,10 @@ class AstSpec extends SparkSpec {
       for { k <- nameGen; x <- coordGen; y <- coordGen } yield PoisFromCoordinates(k, x, y),
       for { x <- coordGen; y <- coordGen; r <- Gen.chooseNum(1.0, 1e6) } yield Nearby(x, y, r),
       for { x <- coordGen; y <- coordGen; k <- Gen.chooseNum(1, 50) } yield NearbyRanked(x, y, k),
-      for { n <- nameGen } yield PoiByName(n))
+      for { n <- nameGen } yield PoiByName(n),
+      for { a <- coordGen; b <- coordGen; c <- coordGen; d <- coordGen } yield BboxFetch(a, b, c, d),
+      for { p <- nameGen; k <- Gen.chooseNum(1, 50); m <- Gen.chooseNum(1.0, 1e6) } yield KnnBatch(p, k, m),
+      for { v <- Gen.chooseNum(-1, 99) } yield SnapshotRead(v))
     def astGen(depth: Int): Gen[GeoAst] =
       if (depth <= 0) leafGen
       else Gen.frequency(
@@ -159,6 +162,48 @@ class AstSpec extends SparkSpec {
     // a planet-scale radius at this resolution needs an absurd ring -> error, not silence
     val huge = AstTranslator.translate(spark, sfDir, Nearby(qlon, qlat, 2.0e7))
     assert(huge.left.exists(_.isInstanceOf[TranslateError.CouldNotCreateInputQuery]))
+  }
+
+  test("BboxFetch translates to the cover+refine fetch; lonMin > lonMax WRAPS across the dateline") {
+    import graft.gen.GeoWorld
+    val pts = GeoWorld.points(spark, sfDir).select("pid", "lon", "lat").collect()
+      .map(p => (p.getLong(0), p.getDouble(1), p.getDouble(2)))
+    // plain bbox
+    val Right(plain) = AstTranslator.translate(spark, sfDir, BboxFetch(-18.0, 31.0, -10.0, 36.0)): @unchecked
+    val wantPlain = pts.filter(p => p._2 > -18.0 && p._2 < -10.0 && p._3 > 31.0 && p._3 < 36.0).map(_._1).toSet
+    assert(plain.select("pid").collect().map(_.getLong(0)).toSet === wantPlain)
+    assert(wantPlain.nonEmpty)
+    // dateline-crossing bbox (lonMin > lonMax): the wrapped refine admits
+    // lon > 170 OR lon < -10 — a clamp-only cover would return ZERO rows
+    val Right(wrap) = AstTranslator.translate(spark, sfDir, BboxFetch(170.0, 31.0, -10.0, 36.0)): @unchecked
+    val wantWrap = pts.filter(p => (p._2 > 170.0 || p._2 < -10.0) && p._3 > 31.0 && p._3 < 36.0).map(_._1).toSet
+    assert(wrap.select("pid").collect().map(_.getLong(0)).toSet === wantWrap)
+    assert(wantWrap.nonEmpty, "the wrap must reach the world's western points")
+    // malformed boxes are typed errors
+    assert(AstTranslator.translate(spark, sfDir, BboxFetch(0, 50, 10, 40))
+      .left.exists(_.isInstanceOf[TranslateError.CouldNotCreateInputQuery]))
+    assert(AstTranslator.translate(spark, sfDir, BboxFetch(-200, 0, 10, 1))
+      .left.exists(_.isInstanceOf[TranslateError.CouldNotCreateInputQuery]))
+  }
+
+  test("SnapshotRead time-travels the snapshot index; unknown versions and probe sets are typed errors") {
+    // v1: everything ver=1; v2 (current): pid%3==0 re-versioned to 2
+    val Right(v1) = AstTranslator.translate(spark, sfDir, SnapshotRead(1)): @unchecked
+    assert(v1.filter(col("ver") =!= 1L).count() === 0L)
+    val Right(v2) = AstTranslator.translate(spark, sfDir, SnapshotRead(2)): @unchecked
+    assert(v2.filter(col("ver") === 2L).count() > 0L)
+    assert(v2.filter(col("pid") % 3 === 0 && col("ver") =!= 2L).count() === 0L)
+    assert(v1.count() === v2.count(), "the upsert only re-versions existing keys")
+    // -1 = current
+    val Right(cur) = AstTranslator.translate(spark, sfDir, SnapshotRead(-1)): @unchecked
+    assert(cur.filter(col("ver") === 2L).count() === v2.filter(col("ver") === 2L).count())
+    // out-of-range version and bad knn inputs are typed errors, not exceptions
+    assert(AstTranslator.translate(spark, sfDir, SnapshotRead(99))
+      .left.exists(_.isInstanceOf[TranslateError.CouldNotCreateInputQuery]))
+    assert(AstTranslator.translate(spark, sfDir, KnnBatch("grid", 0, 1000.0))
+      .left.exists(_.isInstanceOf[TranslateError.CouldNotCreateInputQuery]))
+    assert(AstTranslator.translate(spark, sfDir, KnnBatch("nonexistent", 3, 1000.0))
+      .left.exists(_.isInstanceOf[TranslateError.CouldNotCreateInputQuery]))
   }
 
   test("invalid admin level is a CouldNotCreateInputQuery, not an exception") {
