@@ -71,6 +71,38 @@ object SkewBench {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  /**
+   * Batch-kNN ring-join skew (round-5 verdict #6): ALL probes clustered
+   * inside the world's ~0.2° hot box (30% of the corpus in 1–2 coarse
+   * cells), so every probe's ring covers the hot cells and the
+   * shuffle-hash ring join concentrates its output in a handful of
+   * partitions — the worst realistic key distribution for
+   * [[graft.query.GeoQueries.knnBatch]]. Reports the dominant join
+   * stage's task-time spread plain vs AQE skew-split.
+   */
+  private def knnSpread(spark: SparkSession, sfDir: String, aqe: Boolean, salt: Int): (Double, Double, Double) = {
+    GeoWorld.registerUdfs(spark)
+    spark.conf.set("spark.sql.adaptive.enabled", aqe.toString)
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", aqe.toString)
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8m")
+    val listener = new TaskTimes
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // 20×10 probe grid spanning ONLY the hot box (lon 6.00–6.19, lat
+      // 50.00–50.17 in the default world frame)
+      val probes = spark.range(200).select(
+        col("id").as("qid"),
+        (lit(GeoWorld.LON0 + 26.0) + (col("id") % 20) * 0.01).as("qlon"),
+        (lit(GeoWorld.LAT0 + 20.0) + floor(col("id") / 20) * 0.017).as("qlat"))
+      graft.query.GeoQueries.knnBatch(spark, sfDir, probes, k = 3, pruneM = 150000.0, salt = salt).count()
+      val ts = listener.dominantStage.sorted
+      val med = if (ts.isEmpty) 0.0 else ts(ts.length / 2).toDouble
+      val max = if (ts.isEmpty) 0.0 else ts.last.toDouble
+      (med, max, if (med > 0) max / med else 0.0)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -87,11 +119,18 @@ object SkewBench {
     val (medSalt, maxSalt, spreadSalt) = spread(spark, sfDir, salt = 8)
     // Spark's own mitigation: AQE skew-join splitting, no explicit salt
     val (medAqe, maxAqe, spreadAqe) = spread(spark, sfDir, salt = 1, aqe = true)
+    val (kMedPlain, kMaxPlain, kSpreadPlain) = knnSpread(spark, sfDir, aqe = false, salt = 1)
+    val (kMedSalt, kMaxSalt, kSpreadSalt) =
+      knnSpread(spark, sfDir, aqe = false, salt = graft.query.GeoQueries.KNN_SALT)
+    val (kMedAqe, kMaxAqe, kSpreadAqe) = knnSpread(spark, sfDir, aqe = true, salt = 1)
     val json =
       s"""{"metric":"salted-join task-time spread (max/median of the dominant [join] stage, hot-cell world)","sf":"$sfDir",
          |"plain":{"median_ms":$medPlain,"max_ms":$maxPlain,"spread":$spreadPlain},
          |"salted8":{"median_ms":$medSalt,"max_ms":$maxSalt,"spread":$spreadSalt},
-         |"plain_aqe_skewjoin":{"median_ms":$medAqe,"max_ms":$maxAqe,"spread":$spreadAqe}}""".stripMargin.replace("\n", "")
+         |"plain_aqe_skewjoin":{"median_ms":$medAqe,"max_ms":$maxAqe,"spread":$spreadAqe},
+         |"knn_batch_hotgrid_plain":{"median_ms":$kMedPlain,"max_ms":$kMaxPlain,"spread":$kSpreadPlain},
+         |"knn_batch_hotgrid_salted${graft.query.GeoQueries.KNN_SALT}":{"median_ms":$kMedSalt,"max_ms":$kMaxSalt,"spread":$kSpreadSalt},
+         |"knn_batch_hotgrid_aqe":{"median_ms":$kMedAqe,"max_ms":$kMaxAqe,"spread":$kSpreadAqe}}""".stripMargin.replace("\n", "")
     println(json)
     Files.writeString(Paths.get("BENCH_SKEW.json"), json + "\n")
     spark.stop()

@@ -616,8 +616,18 @@ object GeoQueries {
   /** One kNN ring-join + partial-top-k pass over a probe subset (exposed
     * for the plan-shape regression test: MUST stay an equi-join, never a
     * cartesian/broadcast-NL product). `pts` carries (pid, lon, lat, cell). */
+  /** Salt factor for the BATCH ring join: a fully-clustered probe grid
+    * (every probe in the hot box) concentrates the join's output under
+    * ONE cell key, which AQE cannot split below key granularity —
+    * measured 132× task-time spread, 21 s max task at sf0.1
+    * (BENCH_SKEW.json knn_batch_hotgrid_plain). Salting splits the
+    * corpus's hot cell `KNN_SALT` ways and replicates only the tiny
+    * probe-ring build side. */
+  final val KNN_SALT = 8
+
   private[graft] def knnPass(spark: SparkSession, pts: DataFrame, pr: DataFrame,
-      ringK: Int, k: Int, pruneM: Double, broadcastProbes: Boolean = true): DataFrame = {
+      ringK: Int, k: Int, pruneM: Double, broadcastProbes: Boolean = true,
+      salt: Int = KNN_SALT): DataFrame = {
     import spark.implicits._
     val probeCells = pr.withColumn("cell", explode(call_function("zcell_ring",
       CellFunctions.zcell(col("qlon"), col("qlat"), lit(RES_COARSE)), lit(RES_COARSE), lit(ringK))))
@@ -628,10 +638,17 @@ object GeoQueries {
     // cells is too big to broadcast -> shuffle hash equi-join on cell, with
     // the hint on the PROBE side so it becomes the build side — hinting the
     // corpus would build per-task hash maps over the 10^12-doc side and OOM
-    // (review finding).
+    // (review finding). The batch join is SALTED on (cell, salt): the
+    // corpus side takes pmod(hash(pid), salt) (map-only), the probe-ring
+    // build side explodes ×salt (still tiny) — a hot cell's candidates
+    // spread over `salt` partitions instead of one task (see [[KNN_SALT]]).
     val joined =
       if (broadcastProbes) pts.join(broadcast(probeCells), "cell")
-      else pts.join(probeCells.hint("shuffle_hash"), "cell")
+      else if (salt <= 1) pts.join(probeCells.hint("shuffle_hash"), "cell")
+      else pts.withColumn("_salt", pmod(hash(col("pid")), lit(salt)))
+        .join(probeCells.withColumn("_salt", explode(sequence(lit(0), lit(salt - 1))))
+          .hint("shuffle_hash"), Seq("cell", "_salt"))
+        .drop("_salt")
     joined
       .select(col("qid"),
         GeoCols.haversineM(col("lon"), col("lat"), col("qlon"), col("qlat")).as("dist_m"),
@@ -664,7 +681,7 @@ object GeoQueries {
    * and values equal [[knnForProbes]] on the same probes (spec-pinned).
    */
   def knnBatch(spark: SparkSession, sfDir: String, probeDf: DataFrame,
-      k: Int, pruneM: Double): DataFrame = {
+      k: Int, pruneM: Double, salt: Int = KNN_SALT): DataFrame = {
     init(spark)
     val pts = GeoWorld.points(spark, sfDir).select(
       col("pid"), col("lon"), col("lat"),
@@ -691,7 +708,7 @@ object GeoQueries {
     var ringK = 3
     var iter = 0
     while (iter < 16 && !pending.isEmpty) {
-      val tops = knnPass(spark, pts, pending, ringK, k, pruneM, broadcastProbes = false)
+      val tops = knnPass(spark, pts, pending, ringK, k, pruneM, broadcastProbes = false, salt = salt)
       // left join: a probe with an EMPTY ring stays pending (the service
       // path's vanished-probe fix, as a join shape)
       val joined = pending.join(tops, Seq("qid"), "left")
