@@ -404,13 +404,35 @@ class SnapshotTable(spark: SparkSession, root: String,
     } finally cachedDelta.unpersist()
   }
 
-  /** Time-travel read of snapshot v (default: current). */
-  def read(version: Int = -1): DataFrame = {
+  /**
+   * Manifest-level pruning core, shared by the read methods and the DSv2
+   * scan ([[graft.sources.SnapshotSource]]): only manifests whose bounds
+   * intersect the requested partitions/range are OPENED, then their file
+   * entries are filtered the same way. Returns the covering file entries.
+   */
+  def pruneFiles(parts: Option[Set[Long]], range: Option[(Long, Long)],
+      version: Int = -1): Seq[FileEntry] = {
     val v = if (version < 0) currentVersion else version
-    val metas = manifestList(v)
-    openedManifests.set(metas.map(_.path))
-    readFiles(metas.flatMap(m => readManifest(m.path)))
+    val metas0 = manifestList(v)
+    val metas1 = parts.fold(metas0)(ps =>
+      metas0.filter(m => ps.exists(p => m.partLo <= p && p <= m.partHi)))
+    val covering = range.fold(metas1) { case (lo, hi) =>
+      metas1.filter(m => m.lo.forall(_ <= hi) && m.hi.forall(_ >= lo)) }
+    openedManifests.set(covering.map(_.path))
+    val files0 = covering.flatMap(m => readManifest(m.path))
+    val files1 = parts.fold(files0)(ps => files0.filter(f => ps(f.part)))
+    range.fold(files1) { case (lo, hi) =>
+      files1.filter(f => f.lo.forall(_ <= hi) && f.hi.forall(_ >= lo)) }
   }
+
+  /** The table's persisted read-order schema (written at init). */
+  def tableSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.DataType.fromJson(
+      Files.readString(schemaPath)).asInstanceOf[org.apache.spark.sql.types.StructType]
+
+  /** Time-travel read of snapshot v (default: current). */
+  def read(version: Int = -1): DataFrame =
+    readFiles(pruneFiles(None, None, version))
 
   /**
    * MANIFEST-level partition pruning (Iceberg's partition filter): only
@@ -420,13 +442,8 @@ class SnapshotTable(spark: SparkSession, root: String,
    * entry point a cell/bbox fetch uses: a region query touches its
    * region's covering manifests and files, not the world's.
    */
-  def readParts(parts: Set[Long], version: Int = -1): DataFrame = {
-    val v = if (version < 0) currentVersion else version
-    val covering = manifestList(v).filter(m =>
-      parts.exists(p => m.partLo <= p && p <= m.partHi))
-    openedManifests.set(covering.map(_.path))
-    readFiles(covering.flatMap(m => readManifest(m.path)).filter(f => parts(f.part)))
-  }
+  def readParts(parts: Set[Long], version: Int = -1): DataFrame =
+    readFiles(pruneFiles(Some(parts), None, version))
 
   /**
    * MANIFEST-level range pruning over the stats column (Iceberg's column
@@ -438,12 +455,7 @@ class SnapshotTable(spark: SparkSession, root: String,
    */
   def readRange(loBound: Long, hiBound: Long, version: Int = -1): DataFrame = {
     require(statsCol.isDefined, "readRange needs a stats column")
-    val v = if (version < 0) currentVersion else version
-    val covering = manifestList(v).filter(m =>
-      m.lo.forall(_ <= hiBound) && m.hi.forall(_ >= loBound))
-    openedManifests.set(covering.map(_.path))
-    readFiles(covering.flatMap(m => readManifest(m.path)).filter(f =>
-      f.lo.forall(_ <= hiBound) && f.hi.forall(_ >= loBound)))
+    readFiles(pruneFiles(None, Some((loBound, hiBound)), version))
   }
 
   private def readFiles(files: Seq[FileEntry]): DataFrame =
@@ -872,4 +884,33 @@ object SnapshotQueries {
       s"""SELECT pid, lon, lat FROM pts
          |WHERE lon > $lo0 AND lon < $lo1 AND lat > $la0 AND lat < $la1""".stripMargin
   }
+
+  /**
+   * The same bbox fetch served through the DataSourceV2 READ PATH and
+   * PLAIN SQL ([[graft.sources.SnapshotSource]]): the snapshot index is
+   * registered as a temp view and queried with `part IN (cover cells) AND
+   * <exact bbox>` — the IN list prunes manifests and files at scan
+   * planning (spec-pinned in SnapshotTableSpec), the bbox predicate
+   * refines rows. Parity with the plain-filter oracle proves the DSv2
+   * pruning loses nothing.
+   */
+  def bboxSqlFetch(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.cell.{CellFunctions, CellIndex}
+    graft.gen.GeoWorld.registerUdfs(spark)
+    val root = freshRoot("snap-sql", sfDir)
+    val t = new SnapshotTable(spark, root, manifestTargetFiles = BBOX_MANIFEST_FILES)
+    t.init(graft.gen.GeoWorld.points(spark, sfDir)
+      .select(col("pid"), col("lon"), col("lat"))
+      .withColumn("part", CellFunctions.zcell(col("lon"), col("lat"), lit(ROUTE_RES))))
+    val (lo0, la0, lo1, la1) = BBOX
+    val parts = CellIndex.rectCover(lo0, la0, lo1, la1, ROUTE_RES)
+    spark.read.format("graft.sources.SnapshotSource").option("root", root).load()
+      .createOrReplaceTempView("snap_idx")
+    spark.sql(
+      s"""SELECT pid, lon, lat FROM snap_idx
+         |WHERE part IN (${parts.mkString(", ")})
+         |  AND lon > $lo0 AND lon < $lo1 AND lat > $la0 AND lat < $la1""".stripMargin)
+  }
+
+  val bboxSqlFetchSql: String = bboxIndexFetchSql
 }

@@ -1,0 +1,190 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.ColumnarBatch
+
+import graft.index.SnapshotTable
+
+/**
+ * DataSourceV2 READ path for [[graft.index.SnapshotTable]] (round-5 verdict
+ * #7): the snapshot table as a first-class Spark source —
+ * {{{
+ *   spark.read.format("graft.sources.SnapshotSource")
+ *     .option("root", root).option("version", "2").option("statscol", "cell")
+ *     .load()
+ * }}}
+ * Pruning moves INTO scan planning: partition-equality/IN filters on `part`
+ * and range filters on the stats column prune manifests, then files, at
+ * `planInputPartitions` time (the same [[SnapshotTable.pruneFiles]] core the
+ * programmatic reads use), so `WHERE part = 3 AND cell BETWEEN a AND b`
+ * skips metadata and data without any engine-specific call. Every pushed
+ * filter is ALSO returned as a residual — pruning can only skip files, never
+ * rows, exactly like parquet's own pushdown contract.
+ *
+ * Execution is columnar: each input partition is one data file read through
+ * Spark's own `VectorizedParquetRecordReader` (public API of the parquet
+ * datasource), with the `part` value attached as a PARTITION COLUMN from the
+ * manifest entry — the physical `_part` column is never decoded, dropping
+ * the `_part` re-append dance of the DataFrame path.
+ */
+class SnapshotSource extends TableProvider {
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SnapshotSource.tableFor(options.asCaseSensitiveMap()).tableSchema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new SnapshotSource.SnapTable(schema, properties)
+}
+
+object SnapshotSource {
+
+  private def tableFor(props: java.util.Map[String, String]): SnapshotTable = {
+    val root = Option(props.get("root")).getOrElse(
+      throw new IllegalArgumentException("graft snapshot source needs option 'root'"))
+    new SnapshotTable(SparkSession.active, root,
+      statsCol = Option(props.get("statscol")))
+  }
+
+  private final class SnapTable(schema: StructType,
+      props: java.util.Map[String, String]) extends Table with SupportsRead {
+    override def name(): String = s"graft-snapshot(${props.get("root")})"
+    override def schema(): StructType = schema
+    override def capabilities(): java.util.Set[TableCapability] =
+      java.util.EnumSet.of(TableCapability.BATCH_READ)
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      new SnapScanBuilder(schema, props)
+  }
+
+  private final class SnapScanBuilder(schema: StructType,
+      props: java.util.Map[String, String])
+      extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+    private val statsCol = Option(props.get("statscol"))
+    private var required: StructType = schema
+    private var parts: Option[Set[Long]] = None
+    private var range: Option[(Long, Long)] = None
+    private var pushed: Array[Filter] = Array.empty
+
+    private def longOf(v: Any): Option[Long] = v match {
+      case l: Long => Some(l)
+      case i: Int => Some(i.toLong)
+      case s: Short => Some(s.toLong)
+      case b: Byte => Some(b.toLong)
+      case _ => None
+    }
+
+    override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+      var lo = Long.MinValue
+      var hi = Long.MaxValue
+      val used = Array.newBuilder[Filter]
+      filters.foreach {
+        case f @ EqualTo("part", v) if longOf(v).isDefined =>
+          val p = longOf(v).get
+          parts = Some(parts.fold(Set(p))(_.intersect(Set(p)))); used += f
+        case f @ In("part", vs) if vs.forall(longOf(_).isDefined) =>
+          val ps = vs.flatMap(longOf).toSet
+          parts = Some(parts.fold(ps)(_.intersect(ps))); used += f
+        case f @ GreaterThan(c, v) if statsCol.contains(c) && longOf(v).isDefined =>
+          lo = math.max(lo, longOf(v).get); used += f
+        case f @ GreaterThanOrEqual(c, v) if statsCol.contains(c) && longOf(v).isDefined =>
+          lo = math.max(lo, longOf(v).get); used += f
+        case f @ LessThan(c, v) if statsCol.contains(c) && longOf(v).isDefined =>
+          hi = math.min(hi, longOf(v).get); used += f
+        case f @ LessThanOrEqual(c, v) if statsCol.contains(c) && longOf(v).isDefined =>
+          hi = math.min(hi, longOf(v).get); used += f
+        case f @ EqualTo(c, v) if statsCol.contains(c) && longOf(v).isDefined =>
+          lo = math.max(lo, longOf(v).get); hi = math.min(hi, longOf(v).get); used += f
+        case _ => ()
+      }
+      if (lo != Long.MinValue || hi != Long.MaxValue) range = Some((lo, hi))
+      pushed = used.result()
+      // every filter stays a residual: bounds pruning skips FILES, the
+      // engine still evaluates exact row predicates (parquet's contract)
+      filters
+    }
+
+    override def pushedFilters(): Array[Filter] = pushed
+
+    override def pruneColumns(requiredSchema: StructType): Unit =
+      required = requiredSchema
+
+    override def build(): Scan = {
+      // read schema in TABLE order (physical file order) so the vectorized
+      // reader's output needs no per-batch reordering; Spark projects to
+      // the query's order above the scan
+      val names = required.fieldNames.toSet
+      val ordered = StructType(schema.fields.filter(f => names.contains(f.name)))
+      val entries = tableFor(props).pruneFiles(parts, range,
+        Option(props.get("version")).map(_.toInt).getOrElse(-1))
+      new SnapScan(ordered, entries.map(e => SnapInputPartition(e.path, e.part, e.rows)))
+    }
+  }
+
+  final case class SnapInputPartition(path: String, part: Long, rows: Long)
+      extends InputPartition
+
+  private final class SnapScan(out: StructType,
+      partitions: Seq[SnapInputPartition]) extends Scan with Batch {
+    override def readSchema(): StructType = out
+    override def toBatch: Batch = this
+    override def description(): String =
+      s"graft-snapshot scan: ${partitions.size} files after manifest pruning"
+    override def planInputPartitions(): Array[InputPartition] = partitions.toArray
+    override def createReaderFactory(): PartitionReaderFactory =
+      new SnapReaderFactory(out)
+  }
+
+  private final class SnapReaderFactory(out: StructType)
+      extends PartitionReaderFactory {
+
+    override def supportColumnarReads(partition: InputPartition): Boolean = true
+
+    override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] = {
+      val sp = p.asInstanceOf[SnapInputPartition]
+      // `part` is VIRTUAL: its value comes from the manifest entry and is
+      // attached as a partition column — the physical `_part` is not read
+      val physical = out.fields.filter(_.name != "part").map(_.name)
+      val needPart = out.fieldNames.contains("part")
+      val reader = new org.apache.spark.sql.execution.datasources.parquet
+        .VectorizedParquetRecordReader(false, 4096)
+      var closed = false
+      try {
+        reader.initialize(sp.path, java.util.Arrays.asList(physical: _*))
+        val (pSchema, pRow) =
+          if (needPart) (StructType(Seq(StructField("part", LongType))), InternalRow(sp.part))
+          else (new StructType(), InternalRow.empty)
+        reader.initBatch(pSchema, pRow)
+        reader.enableReturningBatches()
+      } catch { case e: Throwable => reader.close(); closed = true; throw e }
+      new PartitionReader[ColumnarBatch] {
+        override def next(): Boolean = reader.nextBatch()
+        override def get(): ColumnarBatch = reader.resultBatch()
+        override def close(): Unit = if (!closed) reader.close()
+      }
+    }
+
+    override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+      val cr = createColumnarReader(p)
+      new PartitionReader[InternalRow] {
+        private var it: java.util.Iterator[InternalRow] = java.util.Collections.emptyIterator()
+        override def next(): Boolean = {
+          while (!it.hasNext) {
+            if (!cr.next()) return false
+            it = cr.get().rowIterator()
+          }
+          true
+        }
+        override def get(): InternalRow = it.next()
+        override def close(): Unit = cr.close()
+      }
+    }
+  }
+}

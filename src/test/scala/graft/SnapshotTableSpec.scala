@@ -440,6 +440,39 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.read().collect().map(_.toSeq).toSet === dataBefore, "expire keeps the live snapshot intact")
   }
 
+  test("DSv2 read path: spark.read.format time-travels and prunes files AT SCAN PLANNING") {
+    val root = java.nio.file.Files.createTempDirectory("snapdsv2").toString
+    val t = new graft.index.SnapshotTable(spark, root, statsCol = Some("id"))
+    t.init((0L until 1000L).map(i => (i, i / 125, 1L)).toDF("id", "part", "ver").repartition(4))
+    t.upsert(Seq((130L, 1L, 2L)).toDF("id", "part", "ver"), Seq("id"))
+    def dsv2(version: Int) = spark.read.format("graft.sources.SnapshotSource")
+      .option("root", root).option("statscol", "id").option("version", version.toString).load()
+    // full-read parity with the programmatic path, both versions
+    assert(dsv2(2).collect().map(_.toSeq).toSet === t.read(2).collect().map(_.toSeq).toSet)
+    assert(dsv2(1).filter($"ver" === 2L).count() === 0L, "time travel sees the pre-upsert version")
+    // stats-range filter prunes INPUT PARTITIONS (1 per file) at plan time
+    val filtered = dsv2(2).filter($"id".between(200, 300))
+    val planned = filtered.rdd.getNumPartitions
+    assert(planned === t.pruneFiles(None, Some((200L, 300L)), 2).size,
+      "the scan must plan exactly the range's covering files")
+    assert(planned < t.snapshot(2).size, "pruning must actually skip files")
+    assert(filtered.count() === t.read(2).filter($"id".between(200, 300)).count())
+    // partition-equality filter prunes to that partition's files
+    val p3 = dsv2(2).filter($"part" === 3L)
+    assert(p3.rdd.getNumPartitions === t.pruneFiles(Some(Set(3L)), None, 2).size)
+    assert(p3.collect().map(_.toSeq).toSet ===
+      t.read(2).filter($"part" === 3L).collect().map(_.toSeq).toSet)
+    // column pruning incl. the VIRTUAL part column (attached from the
+    // manifest, the physical _part never decoded) and the empty projection
+    assert(dsv2(2).select("part").distinct().collect().map(_.getLong(0)).toSet ===
+      (0L until 8L).toSet)
+    assert(dsv2(2).count() === 1000L)
+    // SQL-addressable end to end
+    dsv2(2).createOrReplaceTempView("snap_v2")
+    assert(spark.sql("SELECT COUNT(*) FROM snap_v2 WHERE part = 3 AND id BETWEEN 400 AND 410")
+      .head().getLong(0) === 11L)
+  }
+
   test("expire drops old snapshots' orphan files but keeps everything current") {
     val (_, t) = freshTable()
     t.init(baseDf)
