@@ -61,6 +61,21 @@ object Headline {
     (nDocs, secs, resultRows)
   }
 
+  /** [[timed]] with an executor-CPU window opened at the SAME instant as
+    * the wall clock: the internal docs-count job runs BEFORE both, so
+    * cpu/wall stay comparable (review finding — snapshotting CPU around
+    * the whole call over-attributed the count job's CPU to the sample).
+    * Returns (docs processed, wall seconds, cpu seconds). */
+  def timedCpu(spark: SparkSession, sfDir: String, cpuSnap: () => Long,
+      factor: Int = 1): (Long, Double, Double) = {
+    val nDocs = GeoWorld.points(spark, sfDir).count() * factor
+    val c0 = cpuSnap()
+    val t0 = System.nanoTime()
+    job(spark, sfDir, factor = factor).count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    (nDocs, secs, (cpuSnap() - c0) / 1e9)
+  }
+
   // ----------------------- scaling-bench variant (realistic boundaries) --
 
   /**

@@ -39,9 +39,12 @@ object SkewBench {
     }
   }
 
-  private def spread(spark: SparkSession, sfDir: String, salt: Int, aqe: Boolean = false): (Double, Double, Double) = {
-    GeoWorld.registerUdfs(spark)
-    // AQE toggles are runtime confs: the third variant measures Spark's OWN
+  /** Shared scaffolding for every skew measurement: set the AQE confs, run
+    * `job` under a task-time listener, return the dominant stage's
+    * (median_ms, max_ms, spread). One implementation so the salted-join
+    * and knn-batch metrics stay comparable (review finding). */
+  private def measuredSpread(spark: SparkSession, aqe: Boolean)(job: => Unit): (Double, Double, Double) = {
+    // AQE toggles are runtime confs: the aqe variant measures Spark's OWN
     // skew mitigation (adaptive skew-join splitting) against the explicit salt
     spark.conf.set("spark.sql.adaptive.enabled", aqe.toString)
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", aqe.toString)
@@ -50,6 +53,17 @@ object SkewBench {
     val listener = new TaskTimes
     spark.sparkContext.addSparkListener(listener)
     try {
+      job
+      val ts = listener.dominantStage.sorted
+      val med = if (ts.isEmpty) 0.0 else ts(ts.length / 2).toDouble
+      val max = if (ts.isEmpty) 0.0 else ts.last.toDouble
+      (med, max, if (med > 0) max / med else 0.0)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  private def spread(spark: SparkSession, sfDir: String, salt: Int, aqe: Boolean = false): (Double, Double, Double) = {
+    GeoWorld.registerUdfs(spark)
+    measuredSpread(spark, aqe) {
       val pts = GeoWorld.points(spark, sfDir)
         .withColumn("cell", CellFunctions.zcell(col("lon"), col("lat"), lit(CellIndex.RES_COARSE)))
       val areas = GeoWorld.areas(spark, sfDir).filter(col("level") === 4)
@@ -63,12 +77,8 @@ object SkewBench {
           val a = areas.withColumn("salt", explode(sequence(lit(0), lit(salt - 1))))
           p.hint("shuffle_hash").join(a, Seq("cell", "salt"))
         }
-      joined.filter(GeoCols.geoContainsPoint(col("wkb"), col("lon"), col("lat"))).count()
-      val ts = listener.dominantStage.sorted
-      val med = if (ts.isEmpty) 0.0 else ts(ts.length / 2).toDouble
-      val max = if (ts.isEmpty) 0.0 else ts.last.toDouble
-      (med, max, if (med > 0) max / med else 0.0)
-    } finally spark.sparkContext.removeSparkListener(listener)
+      joined.filter(GeoCols.geoContainsPoint(col("wkb"), col("lon"), col("lat"))).count(); ()
+    }
   }
 
   /**
@@ -78,29 +88,19 @@ object SkewBench {
    * shuffle-hash ring join concentrates its output in a handful of
    * partitions — the worst realistic key distribution for
    * [[graft.query.GeoQueries.knnBatch]]. Reports the dominant join
-   * stage's task-time spread plain vs AQE skew-split.
+   * stage's task-time spread plain vs salted vs AQE skew-split.
    */
   private def knnSpread(spark: SparkSession, sfDir: String, aqe: Boolean, salt: Int): (Double, Double, Double) = {
     GeoWorld.registerUdfs(spark)
-    spark.conf.set("spark.sql.adaptive.enabled", aqe.toString)
-    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", aqe.toString)
-    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
-    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8m")
-    val listener = new TaskTimes
-    spark.sparkContext.addSparkListener(listener)
-    try {
+    measuredSpread(spark, aqe) {
       // 20×10 probe grid spanning ONLY the hot box (lon 6.00–6.19, lat
       // 50.00–50.17 in the default world frame)
       val probes = spark.range(200).select(
         col("id").as("qid"),
         (lit(GeoWorld.LON0 + 26.0) + (col("id") % 20) * 0.01).as("qlon"),
         (lit(GeoWorld.LAT0 + 20.0) + floor(col("id") / 20) * 0.017).as("qlat"))
-      graft.query.GeoQueries.knnBatch(spark, sfDir, probes, k = 3, pruneM = 150000.0, salt = salt).count()
-      val ts = listener.dominantStage.sorted
-      val med = if (ts.isEmpty) 0.0 else ts(ts.length / 2).toDouble
-      val max = if (ts.isEmpty) 0.0 else ts.last.toDouble
-      (med, max, if (med > 0) max / med else 0.0)
-    } finally spark.sparkContext.removeSparkListener(listener)
+      graft.query.GeoQueries.knnBatch(spark, sfDir, probes, k = 3, pruneM = 150000.0, salt = salt).count(); ()
+    }
   }
 
   def main(args: Array[String]): Unit = {

@@ -118,7 +118,7 @@ class SnapshotTable(spark: SparkSession, root: String,
         fileRe.findFirstMatchIn(line).map(m =>
           FileEntry(m.group(1), m.group(2).toLong, m.group(3).toLong, m.group(4).toLong,
             Option(m.group(5)).map(_.toLong), Option(m.group(6)).map(_.toLong)))).toSeq
-      driverEntryCounter.addAndGet(entries.size.toLong)
+      driverEntryCounter.set(driverEntryCounter.get() + entries.size)
       entries
     } finally s.close()
   }
@@ -133,15 +133,19 @@ class SnapshotTable(spark: SparkSession, root: String,
     ThreadLocal.withInitial[Seq[String]](() => Seq.empty)
   def lastManifestsOpened: Seq[String] = openedManifests.get()
 
-  /** Every FileEntry this handle ever materialised on the driver (all
-    * threads). [[lastMaintenanceDriverEntries]] windows it per call. */
-  private val driverEntryCounter = new java.util.concurrent.atomic.AtomicLong(0)
+  /** FileEntry lines THIS THREAD materialised on the driver — thread-local
+    * so a concurrent reader's readManifest calls cannot pollute another
+    * thread's maintenance window (the same misattribution fix as
+    * [[lastManifestsOpened]]). [[lastMaintenanceDriverEntries]] windows it
+    * per maintenance call. */
+  private val driverEntryCounter = ThreadLocal.withInitial[java.lang.Long](() => 0L)
 
   /** The SCALE PIN for maintenance planning: how many manifest file-entry
-    * lines the LAST [[compact]]/[[expire]] call materialised on the driver.
-    * Planning runs over [[filesMeta]] DataFrames, so this must stay
-    * O(touched-region entries) for compact (the covering manifests its
-    * commit rewrites) and 0 for expire — never O(#files-in-table). */
+    * lines the LAST [[compact]]/[[expire]] call materialised on the driver
+    * (on its own thread). Planning runs over [[filesMeta]] DataFrames, so
+    * this must stay O(touched-region entries) for compact (the covering
+    * manifests its commit rewrites) and 0 for expire — never
+    * O(#files-in-table). */
   @volatile private var maintenanceEntries: Long = 0
   def lastMaintenanceDriverEntries: Long = maintenanceEntries
 
@@ -616,15 +620,20 @@ class SnapshotTable(spark: SparkSession, root: String,
       val liveInv = invDf(liveManifests.toSeq)
       val deleted: Long = if (deadManifests.isEmpty) 0L
       else {
-        val acc = spark.sparkContext.longAccumulator("graft.expire.deleted")
-        invDf(deadManifests).select("path").distinct()
+        // count FIRST (one persisted eval), then delete from executor
+        // tasks: deleteIfExists makes a retried task idempotent, and the
+        // count cannot undercount when a partially-done task is retried
+        // (an accumulator would lose the failed attempt's contribution)
+        val deadDf = invDf(deadManifests).select("path").distinct()
           .join(liveInv.select("path"), Seq("path"), "left_anti")
-          .foreachPartition { (it: Iterator[Row]) =>
-            it.foreach { r =>
-              if (Files.deleteIfExists(Paths.get(r.getString(0)))) acc.add(1L)
-            }
+          .persist()
+        try {
+          val n = deadDf.count()
+          deadDf.foreachPartition { (it: Iterator[Row]) =>
+            it.foreach(r => Files.deleteIfExists(Paths.get(r.getString(0))))
           }
-        acc.value
+          n
+        } finally { deadDf.unpersist(); () }
       }
       deadManifests.foreach(p => Files.deleteIfExists(Paths.get(p)))
       expired.foreach(v => Files.deleteIfExists(snapPath(v)))
@@ -725,21 +734,32 @@ object SnapshotQueries {
     * which is the whole point of the tag. */
   private def freshRoot(name: String, sfDir: String): String = {
     val root = rootFor(name, sfDir)
-    def rmTree(p: Path): Unit = {
-      val s = Files.walk(p)
-      try s.iterator().asScala.toSeq.reverseIterator.foreach(Files.deleteIfExists(_))
-      finally s.close()
-    }
     val rootPath = Paths.get(root)
     if (Files.exists(rootPath)) rmTree(rootPath)
+    sweepStaleSiblings(name, sfDir)
+    root
+  }
+
+  private def rmTree(p: Path): Unit = {
+    val s = Files.walk(p)
+    try s.iterator().asScala.toSeq.reverseIterator.foreach(Files.deleteIfExists(_))
+    finally s.close()
+  }
+
+  /** Sweep STALE sibling roots of `name` left by earlier driver processes
+    * (different runTag) — also used by build-once roots like [[astTable]]'s
+    * that never go through [[freshRoot]] (review finding: those leaked one
+    * copy per driver process). Liveness = the NEWEST mtime among a root
+    * and its direct children, not the root dir's own mtime: a long-running
+    * sibling in a read-only phase stops creating direct children (which is
+    * all a dir mtime tracks), but its attempt DIRS' mtimes still move
+    * while it writes — keying off the max keeps a live root safe
+    * (round-5 ADVICE). */
+  private def sweepStaleSiblings(name: String, sfDir: String): Unit = {
+    val root = rootFor(name, sfDir)
     val tmp = Paths.get(System.getProperty("java.io.tmpdir"))
     val prefix = s"graft-$name-${math.abs(sfDir.hashCode)}-"
     val now = System.currentTimeMillis()
-    // liveness = the NEWEST mtime among the root and its direct children,
-    // not the root dir's own mtime: a long-running sibling process in a
-    // read-only phase stops creating direct children (which is all a dir
-    // mtime tracks), but its attempt DIRS' mtimes still move while it
-    // writes — keying off the max keeps a live root safe (round-5 ADVICE)
     def newestTouchMs(d: Path): Long = {
       val kids = Files.list(d)
       try (d +: kids.iterator().asScala.toSeq)
@@ -753,7 +773,6 @@ object SnapshotQueries {
         now - newestTouchMs(d) >= STALE_SIBLING_MS).getOrElse(false))
       .foreach(d => scala.util.Try(rmTree(d)))
     finally siblings.close()
-    root
   }
 
   /** Build-once snapshot table backing the AST's `SnapshotRead` surface:
@@ -765,6 +784,9 @@ object SnapshotQueries {
     graft.gen.GeoWorld.registerUdfs(spark)
     val t = new SnapshotTable(spark, rootFor("snap-ast", sfDir))
     if (t.currentVersion == 0) {
+      // build-once root: sweep earlier processes' copies here, since this
+      // path never goes through freshRoot (review finding)
+      sweepStaleSiblings("snap-ast", sfDir)
       val base = graft.gen.GeoWorld.points(spark, sfDir)
         .select(col("pid"),
           CellFunctions.zcell(col("lon"), col("lat"), lit(CellIndex.RES_MID)).as("cell"))
