@@ -43,6 +43,17 @@ object GeoScaleProbe {
       t(s"knn_batch k=$k probes=$nProbes")(
         graft.query.GeoQueries.knnBatch(spark, sf, probes,
           graft.query.GeoQueries.KNN_BATCH_K, graft.query.GeoQueries.KNN_BATCH_PRUNE_M).count())
+      // ranked name search: corpus ×k, output stays top-12 — the postings
+      // filter drops non-matching tokens BEFORE any shuffle, so wall should
+      // track the scan, not the shuffle
+      val corpusK = spark.range(600000L * k).select(
+        lit("node").as("kind"), col("id"),
+        concat(lit("poi_"), col("id").cast("string")).as("name"))
+        .unionByName(graft.gen.GeoWorld.areas(spark, sf)
+          .select(lit("relation").as("kind"), col("area_id").as("id"),
+            col("area_name").as("name")))
+      t(s"name_ranked k=$k corpus=${600000L * k}")(
+        graft.query.GeoQueries.nameRankedOf(spark, corpusK, "state 7", 12).count())
     }
     spark.stop()
   }

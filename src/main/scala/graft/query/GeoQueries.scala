@@ -1204,12 +1204,18 @@ object GeoQueries {
   def nameRanked(spark: SparkSession, sfDir: String,
       q: String = "state 7", k: Int = 12): DataFrame = {
     init(spark)
-    val qTokens = q.split("\\s+").toSeq
     val corpus = GeoWorld.points(spark, sfDir)
       .select(lit("node").as("kind"), col("pid").as("id"), col("name"))
       .unionByName(GeoWorld.areas(spark, sfDir)
         .select(lit("relation").as("kind"), col("area_id").as("id"),
           col("area_name").as("name")))
+    nameRankedOf(spark, corpus, q, k)
+  }
+
+  /** [[nameRanked]] over an injected (kind, id, name) corpus (scale probes). */
+  private[graft] def nameRankedOf(spark: SparkSession, corpus: DataFrame,
+      q: String, k: Int): DataFrame = {
+    val qTokens = q.split("\\s+").toSeq
     val n = corpus.count()
     // postings restricted to the query's tokens; DISTINCT = a token counts
     // once per document (document frequency, not term frequency)

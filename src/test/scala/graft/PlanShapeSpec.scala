@@ -109,6 +109,28 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("ranked search / baarle newcomers: no cartesian / BNL / sort-merge anywhere") {
+    for (q <- Seq("q_name_ranked", "q_pip_baarle", "q_baarle_polyfill", "q_baarle_stats")) {
+      val p = plan(SparkEntry.queries(q)(spark, sfDir))
+      assert(!p.contains("CartesianProduct"), s"$q:\n${p.take(600)}")
+      assert(!p.contains("BroadcastNestedLoop"), s"$q:\n${p.take(600)}")
+      assert(!p.contains("SortMergeJoin"), s"$q:\n${p.take(600)}")
+    }
+    // ranked search: the per-token weights ride a broadcast, the top-k is
+    // a TakeOrdered (never a global sort of the scored set)
+    val ranked = plan(SparkEntry.queries("q_name_ranked")(spark, sfDir))
+    assert(ranked.contains("BroadcastHashJoin"), ranked.take(800))
+    assert(ranked.contains("TakeOrderedAndProject"), ranked.take(800))
+  }
+
+  test("DSv2 snapshot scan appears as a pruned BatchScan in the SQL-served bbox fetch") {
+    val df = SparkEntry.queries("q_snap_sql")(spark, sfDir)
+    val p = plan(df)
+    assert(p.contains("BatchScan"), p.take(800))
+    assert(p.contains("graft-snapshot scan"), "the scan description must report manifest pruning\n" + p.take(800))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p.take(800))
+  }
+
   test("optimizer rule collapses zcell_parent(zcell(x, r), r, r2) into one coarse encode") {
     import org.apache.spark.sql.functions._
     import graft.cell.{CellFunctions, CellIndex}
