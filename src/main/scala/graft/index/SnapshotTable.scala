@@ -526,8 +526,17 @@ class SnapshotTable(spark: SparkSession, root: String,
    * each rewritten partition's write job is submitted CONCURRENTLY
    * (Iceberg's rewrite action planning file groups) — the jobs write
    * disjoint `part=` directories of one attempt dir.
+   *
+   * `maxPartitionsPerRun` bounds ONE maintenance commit (Iceberg's
+   * partial-progress rewrite): when a whole 10^6-partition table qualifies
+   * at once (e.g. after a global re-ingest), an unbounded run would pull
+   * every partition's plan AND covering-manifest entries onto the driver
+   * in a single commit — bounded runs converge over repeated calls, each
+   * commit touching at most this many partitions (lowest part ids first,
+   * so successive calls make disjoint progress).
    */
-  def compact(maxFiles: Int = 1, targetFileBytes: Long = Long.MaxValue): Int = recordingMaintenance {
+  def compact(maxFiles: Int = 1, targetFileBytes: Long = Long.MaxValue,
+      maxPartitionsPerRun: Int = Int.MaxValue): Int = recordingMaintenance {
     val cur = currentVersion
     // distributed plan: same arithmetic as the old driver loop — Long/Long
     // division in Spark SQL is double division, matching `.toDouble /`;
@@ -545,6 +554,8 @@ class SnapshotTable(spark: SparkSession, root: String,
       .filter(col("nfiles") > greatest(col("want"), lit(maxFiles.toLong)) ||
         col("maxBytes").cast("double") / lit(1.8) > lit(targetFileBytes.toDouble))
       .select("part", "want")
+      .orderBy("part") // deterministic partial-progress order
+      .limit(maxPartitionsPerRun)
       .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
     if (plan.isEmpty) cur
     else {

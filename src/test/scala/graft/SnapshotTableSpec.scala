@@ -440,6 +440,24 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.read().collect().map(_.toSeq).toSet === dataBefore, "expire keeps the live snapshot intact")
   }
 
+  test("partial-progress compaction: bounded runs converge over successive commits") {
+    val (_, t) = freshTable()
+    // 4 partitions, all fragmented (8 input partitions fan files everywhere)
+    t.init((0L until 1000L).map(i => (i, i % 4, 1L)).toDF("id", "part", "ver").repartition(8))
+    assert(t.snapshot(1).groupBy(_.part).forall(_._2.size > 1), "fixture must start fragmented")
+    val dataBefore = t.read().collect().map(_.toSeq).toSet
+    // run 1: only the two LOWEST qualifying partitions are rewritten
+    assert(t.compact(maxFiles = 1, maxPartitionsPerRun = 2) === 2)
+    val after1 = t.snapshot(2).groupBy(_.part)
+    assert(after1(0L).size === 1 && after1(1L).size === 1, "parts 0,1 compacted first")
+    assert(after1(2L).size > 1 && after1(3L).size > 1, "parts 2,3 deferred to the next run")
+    // run 2 picks up where run 1 left off; run 3 is a no-op
+    assert(t.compact(maxFiles = 1, maxPartitionsPerRun = 2) === 3)
+    assert(t.snapshot(3).groupBy(_.part).forall(_._2.size == 1))
+    assert(t.compact(maxFiles = 1, maxPartitionsPerRun = 2) === 3)
+    assert(t.read().collect().map(_.toSeq).toSet === dataBefore, "every bounded run is layout-only")
+  }
+
   test("DSv2 read path: spark.read.format time-travels and prunes files AT SCAN PLANNING") {
     val root = java.nio.file.Files.createTempDirectory("snapdsv2").toString
     val t = new graft.index.SnapshotTable(spark, root, statsCol = Some("id"))
