@@ -73,7 +73,11 @@ object SparkEntry {
     "q_counts_by_cell" -> ((s, d) => GeoQueries.countsByCell(s, d)),
     "q_counts_by_cell_tag" -> ((s, d) => GeoQueries.countsByCellTag(s, d)),
     "q_name_search" -> ((s, d) => GeoQueries.nameSearch(s, d)),
-    "q_name_ranked" -> ((s, d) => GeoQueries.nameRanked(s, d)),
+    // built THROUGH the serialisable AST (wire-addressable scored search)
+    "q_name_ranked" -> ((s, d) => graft.api.AstTranslator.translate(s, d,
+      graft.api.GeoAst.NameSearch("state 7", 12))
+      .fold(e => throw new IllegalArgumentException(e.msg), identity)),
+    "q_name_indexed" -> ((s, d) => graft.index.SnapshotQueries.nameIndexedSearch(s, d)),
     // relation-by-name full chain (Q2): search -> mapping -> fetch -> tag -> dedup
     "q_area_by_name" -> ((s, d) => GeoQueries.areaByNameChain(s, d)),
     // normalize + span invariants + way assembly (T2/T3, input_hint)
@@ -227,6 +231,7 @@ object SparkEntry {
     "q_counts_by_cell_tag" -> GeoQueries.countsByCellTagSql,
     "q_name_search" -> GeoQueries.nameSearchSql(),
     "q_name_ranked" -> GeoQueries.nameRankedSql(),
+    "q_name_indexed" -> graft.index.SnapshotQueries.nameIndexedSearchSql(),
     "q_area_by_name" -> GeoQueries.areaByNameChainSql(),
     "q_normalize" -> GeoQueries.normalizeSql,
     "q_span_roundtrip" -> GeoQueries.spanRoundtripSql,

@@ -53,6 +53,9 @@ object GeoAst {
   /** Time-travel read of the engine's snapshot point index: version ≥ 1,
     * or -1 for the current snapshot. */
   final case class SnapshotRead(version: Int) extends GeoAst
+  /** S10 scored search: ranked (kind, id, score) top-k over the tokenised
+    * name index — the reference's `IndexSearchHit(id, score)` surface. */
+  final case class NameSearch(query: String, k: Int) extends GeoAst
 }
 
 sealed trait TranslateError { def msg: String }
@@ -246,6 +249,12 @@ object AstTranslator {
         if (v == -1 || (v >= 1 && v <= cur)) Right(t.read(v))
         else Left(TranslateError.CouldNotCreateInputQuery(
           s"no snapshot version $v (table is at v$cur)"))
+
+      case NameSearch(q, k) if q.trim.isEmpty || k <= 0 =>
+        Left(TranslateError.CouldNotCreateInputQuery(
+          s"name search needs a non-empty query and k > 0 (got '$q', k=$k)"))
+      case NameSearch(q, k) =>
+        Right(GeoQueries.nameRanked(spark, sfDir, q, k))
     }
   }
 }

@@ -45,6 +45,8 @@ object AstJson {
       s"""{"type":"KnnBatch","probeSet":"${esc(p)}","k":$k,"pruneM":$m}"""
     case SnapshotRead(v) =>
       s"""{"type":"SnapshotRead","version":$v}"""
+    case NameSearch(q, k) =>
+      s"""{"type":"NameSearch","query":"${esc(q)}","k":$k}"""
   }
 
   /** Minimal recursive-descent parser for the fixed AST grammar. Returns
@@ -144,6 +146,7 @@ object AstJson {
       case "BboxFetch" => BboxFetch(num(m, "lonMin"), num(m, "latMin"), num(m, "lonMax"), num(m, "latMax"))
       case "KnnBatch" => KnnBatch(str(m, "probeSet"), num(m, "k").toInt, num(m, "pruneM"))
       case "SnapshotRead" => SnapshotRead(num(m, "version").toInt)
+      case "NameSearch" => NameSearch(str(m, "query"), num(m, "k").toInt)
       case t => fail(s"unknown query type '$t'") // the reference's UnknownCommand
     }
   }

@@ -946,4 +946,51 @@ object SnapshotQueries {
   }
 
   val bboxSqlFetchSql: String = bboxIndexFetchSql
+
+  /** Token-hash bucket count for the persisted name index. */
+  final val NAME_IDX_BUCKETS = 64L
+
+  /**
+   * S10 as the reference's true INDEX/SEARCH split (`indexOsmObjectSink` →
+   * `queryForOsmObject`): the tokenised postings table is BUILT ONCE into
+   * a snapshot table partitioned by TOKEN HASH BUCKET, and the search
+   * reads only its query tokens' buckets through manifest pruning
+   * ([[SnapshotTable.readParts]]) — at 100 TB a search touches O(query
+   * tokens) buckets of the index, never the corpus (q_name_ranked's
+   * inline scan is the indexing job; this is the serving shape). The
+   * corpus size N rides as index metadata (computed at build). Score and
+   * ranking are identical to q_name_ranked, so the SAME DuckDB oracle
+   * proves the indexed path equals the direct scan.
+   */
+  def nameIndexedSearch(spark: SparkSession, sfDir: String,
+      q: String = "state 7", k: Int = 12): DataFrame = {
+    graft.gen.GeoWorld.registerUdfs(spark)
+    val root = freshRoot("name-idx", sfDir)
+    val t = new SnapshotTable(spark, root, manifestTargetFiles = 16)
+    // ---- BUILD (the indexing sink) ----
+    val corpus = graft.gen.GeoWorld.points(spark, sfDir)
+      .select(lit("node").as("kind"), col("pid").as("id"), col("name"))
+      .unionByName(graft.gen.GeoWorld.areas(spark, sfDir)
+        .select(lit("relation").as("kind"), col("area_id").as("id"),
+          col("area_name").as("name")))
+    val n = corpus.count() // index metadata: corpus cardinality
+    val postings = corpus
+      .select(col("kind"), col("id"), explode(split(col("name"), "_")).as("token"))
+      .distinct()
+      .withColumn("part", pmod(xxhash64(col("token")), lit(NAME_IDX_BUCKETS)))
+    t.init(postings)
+    // ---- SEARCH (bucket-pruned) ----
+    val qTokens = q.split("\\s+").toSeq
+    import spark.implicits._
+    val buckets = qTokens.toDF("token")
+      .select(pmod(xxhash64(col("token")), lit(NAME_IDX_BUCKETS)))
+      .collect().map(_.getLong(0)).toSet
+    val hit = t.readParts(buckets)
+      .filter(col("token").isin(qTokens: _*))
+      .select("kind", "id", "token")
+    graft.query.GeoQueries.rankPostings(hit, n, k)
+  }
+
+  def nameIndexedSearchSql(q: String = "state 7", k: Int = 12): String =
+    graft.query.GeoQueries.nameRankedSql(q, k)
 }

@@ -1223,11 +1223,20 @@ object GeoQueries {
       .select(col("kind"), col("id"), explode(split(col("name"), "_")).as("token"))
       .filter(col("token").isin(qTokens: _*))
       .distinct()
-    val weights = postings.groupBy("token").agg(count(lit(1)).as("df"))
+    rankPostings(postings, n, k)
+  }
+
+  /** Shared scoring/ranking tail of the two search shapes ([[nameRankedOf]]
+    * inline scan, [[graft.index.SnapshotQueries.nameIndexedSearch]] bucket
+    * probe): integer idf weights `n div df` per matched token, summed per
+    * doc, top-k on the (score DESC, kind, id) TOTAL order (deterministic;
+    * a TakeOrdered, never a global sort). `hit` carries (kind, id, token)
+    * already restricted to the query's tokens, one row per doc-token. */
+  private[graft] def rankPostings(hit: DataFrame, n: Long, k: Int): DataFrame = {
+    val weights = hit.groupBy("token").agg(count(lit(1)).as("df"))
       .withColumn("w", expr(s"CAST($n AS BIGINT) div df"))
-    val scored = postings.join(broadcast(weights.select("token", "w")), "token")
+    val scored = hit.join(broadcast(weights.select("token", "w")), "token")
       .groupBy("kind", "id").agg(sum("w").as("score"))
-    // (score DESC, kind, id) is a TOTAL order — the top-k is deterministic
     val top = scored.orderBy(col("score").desc, col("kind"), col("id")).limit(k)
     top.withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window

@@ -46,7 +46,8 @@ class AstSpec extends SparkSpec {
       for { n <- nameGen } yield PoiByName(n),
       for { a <- coordGen; b <- coordGen; c <- coordGen; d <- coordGen } yield BboxFetch(a, b, c, d),
       for { p <- nameGen; k <- Gen.chooseNum(1, 50); m <- Gen.chooseNum(1.0, 1e6) } yield KnnBatch(p, k, m),
-      for { v <- Gen.chooseNum(-1, 99) } yield SnapshotRead(v))
+      for { v <- Gen.chooseNum(-1, 99) } yield SnapshotRead(v),
+      for { q <- nameGen; k <- Gen.chooseNum(1, 50) } yield NameSearch(q, k))
     def astGen(depth: Int): Gen[GeoAst] =
       if (depth <= 0) leafGen
       else Gen.frequency(
@@ -203,6 +204,17 @@ class AstSpec extends SparkSpec {
     assert(AstTranslator.translate(spark, sfDir, KnnBatch("grid", 0, 1000.0))
       .left.exists(_.isInstanceOf[TranslateError.CouldNotCreateInputQuery]))
     assert(AstTranslator.translate(spark, sfDir, KnnBatch("nonexistent", 3, 1000.0))
+      .left.exists(_.isInstanceOf[TranslateError.CouldNotCreateInputQuery]))
+  }
+
+  test("NameSearch translates to the ranked inverted-index search; empty query / bad k are typed errors") {
+    val Right(df) = AstTranslator.translate(spark, sfDir, NameSearch("state 7", 12)): @unchecked
+    val got = df.orderBy(col("rank")).collect().map(_.toSeq)
+    val direct = graft.query.GeoQueries.nameRanked(spark, sfDir).orderBy(col("rank")).collect().map(_.toSeq)
+    assert(got.toSeq === direct.toSeq)
+    assert(AstTranslator.translate(spark, sfDir, NameSearch("  ", 5))
+      .left.exists(_.isInstanceOf[TranslateError.CouldNotCreateInputQuery]))
+    assert(AstTranslator.translate(spark, sfDir, NameSearch("state", 0))
       .left.exists(_.isInstanceOf[TranslateError.CouldNotCreateInputQuery]))
   }
 

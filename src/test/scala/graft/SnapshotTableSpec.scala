@@ -491,6 +491,29 @@ class SnapshotTableSpec extends SparkSpec {
       .head().getLong(0) === 11L)
   }
 
+  test("indexed name search reads only the query tokens' buckets of the persisted postings table") {
+    import org.apache.spark.sql.functions.{pmod, xxhash64, lit, col}
+    val out = graft.index.SnapshotQueries.nameIndexedSearch(spark, sfDir)
+    val rows = out.orderBy(col("rank")).collect()
+    assert(rows.length === 12)
+    // parity with the direct-scan ranked search (same oracle, same order)
+    val direct = graft.query.GeoQueries.nameRanked(spark, sfDir)
+      .orderBy(col("rank")).collect()
+    assert(rows.map(_.toSeq).toSeq === direct.map(_.toSeq).toSeq)
+    // the serving path is bucket-pruned: the query tokens' covering
+    // manifests are a strict subset of the paged index metadata
+    val t = new SnapshotTable(spark,
+      graft.index.SnapshotQueries.rootFor("name-idx", sfDir))
+    val all = t.manifestList(1)
+    val buckets = Seq("state", "7").toDF("token")
+      .select(pmod(xxhash64(col("token")), lit(graft.index.SnapshotQueries.NAME_IDX_BUCKETS)))
+      .collect().map(_.getLong(0)).toSet
+    val covering = all.filter(m => buckets.exists(p => m.partLo <= p && p <= m.partHi))
+    assert(all.size > 1, s"index must page into several manifests (got ${all.size})")
+    assert(covering.size < all.size,
+      s"${covering.size} covering of ${all.size} pages — the search must not touch the whole index")
+  }
+
   test("expire drops old snapshots' orphan files but keeps everything current") {
     val (_, t) = freshTable()
     t.init(baseDf)
