@@ -256,30 +256,46 @@ class SnapshotTable(spark: SparkSession, root: String,
   private def attemptDir(v: Int): String =
     s"$root/v$v-${java.util.UUID.randomUUID().toString.take(8)}"
 
-  /** One footer-cheap job over an attempt dir: per-file row counts and
-    * (when tracked) stats-column bounds — the manifest stats an Iceberg
-    * writer records at commit. File sizes come from the filesystem
-    * (O(#new files) stat calls, the files this commit just wrote). */
+  /** Per-file row counts and (when tracked) stats-column bounds for an
+    * attempt dir — the manifest stats an Iceberg writer records at commit.
+    * FOOTER-ONLY: counts and column min/max come from the parquet metadata
+    * the write just produced, so a commit never RE-SCANS the data it wrote
+    * (the previous implementation ran a full groupBy(input_file_name) scan
+    * over every new file — at a 100 TB commit that reads the whole delta
+    * twice). Numeric parquet statistics are exact (only binary stats
+    * truncate); an all-NULL stats column records no non-null value and
+    * yields no bound — the file then matches every readRange (forall on
+    * None), same as before. */
   private def statsEntries(dir: String): Seq[FileEntry] = {
-    val aggs = count(lit(1)).as("rows") +: statsCol.toSeq.flatMap(c =>
-      Seq(min(col(c)).cast("long").as("lo"), max(col(c)).cast("long").as("hi")))
-    spark.read.parquet(dir)
-      .groupBy(input_file_name().as("f")).agg(aggs.head, aggs.tail: _*)
-      .collect()
-      .map { r =>
-        val f = java.net.URLDecoder.decode(r.getString(0), "UTF-8")
-          .replaceFirst("^file:/+", "/")
-        val part = "part=(-?\\d+)".r.findFirstMatchIn(f).map(_.group(1).toLong)
-          .getOrElse(sys.error(s"no partition dir in $f"))
-        // an all-NULL stats column in a file leaves no usable bound: the
-        // file then matches every readRange (forall on None) — safe, and
-        // no NPE at commit
-        val (lo, hi) =
-          if (statsCol.isDefined && !r.isNullAt(2) && !r.isNullAt(3))
-            (Some(r.getLong(2)), Some(r.getLong(3)))
-          else (None, None)
-        FileEntry(f, part, r.getLong(1), Files.size(Paths.get(f)), lo, hi)
-      }.toSeq.sortBy(_.path)
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sessionState.newHadoopConf()
+    val walk = Files.walk(Paths.get(dir))
+    val files = try walk.iterator().asScala.filter(p =>
+      Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet") &&
+        !p.getFileName.toString.startsWith(".")).toSeq
+    finally walk.close()
+    files.map { p =>
+      val f = p.toString
+      val part = "part=(-?\\d+)".r.findFirstMatchIn(f).map(_.group(1).toLong)
+        .getOrElse(sys.error(s"no partition dir in $f"))
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f), conf))
+      val (rows, lo, hi) = try {
+        val blocks = r.getFooter.getBlocks.asScala.toSeq
+        val nRows = blocks.map(_.getRowCount).sum
+        val bounds = statsCol.toSeq.flatMap { c =>
+          blocks.flatMap(_.getColumns.asScala.find(_.getPath.toDotString == c))
+            .map(_.getStatistics)
+            .filter(s => s != null && !s.isEmpty && s.hasNonNullValue)
+            .map(s => (s.genericGetMin.asInstanceOf[Number].longValue(),
+              s.genericGetMax.asInstanceOf[Number].longValue()))
+        }
+        if (bounds.isEmpty) (nRows, None, None)
+        else (nRows, Some(bounds.map(_._1).min), Some(bounds.map(_._2).max))
+      } finally r.close()
+      FileEntry(f, part, rows, Files.size(p), lo, hi)
+    }.sortBy(_.path)
   }
 
   /** Split the parent snapshot's manifests around a touched-partition set:
