@@ -110,7 +110,7 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("ranked search / baarle newcomers: no cartesian / BNL / sort-merge anywhere") {
-    for (q <- Seq("q_name_ranked", "q_pip_baarle", "q_baarle_polyfill", "q_baarle_stats")) {
+    for (q <- Seq("q_name_ranked", "q_name_indexed", "q_pip_baarle", "q_baarle_polyfill", "q_baarle_stats")) {
       val p = plan(SparkEntry.queries(q)(spark, sfDir))
       assert(!p.contains("CartesianProduct"), s"$q:\n${p.take(600)}")
       assert(!p.contains("BroadcastNestedLoop"), s"$q:\n${p.take(600)}")

@@ -491,6 +491,42 @@ class SnapshotTableSpec extends SparkSpec {
       .head().getLong(0) === 11L)
   }
 
+  test("streaming postings ingest: a new document becomes searchable after its micro-batch merges") {
+    import org.apache.spark.sql.functions.{pmod, xxhash64, lit, col, explode, split}
+    import org.apache.spark.sql.types._
+    val (_, t) = freshTable()
+    // index two seed docs; doc names tokenise on '_'
+    val seed = Seq(("node", 1L, "alpha_one"), ("node", 2L, "beta_two"))
+      .toDF("kind", "id", "name")
+      .select(col("kind"), col("id"), explode(split(col("name"), "_")).as("token"))
+      .distinct()
+      .withColumn("part", pmod(xxhash64(col("token")),
+        lit(graft.index.SnapshotQueries.NAME_IDX_BUCKETS)))
+    t.init(seed)
+    // the indexing SINK: a stream of new documents' postings merged per
+    // micro-batch (part = f(token), so a replayed batch is idempotent)
+    val dir = java.nio.file.Files.createTempDirectory("snapnames").toString
+    val schema = StructType(Seq(StructField("kind", StringType),
+      StructField("id", LongType), StructField("token", StringType),
+      StructField("part", LongType)))
+    Seq(("node", 3L, "alpha_three"))
+      .toDF("kind", "id", "name")
+      .select(col("kind"), col("id"), explode(split(col("name"), "_")).as("token"))
+      .withColumn("part", pmod(xxhash64(col("token")),
+        lit(graft.index.SnapshotQueries.NAME_IDX_BUCKETS)))
+      .write.mode("append").parquet(s"$dir/in")
+    val in = spark.readStream.schema(schema).parquet(s"$dir/in")
+    val q = graft.index.StreamIngest.upsertStream(in, t,
+      Seq("kind", "id", "token"), s"$dir/ckpt")
+    q.awaitTermination(60000)
+    assert(t.currentVersion === 2)
+    // the search sees the new doc: 'alpha' now matches docs 1 AND 3
+    val hit = t.read().filter(col("token") === "alpha").select("kind", "id", "token")
+    val ranked = graft.query.GeoQueries.rankPostings(hit, n = 3, k = 5)
+      .collect().map(r => r.getLong(2)).toSet
+    assert(ranked === Set(1L, 3L), "the streamed document must rank in the search")
+  }
+
   test("indexed name search reads only the query tokens' buckets of the persisted postings table") {
     import org.apache.spark.sql.functions.{pmod, xxhash64, lit, col}
     val out = graft.index.SnapshotQueries.nameIndexedSearch(spark, sfDir)
