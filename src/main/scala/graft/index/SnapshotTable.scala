@@ -820,11 +820,8 @@ object SnapshotQueries {
         .withColumn("part", CellFunctions.zcellParent(
           col("cell"), lit(CellIndex.RES_MID), lit(2)))
         .withColumn("ver", lit(1L))
-        .persist() // init + delta share one evaluation
-      try {
-        t.init(base)
-        t.upsert(base.filter(col("pid") % 3 === 0).withColumn("ver", lit(2L)), Seq("pid"))
-      } finally { base.unpersist(); () }
+      t.init(base)
+      t.upsert(base.filter(col("pid") % 3 === 0).withColumn("ver", lit(2L)), Seq("pid"))
     }
     t
   }
@@ -834,19 +831,14 @@ object SnapshotQueries {
     graft.gen.GeoWorld.registerUdfs(spark)
     val root = freshRoot("snap-upsert", sfDir)
     val t = new SnapshotTable(spark, root)
-    // persist: the derived index feeds the init write AND the delta — the
-    // point derivation (a lineitem DISTINCT shuffle) must evaluate once
     val base = graft.gen.GeoWorld.points(spark, sfDir)
       .select(col("pid"),
         CellFunctions.zcell(col("lon"), col("lat"), lit(CellIndex.RES_MID)).as("cell"))
       .withColumn("part", CellFunctions.zcellParent(
         col("cell"), lit(CellIndex.RES_MID), lit(2)))
       .withColumn("ver", lit(1L))
-      .persist()
-    try {
-      t.init(base)
-      t.upsert(base.filter(col("pid") % 3 === 0).withColumn("ver", lit(2L)), Seq("pid"))
-    } finally { base.unpersist(); () }
+    t.init(base)
+    t.upsert(base.filter(col("pid") % 3 === 0).withColumn("ver", lit(2L)), Seq("pid"))
     t.read().select(col("pid"), col("cell"), col("ver"))
   }
 
@@ -881,11 +873,8 @@ object SnapshotQueries {
       .withColumn("part", CellFunctions.zcellParent(
         col("cell"), lit(CellIndex.RES_MID), lit(2)))
       .withColumn("ver", lit(1L))
-      .persist() // init + delta share one evaluation of the derivation
-    try {
-      t.init(base)
-      t.upsert(base.filter(col("pid") % 3 === 0).withColumn("ver", lit(2L)), Seq("pid"))
-    } finally { base.unpersist(); () }
+    t.init(base)
+    t.upsert(base.filter(col("pid") % 3 === 0).withColumn("ver", lit(2L)), Seq("pid"))
     t.compact(maxFiles = 4)
     t.expire(keepLast = 1, orphanGraceMs = 0)
     t.read().select(col("pid"), col("cell"), col("ver"))
@@ -1002,7 +991,6 @@ object SnapshotQueries {
       .unionByName(graft.gen.GeoWorld.areas(spark, sfDir)
         .select(lit("relation").as("kind"), col("area_id").as("id"),
           col("area_name").as("name")))
-      .persist() // cardinality count + postings build share one evaluation
     val n = corpus.count() // index metadata: corpus cardinality
     val postings = corpus
       .select(col("kind"), col("id"), explode(split(col("name"), "_")).as("token"))
@@ -1012,7 +1000,7 @@ object SnapshotQueries {
       // without this every shuffle partition fans a file into every bucket
       // dir (buckets × tasks tiny files — measured 20 s vs 3 s at sf0.1)
       .repartition(col("part"))
-    try t.init(postings) finally { corpus.unpersist(); () }
+    t.init(postings)
     // ---- SEARCH (bucket-pruned) ----
     val qTokens = q.split("\\s+").toSeq
     import spark.implicits._

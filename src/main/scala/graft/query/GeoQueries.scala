@@ -1216,19 +1216,14 @@ object GeoQueries {
   private[graft] def nameRankedOf(spark: SparkSession, corpus: DataFrame,
       q: String, k: Int): DataFrame = {
     val qTokens = q.split("\\s+").toSeq
-    // one evaluation of the (possibly derived) corpus serves the
-    // cardinality count AND the postings build
-    val corpusP = corpus.persist()
-    try {
-      val n = corpusP.count()
-      // postings restricted to the query's tokens; DISTINCT = a token counts
-      // once per document (document frequency, not term frequency)
-      val postings = corpusP
-        .select(col("kind"), col("id"), explode(split(col("name"), "_")).as("token"))
-        .filter(col("token").isin(qTokens: _*))
-        .distinct()
-      rankPostings(postings, n, k) // materializes the postings internally
-    } finally { corpusP.unpersist(); () }
+    val n = corpus.count()
+    // postings restricted to the query's tokens; DISTINCT = a token counts
+    // once per document (document frequency, not term frequency)
+    val postings = corpus
+      .select(col("kind"), col("id"), explode(split(col("name"), "_")).as("token"))
+      .filter(col("token").isin(qTokens: _*))
+      .distinct()
+    rankPostings(postings, n, k)
   }
 
   /** Shared scoring/ranking tail of the two search shapes ([[nameRankedOf]]
@@ -1238,15 +1233,9 @@ object GeoQueries {
     * a TakeOrdered, never a global sort). `hit` carries (kind, id, token)
     * already restricted to the query's tokens, one row per doc-token. */
   private[graft] def rankPostings(hit: DataFrame, n: Long, k: Int): DataFrame = {
-    // the hit postings feed BOTH the df aggregation and the score join:
-    // persist and materialize once (tiny — query-token rows only); the
-    // block backs the returned lazy plan and is reclaimed by
-    // ContextCleaner once the caller drops the result
-    val h = hit.persist()
-    h.count()
-    val weights = h.groupBy("token").agg(count(lit(1)).as("df"))
+    val weights = hit.groupBy("token").agg(count(lit(1)).as("df"))
       .withColumn("w", expr(s"CAST($n AS BIGINT) div df"))
-    val scored = h.join(broadcast(weights.select("token", "w")), "token")
+    val scored = hit.join(broadcast(weights.select("token", "w")), "token")
       .groupBy("kind", "id").agg(sum("w").as("score"))
     val top = scored.orderBy(col("score").desc, col("kind"), col("id")).limit(k)
     top.withColumn("rank", row_number().over(
