@@ -275,7 +275,10 @@ class SnapshotTable(spark: SparkSession, root: String,
       Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet") &&
         !p.getFileName.toString.startsWith(".")).toSeq
     finally walk.close()
-    files.map { p =>
+    // one bounded pool for the footer reads (each a handful of ms, but a
+    // large commit writes many files and a serial driver loop would stack
+    // them — same pattern as compact's concurrent rewrite jobs)
+    def entryOf(p: Path): FileEntry = {
       val f = p.toString
       val part = "part=(-?\\d+)".r.findFirstMatchIn(f).map(_.group(1).toLong)
         .getOrElse(sys.error(s"no partition dir in $f"))
@@ -284,18 +287,47 @@ class SnapshotTable(spark: SparkSession, root: String,
       val (rows, lo, hi) = try {
         val blocks = r.getFooter.getBlocks.asScala.toSeq
         val nRows = blocks.map(_.getRowCount).sum
-        val bounds = statsCol.toSeq.flatMap { c =>
-          blocks.flatMap(_.getColumns.asScala.find(_.getPath.toDotString == c))
-            .map(_.getStatistics)
-            .filter(s => s != null && !s.isEmpty && s.hasNonNullValue)
-            .map(s => (s.genericGetMin.asInstanceOf[Number].longValue(),
-              s.genericGetMax.asInstanceOf[Number].longValue()))
+        // Per-block bound, CONSERVATIVE: Some(Some(bounds)) = usable numeric
+        // stats; Some(None) = provably ALL-NULL chunk (contributes no value,
+        // safely ignorable — SQL min/max skips nulls the same way); None =
+        // stats absent/non-numeric/NaN-dropped → the file's true extremes
+        // are UNKNOWN, so the file must match every range (recording the
+        // other blocks' bounds could prune away real rows).
+        val perBlock: Seq[Option[Option[(Long, Long)]]] = statsCol match {
+          case None => Seq.empty
+          case Some(c) => blocks.map { b =>
+            b.getColumns.asScala.find(_.getPath.toDotString == c)
+              .map(_.getStatistics) match {
+              case Some(s) if s != null && s.hasNonNullValue =>
+                (s.genericGetMin, s.genericGetMax) match {
+                  case (mn: Number, mx: Number) =>
+                    Some(Some((mn.longValue(), mx.longValue())))
+                  case _ => None // non-numeric column: no bounds, like the old cast-to-null
+                }
+              case Some(s) if s != null && s.getNumNulls == b.getRowCount =>
+                Some(None) // all-NULL chunk
+              case _ => None // stats missing or partial (e.g. NaN-discarded)
+            }
+          }
         }
+        val bounds =
+          if (statsCol.isEmpty || perBlock.exists(_.isEmpty)) Seq.empty
+          else perBlock.flatten.flatten
         if (bounds.isEmpty) (nRows, None, None)
         else (nRows, Some(bounds.map(_._1).min), Some(bounds.map(_._2).max))
       } finally r.close()
       FileEntry(f, part, rows, Files.size(p), lo, hi)
-    }.sortBy(_.path)
+    }
+    if (files.isEmpty) Seq.empty
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(8, files.size))
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(files.map(p => scala.concurrent.Future(entryOf(p)))),
+        scala.concurrent.duration.Duration.Inf).sortBy(_.path)
+      finally pool.shutdown()
+    }
   }
 
   /** Split the parent snapshot's manifests around a touched-partition set:
@@ -986,11 +1018,12 @@ object SnapshotQueries {
     val root = freshRoot("name-idx", sfDir)
     val t = new SnapshotTable(spark, root, manifestTargetFiles = 16)
     // ---- BUILD (the indexing sink) ----
-    val corpus = graft.gen.GeoWorld.points(spark, sfDir)
-      .select(lit("node").as("kind"), col("pid").as("id"), col("name"))
-      .unionByName(graft.gen.GeoWorld.areas(spark, sfDir)
-        .select(lit("relation").as("kind"), col("area_id").as("id"),
-          col("area_name").as("name")))
+    // the corpus definition is SHARED with the direct-scan path (oracle
+    // parity by construction). Deliberately NOT persisted across the count
+    // and the postings build: both prune to the one pid-derived column and
+    // re-evaluation measured CHEAPER than materialising the wide cache
+    // (cpu_secs experiment recorded in BASELINE.md, change reverted).
+    val corpus = graft.query.GeoQueries.nameCorpus(spark, sfDir)
     val n = corpus.count() // index metadata: corpus cardinality
     val postings = corpus
       .select(col("kind"), col("id"), explode(split(col("name"), "_")).as("token"))

@@ -1201,15 +1201,21 @@ object GeoQueries {
    * and aggregates only MATCHING docs. The top-k is a TakeOrdered — no
    * global sort.
    */
-  def nameRanked(spark: SparkSession, sfDir: String,
-      q: String = "state 7", k: Int = 12): DataFrame = {
-    init(spark)
-    val corpus = GeoWorld.points(spark, sfDir)
+  /** The multi-kind search corpus (areas as relations, points as nodes) —
+    * ONE definition shared by the direct-scan ranked search and the
+    * persisted-index path ([[graft.index.SnapshotQueries.nameIndexedSearch]])
+    * so their mutual oracle parity can never drift. */
+  private[graft] def nameCorpus(spark: SparkSession, sfDir: String): DataFrame =
+    GeoWorld.points(spark, sfDir)
       .select(lit("node").as("kind"), col("pid").as("id"), col("name"))
       .unionByName(GeoWorld.areas(spark, sfDir)
         .select(lit("relation").as("kind"), col("area_id").as("id"),
           col("area_name").as("name")))
-    nameRankedOf(spark, corpus, q, k)
+
+  def nameRanked(spark: SparkSession, sfDir: String,
+      q: String = "state 7", k: Int = 12): DataFrame = {
+    init(spark)
+    nameRankedOf(spark, nameCorpus(spark, sfDir), q, k)
   }
 
   /** [[nameRanked]] over an injected (kind, id, name) corpus (scale probes). */

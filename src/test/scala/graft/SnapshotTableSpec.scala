@@ -144,6 +144,16 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.readRange(125, 130).filter($"ver" === 2L).count() === 1)
   }
 
+  test("a NON-NUMERIC stats column commits cleanly with match-all bounds (no footer-stats crash)") {
+    val root = java.nio.file.Files.createTempDirectory("snapstr").toString
+    val t = new graft.index.SnapshotTable(spark, root, statsCol = Some("name"))
+    t.init(Seq((1L, 0L, "alpha"), (2L, 1L, "beta")).toDF("id", "part", "name"))
+    // string statistics are Binary, not numeric: the file records NO bounds
+    // (the old scan path's cast-to-null behavior) and matches every range
+    assert(t.snapshot(1).forall(f => f.lo.isEmpty && f.hi.isEmpty))
+    assert(t.readRange(100, 200).count() === 2)
+  }
+
   test("a bound-less (all-NULL stats) file makes its PAGE match every range — packing cannot change results") {
     val root = java.nio.file.Files.createTempDirectory("snapnull").toString
     val t = new graft.index.SnapshotTable(spark, root, statsCol = Some("v"))
