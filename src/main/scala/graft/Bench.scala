@@ -91,7 +91,10 @@ object Bench {
     def r3(x: Double) = math.round(x * 1000) / 1000.0
     val sampleJson = samples.map(s => r3(s._2)).mkString("[", ",", "]")
     val cpuSampleJson = samples.map(s => r3(s._3)).mkString("[", ",", "]")
-    val line = s"""{"metric":"spatial-join+tile-assignment docs/sec","value":${r1(docsPerSec)},"unit":"docs/sec","headline_secs":${r3(headlineSecs)},"headline_samples":$sampleJson,"headline_cpu_samples":$cpuSampleJson,"headline_docs":$nDocs,"n_queries":${results.size},"total_query_secs":${r3(total)},"total_cpu_secs":${r3(totalCpu)},"sf":"$sfDir"}"""
+    // compact line stays MINIMAL (round-6 ADVICE: the bounded stdout-tail
+    // parser already truncated once) — per-sample cpu data lives only in
+    // the full line written to BENCH_LOCAL.json
+    val line = s"""{"metric":"spatial-join+tile-assignment docs/sec","value":${r1(docsPerSec)},"unit":"docs/sec","headline_secs":${r3(headlineSecs)},"headline_samples":$sampleJson,"headline_docs":$nDocs,"n_queries":${results.size},"total_query_secs":${r3(total)},"total_cpu_secs":${r3(totalCpu)},"sf":"$sfDir"}"""
     val full = s"""{"metric":"spatial-join+tile-assignment docs/sec","value":$docsPerSec,"unit":"docs/sec","headline_secs":$headlineSecs,"headline_samples":$sampleJson,"headline_cpu_samples":$cpuSampleJson,"headline_docs":$nDocs,"total_query_secs":$total,"total_cpu_secs":$totalCpu,"queries":$qs,"cpu_secs":$cpuQs,"sf":"$sfDir"}"""
     // stdout (unprefixed via build.sbt outputStrategy) — the driver's
     // metrics parser needs a bare JSON line (BENCH_r01 parsed=null because

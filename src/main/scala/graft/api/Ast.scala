@@ -215,10 +215,15 @@ object AstTranslator {
           .select(col("pid"), col("name"), col("tag_k"), col("tag_v")))
 
       case BboxFetch(lo0, la0, lo1, la1) =>
-        if (la0 >= la1 || la0 < -90 || la1 > 90 ||
+        // lonMin == lonMax is REJECTED like latMin >= latMax: a degenerate
+        // equal-lon box is ambiguous on the wire (lo0 > lo1 means dateline
+        // wrap, so "equal" is neither an empty box nor a full wrap) and
+        // would otherwise silently return zero rows (round-6 ADVICE)
+        if (la0 >= la1 || la0 < -90 || la1 > 90 || lo0 == lo1 ||
             lo0 < -180 || lo0 > 180 || lo1 < -180 || lo1 > 180)
           Left(TranslateError.CouldNotCreateInputQuery(
-            s"bad bbox ($lo0,$la0)-($lo1,$la1): lat range must ascend within ±90, lons within ±180"))
+            s"bad bbox ($lo0,$la0)-($lo1,$la1): lat range must ascend within ±90, " +
+              "lons within ±180 and distinct (lonMin > lonMax means dateline wrap)"))
         else {
           // lonMin > lonMax ⇒ the cover is rectCover's two-hemisphere
           // union and the refine is the WRAPPED predicate (never 0 rows,

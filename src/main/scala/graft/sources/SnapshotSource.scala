@@ -67,7 +67,13 @@ object SnapshotSource {
       props: java.util.Map[String, String])
       extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
-    private val statsCol = Option(props.get("statscol"))
+    private val table = tableFor(props)
+    // the EFFECTIVE stats column comes from table metadata (persisted at
+    // init), never the free-form option alone: the constructor validates a
+    // declared 'statscol' against the persisted one and throws on mismatch,
+    // so pushed range filters can never prune on foreign bounds
+    // (round-6 ADVICE, medium)
+    private val statsCol = table.statsColumn
     private var required: StructType = schema
     private var parts: Option[Set[Long]] = None
     private var range: Option[(Long, Long)] = None
@@ -122,7 +128,7 @@ object SnapshotSource {
       // the query's order above the scan
       val names = required.fieldNames.toSet
       val ordered = StructType(schema.fields.filter(f => names.contains(f.name)))
-      val entries = tableFor(props).pruneFiles(parts, range,
+      val entries = table.pruneFiles(parts, range,
         Option(props.get("version")).map(_.toInt).getOrElse(-1))
       new SnapScan(ordered, entries.map(e => SnapInputPartition(e.path, e.part, e.rows)))
     }

@@ -185,6 +185,11 @@ class AstSpec extends SparkSpec {
       .left.exists(_.isInstanceOf[TranslateError.CouldNotCreateInputQuery]))
     assert(AstTranslator.translate(spark, sfDir, BboxFetch(-200, 0, 10, 1))
       .left.exists(_.isInstanceOf[TranslateError.CouldNotCreateInputQuery]))
+    // lonMin == lonMax is ambiguous on the wire (lo0 > lo1 means wrap, so
+    // "equal" is neither empty nor full) — a typed error, never silent
+    // zero rows (round-6 ADVICE)
+    assert(AstTranslator.translate(spark, sfDir, BboxFetch(10, 31, 10, 36))
+      .left.exists(_.isInstanceOf[TranslateError.CouldNotCreateInputQuery]))
   }
 
   test("SnapshotRead time-travels the snapshot index; unknown versions and probe sets are typed errors") {

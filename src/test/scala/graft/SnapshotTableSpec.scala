@@ -501,6 +501,54 @@ class SnapshotTableSpec extends SparkSpec {
       .head().getLong(0) === 11L)
   }
 
+  test("commit-time stats harvest is DISTRIBUTED: zero parquet footers opened on the driver") {
+    val root = java.nio.file.Files.createTempDirectory("snapfooter").toString
+    val t = new SnapshotTable(spark, root, statsCol = Some("id"))
+    val before = SnapshotTable.totalFooterOpens.get()
+    t.init((0L until 1000L).map(i => (i, i / 125, 1L)).toDF("id", "part", "ver").repartition(4))
+    // footers WERE harvested (somewhere in the JVM) — the driver pin below
+    // cannot pass vacuously
+    assert(SnapshotTable.totalFooterOpens.get() > before,
+      "the commit must have opened parquet footers for its stats")
+    assert(t.lastCommitDriverFooters === 0L,
+      s"init opened ${t.lastCommitDriverFooters} footers on the DRIVER thread — " +
+        "stats harvest must run as a Spark job")
+    assert(t.snapshot(1).forall(f => f.lo.isDefined && f.hi.isDefined),
+      "the distributed harvest must still record per-file bounds")
+    t.upsert(Seq((130L, 1L, 2L)).toDF("id", "part", "ver"), Seq("id"))
+    assert(t.lastCommitDriverFooters === 0L, "upsert's stats harvest must be distributed")
+    t.compact(maxFiles = 1)
+    assert(t.lastCommitDriverFooters === 0L, "compact's stats harvest must be distributed")
+    assert(t.read().count() === 1000L)
+  }
+
+  test("the stats column is TABLE METADATA: persisted at init, derived by readers, mismatches rejected") {
+    val root = java.nio.file.Files.createTempDirectory("snapstatsmeta").toString
+    val t = new SnapshotTable(spark, root, statsCol = Some("id"))
+    t.init((0L until 1000L).map(i => (i, i / 250, 1L)).toDF("id", "part", "ver").repartition(4))
+    // a reader handle with NO declared stats column derives the persisted one
+    val reader = new SnapshotTable(spark, root)
+    assert(reader.statsColumn === Some("id"))
+    assert(reader.readRange(0L, 10L).filter($"id" <= 10L).count() === 11L)
+    // a handle declaring a DIFFERENT column is rejected at construction —
+    // its pushed ranges would prune on foreign bounds (row loss)
+    intercept[IllegalArgumentException] {
+      new SnapshotTable(spark, root, statsCol = Some("ver"))
+    }
+    // the DSv2 source range-prunes from the PERSISTED column, no option needed
+    val df = spark.read.format("graft.sources.SnapshotSource").option("root", root).load()
+    val filtered = df.filter($"id".between(0, 10))
+    assert(filtered.rdd.getNumPartitions === t.pruneFiles(None, Some((0L, 10L))).size,
+      "DSv2 must derive the stats column from table metadata and prune on it")
+    assert(filtered.rdd.getNumPartitions < t.snapshot(1).size, "pruning must skip files")
+    assert(filtered.count() === 11L)
+    // and a mismatched DSv2 'statscol' option is rejected, not trusted
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft.sources.SnapshotSource")
+        .option("root", root).option("statscol", "ver").load().collect()
+    }
+  }
+
   test("streaming postings ingest: a new document becomes searchable after its micro-batch merges") {
     import org.apache.spark.sql.functions.{pmod, xxhash64, lit, col, explode, split}
     import org.apache.spark.sql.types._
