@@ -130,25 +130,69 @@ object SnapshotSource {
       val ordered = StructType(schema.fields.filter(f => names.contains(f.name)))
       val entries = table.pruneFiles(parts, range,
         Option(props.get("version")).map(_.toInt).getOrElse(-1))
-      new SnapScan(ordered, entries.map(e => SnapInputPartition(e.path, e.part, e.rows)))
+      val session = SparkSession.active
+      // FAT FILES SPLIT AT PLAN TIME (round-6 verdict #4): one input
+      // partition per ≤ maxsplitbytes byte slice, not per file — a huge
+      // compacted file no longer serializes a whole task. Slices tile the
+      // file; each reader processes exactly the row groups whose midpoint
+      // falls in its slice (parquet's own range contract, the same rule
+      // Spark's file scan splits by), so a row group is read exactly once
+      // across the slices. No footer is opened at planning — slicing is
+      // byte arithmetic over the manifest's size field.
+      val target = Option(props.get("maxsplitbytes")).map(_.toLong).getOrElse(
+        session.sessionState.conf.getConf(
+          org.apache.spark.sql.internal.SQLConf.FILES_MAX_PARTITION_BYTES))
+      val slices = entries.flatMap { e =>
+        val n = math.max(1L, (e.bytes + target - 1) / target)
+        val len = (e.bytes + n - 1) / n
+        (0L until n).map(i =>
+          SnapInputPartition(e.path, e.part, i * len, math.min(len, e.bytes - i * len)))
+      }
+      new SnapScan(ordered, slices, readerConf(session, ordered))
     }
   }
 
-  final case class SnapInputPartition(path: String, part: Long, rows: Long)
-      extends InputPartition
+  /** The per-task hadoop conf the split-based vectorized reader needs:
+    * the session conf plus the requested (physical) schema and the five
+    * SQLConf booleans `ParquetToSparkSchemaConverter` dereferences. Built
+    * ONCE at plan time on the driver, shipped via SerializableWritable. */
+  private def readerConf(session: SparkSession,
+      out: StructType): org.apache.spark.SerializableWritable[org.apache.hadoop.conf.Configuration] = {
+    import org.apache.spark.sql.internal.SQLConf
+    val conf = session.sessionState.newHadoopConf()
+    val physical = StructType(out.fields.filter(_.name != "part"))
+    conf.set("parquet.read.support.class",
+      classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport].getName)
+    conf.set(org.apache.spark.sql.execution.datasources.parquet
+      .ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, physical.json)
+    val sql = session.sessionState.conf
+    Seq(SQLConf.PARQUET_BINARY_AS_STRING, SQLConf.PARQUET_INT96_AS_TIMESTAMP,
+        SQLConf.CASE_SENSITIVE, SQLConf.LEGACY_PARQUET_NANOS_AS_LONG,
+        SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED)
+      .foreach(e => conf.setBoolean(e.key, sql.getConf(e)))
+    new org.apache.spark.SerializableWritable(conf)
+  }
 
-  private final class SnapScan(out: StructType,
-      partitions: Seq[SnapInputPartition]) extends Scan with Batch {
+  /** One byte slice of one data file: `[start, start + length)` selects
+    * the row groups whose midpoint the slice covers. */
+  final case class SnapInputPartition(path: String, part: Long,
+      start: Long, length: Long) extends InputPartition
+
+  private final class SnapScan(out: StructType, partitions: Seq[SnapInputPartition],
+      conf: org.apache.spark.SerializableWritable[org.apache.hadoop.conf.Configuration])
+      extends Scan with Batch {
     override def readSchema(): StructType = out
     override def toBatch: Batch = this
     override def description(): String =
-      s"graft-snapshot scan: ${partitions.size} files after manifest pruning"
+      s"graft-snapshot scan: ${partitions.map(_.path).distinct.size} files " +
+        s"(${partitions.size} slices) after manifest pruning"
     override def planInputPartitions(): Array[InputPartition] = partitions.toArray
     override def createReaderFactory(): PartitionReaderFactory =
-      new SnapReaderFactory(out)
+      new SnapReaderFactory(out, conf)
   }
 
-  private final class SnapReaderFactory(out: StructType)
+  private final class SnapReaderFactory(out: StructType,
+      conf: org.apache.spark.SerializableWritable[org.apache.hadoop.conf.Configuration])
       extends PartitionReaderFactory {
 
     override def supportColumnarReads(partition: InputPartition): Boolean = true
@@ -157,13 +201,19 @@ object SnapshotSource {
       val sp = p.asInstanceOf[SnapInputPartition]
       // `part` is VIRTUAL: its value comes from the manifest entry and is
       // attached as a partition column — the physical `_part` is not read
-      val physical = out.fields.filter(_.name != "part").map(_.name)
       val needPart = out.fieldNames.contains("part")
       val reader = new org.apache.spark.sql.execution.datasources.parquet
         .VectorizedParquetRecordReader(false, 4096)
       var closed = false
       try {
-        reader.initialize(sp.path, java.util.Arrays.asList(physical: _*))
+        // split-based initialize: the reader opens the footer EXECUTOR-side
+        // and keeps only this slice's row groups; column pruning rides the
+        // requested-schema conf key
+        val split = new org.apache.hadoop.mapred.FileSplit(
+          new org.apache.hadoop.fs.Path(sp.path), sp.start, sp.length, null: Array[String])
+        val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+          conf.value, new org.apache.hadoop.mapreduce.TaskAttemptID())
+        reader.initialize(split, ctx)
         val (pSchema, pRow) =
           if (needPart) (StructType(Seq(StructField("part", LongType))), InternalRow(sp.part))
           else (new StructType(), InternalRow.empty)

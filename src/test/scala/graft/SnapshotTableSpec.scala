@@ -549,6 +549,92 @@ class SnapshotTableSpec extends SparkSpec {
     }
   }
 
+  test("DSv2 scan SPLITS a fat multi-row-group file into multiple slices; rows read exactly once") {
+    val root = java.nio.file.Files.createTempDirectory("snapsplit").toString
+    // write ONE file with MANY row groups (tiny parquet block size)
+    val hc = spark.sparkContext.hadoopConfiguration
+    val oldBlock = Option(hc.get("parquet.block.size"))
+    hc.setInt("parquet.block.size", 64 * 1024)
+    val t = new SnapshotTable(spark, root)
+    try t.init(spark.range(200000L)
+      .select(col("id"), lit(0L).as("part"), (col("id") % 97).as("v")).repartition(1))
+    finally oldBlock.fold(hc.unset("parquet.block.size"))(hc.set("parquet.block.size", _))
+    assert(t.snapshot(1).size === 1, "fixture: exactly one data file")
+    // the fixture file really has several row groups
+    val entry = t.snapshot(1).head
+    val pf = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(entry.path), hc))
+    val nGroups = try pf.getFooter.getBlocks.size finally pf.close()
+    assert(nGroups > 1, s"fixture must be multi-row-group (got $nGroups)")
+    // plan-time byte slicing: >1 input partition for the ONE file, no
+    // footer read at planning (slicing is manifest byte arithmetic)
+    val df = spark.read.format("graft.sources.SnapshotSource")
+      .option("root", root).option("maxsplitbytes", (64 * 1024).toString).load()
+    assert(df.rdd.getNumPartitions > 1,
+      s"a fat file must plan multiple slices (got ${df.rdd.getNumPartitions})")
+    // parity: every row exactly once across the slices
+    assert(df.count() === 200000L)
+    assert(df.select("id").distinct().count() === 200000L)
+    assert(df.agg(sum($"v")).head.getLong(0) === (0L until 200000L).map(_ % 97).sum)
+    assert(df.filter($"part" === 0L).count() === 200000L, "virtual part column intact")
+  }
+
+  test("ScalaCheck property: DSv2 pushdown matches ground truth row-for-row on random part/range predicates") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // fixture: 8 partitions x several files, stats column `id` with tight
+    // per-file bounds (range-split layout), plus a non-indexed column `v`
+    val root = java.nio.file.Files.createTempDirectory("snapfuzz").toString
+    val t = new SnapshotTable(spark, root, statsCol = Some("id"), manifestTargetFiles = 8)
+    t.init((0L until 1000L).map(i => (i, i / 125, i % 7))
+      .toDF("id", "part", "v").repartition(4))
+    val truth = t.read().select("id", "part", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val totalFiles = t.snapshot(1).size
+    spark.read.format("graft.sources.SnapshotSource").option("root", root).load()
+      .createOrReplaceTempView("fuzz_snap")
+
+    // one random predicate combo: 0-2 part IN lists (the intersect logic),
+    // 0-1 lower and 0-1 upper id bound (strict or not), optional id
+    // equality, optional residual-only v filter
+    final case class Combo(inLists: Seq[Seq[Long]], loGe: Option[Long], loGt: Option[Long],
+        hiLe: Option[Long], hiLt: Option[Long], idEq: Option[Long], vEq: Option[Long])
+    val partList: Gen[Seq[Long]] =
+      Gen.someOf(-1L to 9L).map(s => if (s.isEmpty) Seq(-999L) else s.toSeq)
+    val comboGen: Gen[Combo] = for {
+      nIn <- Gen.chooseNum(0, 2)
+      ins <- Gen.listOfN(nIn, partList)
+      loGe <- Gen.option(Gen.chooseNum(-50L, 1050L))
+      loGt <- Gen.option(Gen.chooseNum(-50L, 1050L))
+      hiLe <- Gen.option(Gen.chooseNum(-50L, 1050L))
+      hiLt <- Gen.option(Gen.chooseNum(-50L, 1050L))
+      idEq <- Gen.option(Gen.chooseNum(-5L, 1005L))
+      vEq <- Gen.option(Gen.chooseNum(0L, 8L))
+    } yield Combo(ins, loGe, loGt, hiLe, hiLt, idEq, vEq)
+
+    (0 until 120).foreach { i =>
+      val c = comboGen(Gen.Parameters.default, Seed(i.toLong))
+        .getOrElse(fail(s"combo gen $i produced nothing"))
+      val clauses =
+        c.inLists.map(l => s"part IN (${l.mkString(", ")})") ++
+          c.loGe.map(v => s"id >= $v") ++ c.loGt.map(v => s"id > $v") ++
+          c.hiLe.map(v => s"id <= $v") ++ c.hiLt.map(v => s"id < $v") ++
+          c.idEq.map(v => s"id = $v") ++ c.vEq.map(v => s"v = $v")
+      val where = if (clauses.isEmpty) "1 = 1" else clauses.mkString(" AND ")
+      val df = spark.sql(s"SELECT id, part, v FROM fuzz_snap WHERE $where")
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = truth.filter { case (id, part, v) =>
+        c.inLists.forall(_.contains(part)) &&
+          c.loGe.forall(id >= _) && c.loGt.forall(id > _) &&
+          c.hiLe.forall(id <= _) && c.hiLt.forall(id < _) &&
+          c.idEq.forall(id == _) && c.vEq.forall(v == _)
+      }
+      assert(got === want, s"seed $i ($where): pushdown pruned real rows or leaked extras")
+      assert(df.rdd.getNumPartitions <= totalFiles, s"seed $i planned more slices than files")
+    }
+  }
+
   test("streaming postings ingest: a new document becomes searchable after its micro-batch merges") {
     import org.apache.spark.sql.functions.{pmod, xxhash64, lit, col, explode, split}
     import org.apache.spark.sql.types._
