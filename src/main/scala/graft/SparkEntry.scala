@@ -193,6 +193,7 @@ object SparkEntry {
     // S5/S6 bbox fetch served from the snapshot index via manifest pruning
     "q_snap_bbox" -> ((s, d) => graft.index.SnapshotQueries.bboxIndexFetch(s, d)),
     "q_snap_sql" -> ((s, d) => graft.index.SnapshotQueries.bboxSqlFetch(s, d)),
+    "q_snap_insert" -> ((s, d) => graft.index.SnapshotQueries.sqlInsertUpsert(s, d)),
     // tag whitelist (T10/T11) + distinct stats (G7 exact twin)
     "q_tag_whitelist" -> ((s, d) => graft.index.TagOps.tagWhitelist(s, d)),
     "q_cell_distinct" -> ((s, d) => graft.index.TagOps.distinctTagsByCell(s, d)),
@@ -301,6 +302,7 @@ object SparkEntry {
     "q_snap_maintain" -> graft.index.SnapshotQueries.snapMaintainSql,
     "q_snap_bbox" -> graft.index.SnapshotQueries.bboxIndexFetchSql,
     "q_snap_sql" -> graft.index.SnapshotQueries.bboxSqlFetchSql,
+    "q_snap_insert" -> graft.index.SnapshotQueries.sqlInsertUpsertSql,
     "q_tag_whitelist" -> graft.index.TagOps.tagWhitelistSql,
     "q_cell_distinct" -> graft.index.TagOps.distinctTagsByCellSql,
   )

@@ -438,6 +438,53 @@ class SnapshotTable(spark: SparkSession, root: String,
     } finally cachedDelta.unpersist()
   }
 
+  /** Provision a unique attempt dir for an EXTERNAL writer (the DSv2 write
+    * path): same naming rule as the internal writes, so a crashed or
+    * race-losing SQL write leaves only an orphan attempt dir for
+    * [[expire]]'s sweep. */
+  private[graft] def provisionAttemptDir(): String = attemptDir(currentVersion + 1)
+
+  /**
+   * Commit EXTERNALLY-WRITTEN data files (the DSv2 write path —
+   * [[graft.sources.SnapshotSource]]'s BatchWrite) as the next snapshot,
+   * riding the same manifest/commit machinery as the programmatic writes:
+   *  - [[SnapshotTable.WriteAppend]]: `INSERT INTO` — every parent
+   *    manifest carries by reference, the new files page in alongside.
+   *  - [[SnapshotTable.WriteDynamicOverwrite]]: `INSERT OVERWRITE`
+   *    (dynamic) — partitions present in the new data are REPLACED (their
+   *    old files stay on disk for time travel until [[expire]]); untouched
+   *    partitions carry over, files and manifests both.
+   *  - [[SnapshotTable.WriteTruncate]]: `INSERT OVERWRITE` (static) — the
+   *    new snapshot references only the new files.
+   * SNAPSHOT-ISOLATED like [[upsert]]'s CAS: the write plans against
+   * `basedOn` (captured when the SQL write was planned) and commits
+   * `basedOn + 1` — a rival that committed first makes CREATE_NEW fail,
+   * [[commitOrCleanup]] deletes the loser's fresh files and pages, and
+   * the statement must be re-run against the new state. The footer-free
+   * entry stats arrive from the writers, so [[lastCommitDriverFooters]]
+   * stays 0 and [[SnapshotTable.totalFooterOpens]] does not move at all.
+   */
+  private[graft] def commitFiles(entries: Seq[FileEntry],
+      mode: SnapshotTable.WriteMode, basedOn: Int): Int = recordingCommit {
+    val cur = basedOn
+    require(cur > 0, "init() the snapshot table before SQL writes")
+    val next = cur + 1
+    mode match {
+      case SnapshotTable.WriteAppend =>
+        val nm = writeManifests(entries)
+        commitOrCleanup(next, cur, manifestList(cur) ++ nm, entries, nm)
+      case SnapshotTable.WriteDynamicOverwrite =>
+        val touched = entries.map(_.part).toSet
+        val (carried, _, filteredPages) = splitParent(cur, touched)
+        val nm = writeManifests(entries)
+        commitOrCleanup(next, cur, carried ++ nm, entries, nm ++ filteredPages)
+      case SnapshotTable.WriteTruncate =>
+        val nm = writeManifests(entries)
+        commitOrCleanup(next, cur, nm, entries, nm)
+    }
+    next
+  }
+
   /**
    * Manifest-level pruning core, shared by the read methods and the DSv2
    * scan ([[graft.sources.SnapshotSource]]): only manifests whose bounds
@@ -745,6 +792,12 @@ object SnapshotTable {
   final case class ManifestMeta(path: String, partLo: Long, partHi: Long,
       files: Int, rows: Long, lo: Option[Long] = None, hi: Option[Long] = None)
 
+  /** SQL write semantics for [[SnapshotTable.commitFiles]]. */
+  private[graft] sealed trait WriteMode
+  private[graft] case object WriteAppend extends WriteMode
+  private[graft] case object WriteDynamicOverwrite extends WriteMode
+  private[graft] case object WriteTruncate extends WriteMode
+
   /** Footer opens on the CURRENT THREAD — the commit paths window it
     * ([[SnapshotTable.lastCommitDriverFooters]]) to pin that the DRIVER
     * thread opens zero footers; executor task threads (a separate pool
@@ -989,6 +1042,40 @@ object SnapshotQueries {
          |       CAST(CASE WHEN pid % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS ver
          |FROM pts""".stripMargin
   }
+
+  /**
+   * The q_index_upsert MERGE result produced through PLAIN SQL WRITES
+   * (round-6 verdict #2, the DSv2 `SupportsWrite` path): the point→cell
+   * index is initialised with only the rows an upsert would LEAVE at
+   * ver=1 (pid % 3 != 0), the table is registered as a DSv2 temp view,
+   * and the ver=2 delta arrives via `INSERT INTO view SELECT …` — Spark
+   * plans AppendData over the source's BatchWrite, whose commit rides
+   * [[SnapshotTable.commitFiles]] (CAS on the planned version,
+   * writer-side stats, zero parquet footer opens anywhere). The final
+   * table equals the programmatic COW merge, so the SAME DuckDB oracle
+   * (q_index_upsert's) decides parity end to end.
+   */
+  def sqlInsertUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.cell.{CellFunctions, CellIndex}
+    graft.gen.GeoWorld.registerUdfs(spark)
+    val root = freshRoot("snap-sqlw", sfDir)
+    val t = new SnapshotTable(spark, root)
+    val base = graft.gen.GeoWorld.points(spark, sfDir)
+      .select(col("pid"),
+        CellFunctions.zcell(col("lon"), col("lat"), lit(CellIndex.RES_MID)).as("cell"))
+      .withColumn("part", CellFunctions.zcellParent(
+        col("cell"), lit(CellIndex.RES_MID), lit(2)))
+    t.init(base.filter(col("pid") % 3 =!= 0).withColumn("ver", lit(1L)))
+    spark.read.format("graft.sources.SnapshotSource").option("root", root).load()
+      .createOrReplaceTempView("snap_sqlw")
+    base.filter(col("pid") % 3 === 0).withColumn("ver", lit(2L))
+      .createOrReplaceTempView("snap_sqlw_delta")
+    // table read order is (pid, cell, ver, part) — positional INSERT
+    spark.sql("INSERT INTO snap_sqlw SELECT pid, cell, ver, part FROM snap_sqlw_delta")
+    t.read().select(col("pid"), col("cell"), col("ver"))
+  }
+
+  val sqlInsertUpsertSql: String = indexUpsertSql
 
   /**
    * Full MAINTENANCE cycle through the oracle gate: init (quarter of the

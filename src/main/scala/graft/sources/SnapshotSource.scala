@@ -2,9 +2,11 @@ package graft.sources
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder, Transform}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -54,13 +56,20 @@ object SnapshotSource {
   }
 
   private final class SnapTable(schema: StructType,
-      props: java.util.Map[String, String]) extends Table with SupportsRead {
+      props: java.util.Map[String, String]) extends Table with SupportsRead with SupportsWrite {
     override def name(): String = s"graft-snapshot(${props.get("root")})"
     override def schema(): StructType = schema
+    // identity partitioning on `part` (the table's physical layout): with
+    // it declared, INSERT OVERWRITE under partitionOverwriteMode=dynamic
+    // plans OverwritePartitionsDynamic instead of a whole-table truncate
+    override def partitioning(): Array[Transform] = Array(Expressions.identity("part"))
     override def capabilities(): java.util.Set[TableCapability] =
-      java.util.EnumSet.of(TableCapability.BATCH_READ)
+      java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+        TableCapability.TRUNCATE, TableCapability.OVERWRITE_DYNAMIC)
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
       new SnapScanBuilder(schema, props)
+    override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+      new SnapWriteBuilder(info, props)
   }
 
   private final class SnapScanBuilder(schema: StructType,
@@ -172,6 +181,184 @@ object SnapshotSource {
       .foreach(e => conf.setBoolean(e.key, sql.getConf(e)))
     new org.apache.spark.SerializableWritable(conf)
   }
+
+  // ------------------------------------------------------ DSv2 WRITE path
+
+  /**
+   * SQL writes onto the snapshot table (round-6 verdict #2), riding the
+   * existing COW/commit machinery ([[SnapshotTable.commitFiles]]):
+   * `INSERT INTO` appends, `INSERT OVERWRITE` truncates (static mode) or
+   * replaces exactly the written partitions (dynamic mode). The write
+   * REQUIRES a clustered distribution on `part`, so each partition's rows
+   * land in one task and one file — without it every task would fan a
+   * file into every partition dir (the measured buckets×tasks tiny-file
+   * cliff). Writers stream rows through Spark's own `ParquetWriteSupport`
+   * and track (rows, stats-column min/max) INLINE, so the commit needs no
+   * footer reads anywhere — driver or executor. CREATE_NEW still decides
+   * a commit race; the loser's files are deleted and the racer must retry.
+   */
+  private final class SnapWriteBuilder(info: LogicalWriteInfo,
+      props: java.util.Map[String, String])
+      extends WriteBuilder with SupportsTruncate with SupportsDynamicOverwrite {
+    private var mode: SnapshotTable.WriteMode = SnapshotTable.WriteAppend
+    override def truncate(): WriteBuilder = { mode = SnapshotTable.WriteTruncate; this }
+    override def overwriteDynamicPartitions(): WriteBuilder = {
+      mode = SnapshotTable.WriteDynamicOverwrite; this }
+    override def build(): Write = new SnapWrite(info.schema(), props, mode)
+  }
+
+  private final class SnapWrite(schema: StructType,
+      props: java.util.Map[String, String], mode: SnapshotTable.WriteMode)
+      extends Write with RequiresDistributionAndOrdering {
+    override def description(): String = s"graft-snapshot write ($mode)"
+    // one shuffle clusters each `part` into one task → one file per
+    // partition per write (compact() re-slices fat ones later)
+    override def requiredDistribution(): Distribution =
+      Distributions.clustered(Array(Expressions.column("part")))
+    override def requiredOrdering(): Array[SortOrder] = Array.empty
+    override def toBatch: BatchWrite = new SnapBatchWrite(schema, props, mode)
+  }
+
+  private final class SnapBatchWrite(schema: StructType,
+      props: java.util.Map[String, String], mode: SnapshotTable.WriteMode)
+      extends BatchWrite {
+
+    private val table = tableFor(props)
+    // snapshot the write's base version NOW (plan time): the commit is a
+    // CAS on basedOn+1 — a rival landing mid-write loses cleanly via
+    // CREATE_NEW instead of silently interleaving (upsert's contract)
+    private val basedOn = table.currentVersion
+    private val dir = table.provisionAttemptDir()
+
+    override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+      val session = SparkSession.active
+      // physical file schema: `part` (always last in table read order)
+      // persists as the `_part` data column — same positions, same values,
+      // matching the programmatic writes' layout exactly
+      val physical = StructType(schema.fields.map(f =>
+        if (f.name == "part") f.copy(name = "_part") else f))
+      val partIdx = schema.fieldIndex("part")
+      val statsIdx = table.statsColumn.map(schema.fieldIndex).getOrElse(-1)
+      val statsIsLong = statsIdx >= 0 && schema.fields(statsIdx).dataType == LongType
+      SnapWriterFactory(dir, partIdx, if (statsIsLong) statsIdx else -1,
+        writerConf(session, physical))
+    }
+
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      val entries = messages.toSeq.collect { case m: SnapCommitMessage => m.entries }.flatten
+      table.commitFiles(entries, mode, basedOn)
+      ()
+    }
+
+    override def abort(messages: Array[WriterCommitMessage]): Unit = {
+      messages.toSeq.collect { case m: SnapCommitMessage => m.entries }.flatten
+        .foreach(e => java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(e.path)))
+      ()
+    }
+  }
+
+  /** Per-task hadoop conf for the parquet writers: the session conf plus
+    * the physical row schema and the SQLConf entries
+    * `ParquetWriteSupport.init` asserts on. */
+  private def writerConf(session: SparkSession, physical: StructType)
+      : org.apache.spark.SerializableWritable[org.apache.hadoop.conf.Configuration] = {
+    import org.apache.spark.sql.internal.SQLConf
+    val conf = session.sessionState.newHadoopConf()
+    org.apache.spark.sql.execution.datasources.parquet
+      .ParquetWriteSupport.setSchema(physical, conf)
+    val sql = session.sessionState.conf
+    conf.set(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key,
+      sql.getConf(SQLConf.PARQUET_WRITE_LEGACY_FORMAT).toString)
+    conf.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key,
+      sql.getConf(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE).toString)
+    conf.set(SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key,
+      sql.getConf(SQLConf.PARQUET_REBASE_MODE_IN_WRITE).toString)
+    conf.set(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key,
+      sql.getConf(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE).toString)
+    conf.set(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key,
+      sql.getConf(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED).toString)
+    conf.set(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key,
+      sql.getConf(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE).toString)
+    new org.apache.spark.SerializableWritable(conf)
+  }
+
+  private final case class SnapWriterFactory(dir: String, partIdx: Int, statsIdx: Int,
+      conf: org.apache.spark.SerializableWritable[org.apache.hadoop.conf.Configuration])
+      extends DataWriterFactory {
+    override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+      new SnapDataWriter(dir, partIdx, statsIdx,
+        new org.apache.hadoop.conf.Configuration(conf.value), partitionId, taskId)
+  }
+
+  private final case class SnapCommitMessage(entries: Seq[SnapshotTable.FileEntry])
+      extends WriterCommitMessage
+
+  /** One parquet file per `part` value this task sees (the required
+    * clustering makes that one part per task in practice); rows stream
+    * through Spark's ParquetWriteSupport, stats accumulate inline. */
+  private final class SnapDataWriter(dir: String, partIdx: Int, statsIdx: Int,
+      conf: org.apache.hadoop.conf.Configuration, partitionId: Int, taskId: Long)
+      extends DataWriter[InternalRow] {
+
+    private final class PartFile(val part: Long) {
+      val path = s"$dir/part=$part/part-$partitionId-$taskId-" +
+        s"${java.util.UUID.randomUUID().toString.take(8)}.parquet"
+      val writer = new RowWriterBuilder(new org.apache.hadoop.fs.Path(path))
+        .withConf(conf)
+        .withCompressionCodec(org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+        .build()
+      var rows = 0L
+      var lo = Long.MaxValue
+      var hi = Long.MinValue
+      var bounded = false
+    }
+    private val open = scala.collection.mutable.Map.empty[Long, PartFile]
+
+    override def write(row: InternalRow): Unit = {
+      require(!row.isNullAt(partIdx), "snapshot write: `part` must not be null")
+      val p = row.getLong(partIdx)
+      val f = open.getOrElseUpdate(p, new PartFile(p))
+      f.writer.write(row)
+      f.rows += 1
+      if (statsIdx >= 0 && !row.isNullAt(statsIdx)) {
+        val v = row.getLong(statsIdx)
+        f.lo = math.min(f.lo, v); f.hi = math.max(f.hi, v); f.bounded = true
+      }
+    }
+
+    override def commit(): WriterCommitMessage = {
+      val entries = open.values.toSeq.sortBy(_.path).map { f =>
+        f.writer.close()
+        val hp = new org.apache.hadoop.fs.Path(f.path)
+        val bytes = hp.getFileSystem(conf).getFileStatus(hp).getLen
+        SnapshotTable.FileEntry(f.path, f.part, f.rows, bytes,
+          if (f.bounded) Some(f.lo) else None, if (f.bounded) Some(f.hi) else None)
+      }
+      SnapCommitMessage(entries)
+    }
+
+    override def abort(): Unit = {
+      open.values.foreach { f =>
+        scala.util.Try(f.writer.close())
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f.path))
+        ()
+      }
+    }
+
+    override def close(): Unit = ()
+  }
+
+  /** Public ParquetWriter builder over Spark's InternalRow write support
+    * (schema + codec settings ride the conf, set by [[writerConf]]). */
+  private final class RowWriterBuilder(path: org.apache.hadoop.fs.Path)
+      extends org.apache.parquet.hadoop.ParquetWriter.Builder[InternalRow, RowWriterBuilder](path) {
+    override def getWriteSupport(conf: org.apache.hadoop.conf.Configuration)
+        : org.apache.parquet.hadoop.api.WriteSupport[InternalRow] =
+      new org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport()
+    override def self(): RowWriterBuilder = this
+  }
+
+  // ------------------------------------------------------- DSv2 READ path
 
   /** One byte slice of one data file: `[start, start + length)` selects
     * the row groups whose midpoint the slice covers. */

@@ -635,6 +635,92 @@ class SnapshotTableSpec extends SparkSpec {
     }
   }
 
+  test("DSv2 write path: INSERT INTO appends via the COW commit; no footer reads anywhere") {
+    val root = java.nio.file.Files.createTempDirectory("snapwrite").toString
+    val t = new SnapshotTable(spark, root, statsCol = Some("id"))
+    t.init((0L until 1000L).filter(_ % 3 != 0).map(i => (i, i / 125, 1L))
+      .toDF("id", "part", "ver").repartition(4))
+    spark.read.format("graft.sources.SnapshotSource").option("root", root).load()
+      .createOrReplaceTempView("snap_w")
+    (0L until 1000L).filter(_ % 3 == 0).map(i => (i, i / 125, 2L))
+      .toDF("id", "part", "ver").createOrReplaceTempView("snap_delta")
+    val footersBefore = SnapshotTable.totalFooterOpens.get()
+    // table read order is (id, ver, part) — positional INSERT
+    spark.sql("INSERT INTO snap_w SELECT id, ver, part FROM snap_delta")
+    assert(t.currentVersion === 2)
+    // the SQL write's stats came from the writers INLINE: zero footer
+    // opens in the whole JVM, driver or executor
+    assert(SnapshotTable.totalFooterOpens.get() === footersBefore,
+      "a DSv2 write commit must not open any parquet footer")
+    assert(t.lastCommitDriverFooters === 0L)
+    val got = t.read().select("id", "ver").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === (0L until 1000L).map(i => (i, if (i % 3 == 0) 2L else 1L)).toSet,
+      "append parity with the programmatic merge shape")
+    // writer-side stats bounds are recorded and TIGHT enough to prune
+    assert(t.snapshot(2).forall(f => f.lo.isDefined && f.hi.isDefined))
+    // untouched base manifests carried by reference (append never rewrites)
+    assert(t.snapshot(1).map(_.path).toSet.subsetOf(t.snapshot(2).map(_.path).toSet))
+  }
+
+  test("DSv2 write path: INSERT OVERWRITE replaces partitions (dynamic) or the table (static); race preserved") {
+    val root = java.nio.file.Files.createTempDirectory("snapoverwrite").toString
+    val t = new SnapshotTable(spark, root, statsCol = Some("id"))
+    t.init((0L until 1000L).map(i => (i, i / 250, 1L)).toDF("id", "part", "ver").repartition(2))
+    spark.read.format("graft.sources.SnapshotSource").option("root", root).load()
+      .createOrReplaceTempView("snap_ow")
+    // ---- dynamic: only partition 0 is replaced ----
+    val oldMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      Seq((5000L, 0L, 9L), (5001L, 0L, 9L)).toDF("id", "part", "ver")
+        .createOrReplaceTempView("snap_ow_delta")
+      spark.sql("INSERT OVERWRITE snap_ow SELECT id, ver, part FROM snap_ow_delta")
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", oldMode)
+    assert(t.currentVersion === 2)
+    assert(t.read().filter($"part" === 0L).select("id").collect().map(_.getLong(0)).toSet ===
+      Set(5000L, 5001L), "dynamic overwrite replaces the touched partition entirely")
+    assert(t.read().filter($"part" =!= 0L).count() === 750L, "other partitions untouched")
+    assert(t.snapshot(1).filter(_.part != 0L).map(_.path).toSet ===
+      t.snapshot(2).filter(_.part != 0L).map(_.path).toSet,
+      "untouched partitions carry the SAME files")
+    assert(t.read(1).count() === 1000L, "time travel still sees the pre-overwrite table")
+    // ---- static: the table truncates to the inserted rows ----
+    spark.sql("INSERT OVERWRITE snap_ow SELECT id, ver, part FROM snap_ow_delta")
+    assert(t.currentVersion === 3)
+    assert(t.read().count() === 2L, "static overwrite = truncate + insert")
+    assert(t.read(2).count() === 752L, "previous snapshot intact")
+    // ---- commit race: CREATE_NEW still decides; the loser leaves no data.
+    // A rival's snap-4 lands WHILE the INSERT's tasks run (strictly after
+    // the write captured basedOn = 3) — the photo-finish window. The delta
+    // must NOT be a LocalRelation: ConvertToLocalRelation would fold the
+    // planting UDF at optimization time, BEFORE the write plans.
+    val rival = org.apache.spark.sql.functions.udf { (part: Long) =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$root/snap-4.json"),
+        """{"version":4,"parent":3,"manifests":[]}""")
+      part
+    }
+    spark.udf.register("snap_ow_rival", rival)
+    spark.range(2).select(($"id" + 5000L).as("id"), lit(0L).as("part"), lit(9L).as("ver"))
+      .createOrReplaceTempView("snap_ow_range")
+    intercept[Exception] {
+      spark.sql("INSERT INTO snap_ow SELECT id, ver, snap_ow_rival(part) FROM snap_ow_range")
+    }
+    assert(t.currentVersion === 4, "the rival's commit stands")
+    import scala.jdk.CollectionConverters._
+    val leaked = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(root))
+      try s.iterator().asScala.toSeq.filter(d =>
+        java.nio.file.Files.isDirectory(d) && d.getFileName.toString.startsWith("v4-"))
+      finally s.close()
+    }
+    leaked.foreach { d =>
+      val w = java.nio.file.Files.walk(d)
+      val pq = try w.iterator().asScala.count(_.toString.endsWith(".parquet")) finally w.close()
+      assert(pq === 0, s"race loser must delete its data files under $d")
+    }
+  }
+
   test("streaming postings ingest: a new document becomes searchable after its micro-batch merges") {
     import org.apache.spark.sql.functions.{pmod, xxhash64, lit, col, explode, split}
     import org.apache.spark.sql.types._
