@@ -161,6 +161,7 @@ object SparkEntry {
     "q_relation_assemble" -> ((s, d) => graft.index.IndexBuild.relationAssemble(s, d)),
     // two-hop members: relation -> way mapping -> assembled-way fetch (T4 full)
     "q_relation_mixed" -> ((s, d) => graft.index.IndexBuild.relationMixed(s, d)),
+    "q_relation_multi" -> ((s, d) => graft.index.IndexBuild.relationMulti(s, d)),
     "q_geojson" -> ((s, d) => graft.index.IndexBuild.geojson(s, d)),
     "q_geojson_way" -> ((s, d) => graft.index.IndexBuild.geojsonWay(s, d)),
     // area boundaries as Polygon / GeometryCollection(MultiPolygon) GeoJSON
@@ -170,6 +171,7 @@ object SparkEntry {
     "q_geojson_baarle" -> ((s, d) => graft.index.IndexBuild.geojsonBaarle(s, d)),
     // the full type-routed serialisation dispatch over all object classes (Q14)
     "q_geojson_dispatch" -> ((s, d) => graft.index.IndexBuild.geojsonDispatch(s, d)),
+    "q_geojson_multi" -> ((s, d) => graft.index.IndexBuild.geojsonMulti(s, d)),
     // streaming surface: batch twin of the watermarked windowed aggregation
     "q_stream_window" -> ((s, d) =>
       graft.streaming.StreamNormalize.windowedCellCounts(graft.gen.GeoWorld.docs(s, d))),
@@ -284,12 +286,14 @@ object SparkEntry {
     "q_cell_tag_table" -> graft.index.IndexBuild.cellTagTableSql,
     "q_relation_assemble" -> graft.index.IndexBuild.relationAssembleSql,
     "q_relation_mixed" -> graft.index.IndexBuild.relationMixedSql,
+    "q_relation_multi" -> graft.index.IndexBuild.relationMultiSql,
     "q_geojson" -> graft.index.IndexBuild.geojsonSql,
     "q_geojson_way" -> graft.index.IndexBuild.geojsonWaySql,
     "q_geojson_area" -> graft.index.IndexBuild.geojsonAreaSql,
     "q_geojson_enclave" -> graft.index.IndexBuild.geojsonEnclaveSql,
     "q_geojson_baarle" -> graft.index.IndexBuild.geojsonBaarleSql,
     "q_geojson_dispatch" -> graft.index.IndexBuild.geojsonDispatchSql,
+    "q_geojson_multi" -> graft.index.IndexBuild.geojsonMultiSql,
     "q_stream_window" -> graft.streaming.StreamNormalize.windowedCellCountsSql,
     "q_stream_sliding" -> graft.streaming.StreamNormalize.slidingCellCountsSql,
     "q_stream_session" -> graft.streaming.StreamNormalize.sessionCellCountsSql,

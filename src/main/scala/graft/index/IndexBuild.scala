@@ -523,6 +523,77 @@ object IndexBuild {
          |FROM baarles""".stripMargin
   }
 
+  /**
+   * GeoJSON for the MULTI geometries (round-6 verdict #3): station
+   * clusters serialise as MultiPoint (member coordinates in `seq` order),
+   * dashed routes as MultiLineString (a coordinate-array PER SEGMENT, in
+   * `seg` order, vertices in `seq` order within each). With these two the
+   * dispatch covers the reference's full seven-kind geometry ADT
+   * (GeowGeometryToJTSGeometry.scala:29-78). Exact fixed-point
+   * micro-degree formatting from the integer milli-degree offsets, like
+   * every other serialiser — a serialiser that flattens the segment
+   * nesting (MultiLineString → LineString) or reorders members goes red.
+   */
+  private def gjMultiXy: Column = concat(lit("["),
+    microToDec(lit(LONM0) + col("lonm") * 1000L), lit(","),
+    microToDec(lit(LATM0) + col("latm") * 1000L), lit("]"))
+  private val gjMultiXySql: String =
+    s"'[' || ${microToDecSql(s"($LONM0 + lonm * 1000)")} || ',' || ${microToDecSql(s"($LATM0 + latm * 1000)")} || ']'"
+
+  def geojsonMulti(spark: SparkSession, sfDir: String): DataFrame = {
+    init(spark)
+    val mp = GeoWorld.stations(spark, sfDir)
+      .select(col("cluster_id"), col("cluster_name"),
+        struct(col("seq"), gjMultiXy.as("xy")).as("m"))
+      .groupBy("cluster_id", "cluster_name")
+      .agg(array_sort(collect_list(col("m"))).as("ms"))
+      .select(concat(lit("cluster_"), col("cluster_id").cast("string")).as("obj_id"),
+        concat(lit("""{"type":"Feature","geometry":{"type":"MultiPoint","coordinates":["""),
+          concat_ws(",", transform(col("ms"), m => m.getField("xy"))),
+          lit("""]},"properties":{"name":""""), jsonEscape(col("cluster_name")),
+          lit(""""}}""")).as("feature"))
+    val segs = GeoWorld.routes(spark, sfDir)
+      .select(col("route_id"), col("route_name"), col("seg"),
+        struct(col("seq"), gjMultiXy.as("xy")).as("m"))
+      .groupBy("route_id", "route_name", "seg")
+      .agg(array_sort(collect_list(col("m"))).as("ms"))
+      .select(col("route_id"), col("route_name"),
+        struct(col("seg"), concat(lit("["),
+          concat_ws(",", transform(col("ms"), m => m.getField("xy"))), lit("]")).as("sj")).as("s"))
+    val ml = segs.groupBy("route_id", "route_name")
+      .agg(array_sort(collect_list(col("s"))).as("ss"))
+      .select(concat(lit("route_"), col("route_id").cast("string")).as("obj_id"),
+        concat(lit("""{"type":"Feature","geometry":{"type":"MultiLineString","coordinates":["""),
+          concat_ws(",", transform(col("ss"), s => s.getField("sj"))),
+          lit("""]},"properties":{"name":""""), jsonEscape(col("route_name")),
+          lit(""""}}""")).as("feature"))
+    mp.unionByName(ml)
+  }
+
+  private val geojsonMultiBody: String = {
+    val props = (name: String) =>
+      s"""']},"properties":{"name":"' || ${jsonEscapeSql(name)} || '"}}'"""
+    s"""SELECT 'cluster_' || CAST(cluster_id AS VARCHAR) AS obj_id,
+       |  '{"type":"Feature","geometry":{"type":"MultiPoint","coordinates":[' ||
+       |  STRING_AGG(xy, ',' ORDER BY seq) || ${props("cluster_name")} AS feature
+       |FROM (SELECT cluster_id, cluster_name, seq, $gjMultiXySql AS xy FROM stations)
+       |GROUP BY cluster_id, cluster_name
+       |UNION ALL
+       |SELECT 'route_' || CAST(route_id AS VARCHAR) AS obj_id,
+       |  '{"type":"Feature","geometry":{"type":"MultiLineString","coordinates":[' ||
+       |  STRING_AGG(sj, ',' ORDER BY seg) || ${props("route_name")} AS feature
+       |FROM (
+       |  SELECT route_id, route_name, seg,
+       |         '[' || STRING_AGG(xy, ',' ORDER BY seq) || ']' AS sj
+       |  FROM (SELECT route_id, route_name, seg, seq, $gjMultiXySql AS xy FROM routes)
+       |  GROUP BY route_id, route_name, seg
+       |)
+       |GROUP BY route_id, route_name""".stripMargin
+  }
+
+  val geojsonMultiSql: String =
+    GeoQueries.withWorld(GeoWorld.stationsCte, GeoWorld.routesCte) + geojsonMultiBody
+
   private val geojsonWayBody: String = {
     val xy = s"""('[' || ${microToDecSql(lonMicroSqlOf("p.lonm"))} || ',' || ${microToDecSql(latMicroSqlOf("p.latm"))} || ']')"""
     val props = s"""'},"properties":{"doc_id":"' || ${jsonEscapeSql("doc_id")} || '"}}'"""
@@ -557,18 +628,87 @@ object IndexBuild {
         .select(concat(lit("way_"), col("doc_id")).as("obj_id"), col("feature")))
       .unionByName(geojsonArea(spark, sfDir)
         .select(concat(lit("area_"), col("area_id").cast("string")).as("obj_id"), col("feature")))
+      // MultiPoint + MultiLineString branches (already obj_id-prefixed) —
+      // the dispatch now emits all seven reference geometry kinds
+      .unionByName(geojsonMulti(spark, sfDir))
 
   val geojsonDispatchSql: String = {
-    // re-derive each branch body over the shared world CTEs (the three
-    // branch queries are individually oracle-checked; this pins the union)
+    // re-derive each branch body over the shared world CTEs (the branch
+    // queries are individually oracle-checked; this pins the union)
     val nodeBody = geojsonBody
     val wayBody = geojsonWayBody
     val areaBody = geojsonAreaBody
-    GeoQueries.withWorld() +
+    GeoQueries.withWorld(GeoWorld.stationsCte, GeoWorld.routesCte) +
       s"""SELECT 'node_' || CAST(pid AS VARCHAR) AS obj_id, feature FROM ($nodeBody)
          |UNION ALL
          |SELECT 'way_' || doc_id AS obj_id, feature FROM ($wayBody)
          |UNION ALL
-         |SELECT 'area_' || CAST(area_id AS VARCHAR) AS obj_id, feature FROM ($areaBody)""".stripMargin
+         |SELECT 'area_' || CAST(area_id AS VARCHAR) AS obj_id, feature FROM ($areaBody)
+         |UNION ALL
+         |SELECT obj_id, feature FROM ($geojsonMultiBody)""".stripMargin
+  }
+
+  /**
+   * Relation assembly over the MULTI-geometry members (round-6 verdict
+   * #3, the assembly half): each state's relation gathers its station
+   * cluster as ONE MultiPoint member (points folded in `seq` order) and
+   * its dashed route as ONE MultiLineString member (segments folded in
+   * `seg` order, vertices in `seq` order) — the reference's typed member
+   * maps (points-then-lines) nesting multi-geometries into the collection
+   * (RelationFlow.scala:44-58, GeowGeometryToJTSGeometry.scala:29-78).
+   * Each member kind is an order-preserving fold (array_sort over
+   * (ordinal, vertex) structs), joined per relation — every hop a keyed
+   * equi-join over dimension-sized tables, nothing quadratic.
+   */
+  def relationMulti(spark: SparkSession, sfDir: String): DataFrame = {
+    init(spark)
+    val xy = concat(col("lonm").cast("string"), lit(" "), col("latm").cast("string"))
+    val mp = GeoWorld.stations(spark, sfDir)
+      .select((col("cluster_id") - 970000L).as("nk"), struct(col("seq"), xy.as("xy")).as("m"))
+      .groupBy("nk").agg(array_sort(collect_list(col("m"))).as("ms"))
+      .select(col("nk"),
+        concat(lit("MULTIPOINT("),
+          concat_ws(",", transform(col("ms"), m => m.getField("xy"))), lit(")")).as("mp"),
+        size(col("ms")).as("n_pts"))
+    val segs = GeoWorld.routes(spark, sfDir)
+      .select((col("route_id") - 980000L).as("nk"), col("seg"),
+        struct(col("seq"), xy.as("xy")).as("m"))
+      .groupBy("nk", "seg").agg(array_sort(collect_list(col("m"))).as("ms"))
+      .select(col("nk"), struct(col("seg"), concat(lit("("),
+        concat_ws(",", transform(col("ms"), m => m.getField("xy"))), lit(")")).as("sj")).as("s"))
+    val ml = segs.groupBy("nk").agg(array_sort(collect_list(col("s"))).as("ss"))
+      .select(col("nk"),
+        concat(lit("MULTILINESTRING("),
+          concat_ws(",", transform(col("ss"), s => s.getField("sj"))), lit(")")).as("ml"),
+        size(col("ss")).as("n_segs"))
+    mp.join(ml, "nk")
+      .select(concat(lit("mrel_"), col("nk").cast("string")).as("rel_id"),
+        concat(lit("GEOMETRYCOLLECTION("), col("mp"), lit(","), col("ml"), lit(")")).as("wkt"),
+        (col("n_pts") + col("n_segs")).cast("int").as("n_members"))
+  }
+
+  val relationMultiSql: String = {
+    val xy = """CAST(lonm AS VARCHAR) || ' ' || CAST(latm AS VARCHAR)"""
+    GeoQueries.withWorld(GeoWorld.stationsCte, GeoWorld.routesCte,
+      s"""mmp AS (
+         |  SELECT cluster_id - 970000 AS nk,
+         |         'MULTIPOINT(' || STRING_AGG($xy, ',' ORDER BY seq) || ')' AS mp,
+         |         COUNT(*) AS n_pts
+         |  FROM stations GROUP BY 1
+         |)""".stripMargin,
+      s"""msegs AS (
+         |  SELECT route_id - 980000 AS nk, seg,
+         |         '(' || STRING_AGG($xy, ',' ORDER BY seq) || ')' AS sj
+         |  FROM routes GROUP BY route_id, seg
+         |)""".stripMargin,
+      """mml AS (
+        |  SELECT nk, 'MULTILINESTRING(' || STRING_AGG(sj, ',' ORDER BY seg) || ')' AS ml,
+        |         COUNT(*) AS n_segs
+        |  FROM msegs GROUP BY nk
+        |)""".stripMargin) +
+      """SELECT 'mrel_' || CAST(m.nk AS VARCHAR) AS rel_id,
+        |       'GEOMETRYCOLLECTION(' || m.mp || ',' || l.ml || ')' AS wkt,
+        |       CAST(n_pts + n_segs AS INTEGER) AS n_members
+        |FROM mmp m JOIN mml l ON m.nk = l.nk""".stripMargin
   }
 }

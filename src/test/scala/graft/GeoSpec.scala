@@ -273,6 +273,53 @@ class GeoSpec extends AnyFunSuite {
     assert(!Geo.within(Geo.point(0, 0), emptyGc))
   }
 
+  test("MultiPoint / MultiLineString: vertex cover is the member-cell union; PIP against the state holds") {
+    import org.locationtech.jts.geom.Coordinate
+    import graft.cell.CellIndex
+    // state 0 of region 0 — the same milli-degree arithmetic the GeoWorld
+    // generators use (STATION_SPECS / ROUTE_SPECS, y band 5600..6800)
+    def lonOf(x: Int) = graft.gen.GeoWorld.LON0 + (0 * 12000 + x) / 1000.0
+    def latOf(y: Int) = graft.gen.GeoWorld.LAT0 + (0 * 7200 + y) / 1000.0
+    val mp = Geo.factory.createMultiPointFromCoords(
+      graft.gen.GeoWorld.STATION_SPECS.map { case (_, x, y) =>
+        new Coordinate(lonOf(x), latOf(y)) }.toArray)
+    val ml = Geo.factory.createMultiLineString(
+      graft.gen.GeoWorld.ROUTE_SPECS.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, vs) =>
+        Geo.factory.createLineString(vs.sortBy(_._2).map { case (_, _, x, y) =>
+          new Coordinate(lonOf(x), latOf(y)) }.toArray)
+      }.toArray)
+    val res = CellIndex.RES_MID
+    // cover of the MULTI geometry == union of its members' vertex cells —
+    // the same cover rule every other kind uses (no flattening, no loss)
+    val mpCover = Geo.vertexCover(Geo.toWkb(mp), res).toSet
+    assert(mpCover === graft.gen.GeoWorld.STATION_SPECS.map { case (_, x, y) =>
+      CellIndex.encode(lonOf(x), latOf(y), res) }.toSet)
+    assert(mpCover.size > 1, "the cluster must genuinely span multiple cells")
+    val mlCover = Geo.vertexCover(Geo.toWkb(ml), res).toSet
+    assert(mlCover === graft.gen.GeoWorld.ROUTE_SPECS.map { case (_, _, x, y) =>
+      CellIndex.encode(lonOf(x), latOf(y), res) }.toSet)
+    // PIP: both multis sit strictly INSIDE their state rect and OUTSIDE
+    // the neighbouring state's (the band 5600..6800 < 7200 guarantees it)
+    val state0 = Geo.rect(lonOf(0), latOf(0), lonOf(12000), latOf(7200))
+    val state1 = Geo.rect(lonOf(0), latOf(7200), lonOf(12000), latOf(14400))
+    assert(mp.within(state0) && ml.within(state0))
+    assert(!mp.within(state1) && !ml.within(state1))
+    // dispatch rule: JTS Multi* ARE GeometryCollections, so a multi inner
+    // rides the GC branch, where `forall` over its (zero) POLYGONAL
+    // members is vacuously true — the faithful consequence of the
+    // reference's forall-over-inner-polygons semantics (SURVEY §7.5
+    // byte-for-byte mirror; polygon-less inners never occur in the
+    // containment catalog, whose inners are always GC(MultiPolygon))
+    val gc = Geo.areaGeom(Seq(state0))
+    assert(Geo.within(mp, gc) && Geo.within(ml, gc),
+      "polygon-less GC inner: vacuous forall, never a throw")
+    assert(Geo.withinExact(mp, gc), "exact branch shares the forall rule")
+    graft.gen.GeoWorld.STATION_SPECS.foreach { case (_, x, y) =>
+      assert(Geo.within(Geo.point(lonOf(x), latOf(y)), gc),
+        "each station member resolves through the Point-in-GC branch")
+    }
+  }
+
   test("WKB round-trips geometry") {
     val g = gc(square(1.5, 2.5, 3.0))
     val back = Geo.fromWkb(Geo.toWkb(g))
