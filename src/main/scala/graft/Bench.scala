@@ -14,29 +14,6 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** Sums executor CPU time (ns) across all completed tasks. */
-  private final class CpuListener extends org.apache.spark.scheduler.SparkListener {
-    val cpuNs = new java.util.concurrent.atomic.AtomicLong(0)
-    override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-      val m = te.taskMetrics
-      if (m != null) { cpuNs.addAndGet(m.executorCpuTime); () }
-    }
-  }
-
-  /** Drain the listener bus so the CPU counter covers every task of the
-    * action that just returned (events post asynchronously). listenerBus
-    * is private[spark] — public in bytecode, reached reflectively. */
-  private def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
-    scala.util.Try {
-      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
-      bus.getClass.getMethods.find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 0)
-        .orElse(bus.getClass.getMethods.find(_.getName == "waitUntilEmpty"))
-        .foreach { m =>
-          if (m.getParameterCount == 0) m.invoke(bus)
-          else m.invoke(bus, java.lang.Long.valueOf(10000L))
-        }
-    }
-
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -47,9 +24,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val cpu = new CpuListener
-    spark.sparkContext.addSparkListener(cpu)
-    def cpuSnap(): Long = { drainListenerBus(spark.sparkContext); cpu.cpuNs.get }
+    // shared executor-CPU accounting (graft.bench.CpuMeter)
+    val cpu = new graft.bench.CpuMeter(spark.sparkContext)
+    def cpuSnap(): Long = cpu.snapshotNs()
 
     // headline: spatial-join + tile-assignment docs/sec. TWO warmup passes
     // first: the first pays scan/plan costs, the second lets C2 finish

@@ -35,7 +35,14 @@ object ScalingBench {
     * single-JVM local[] shares one heap across all "executors" and
     * understates scaling). Requires SPARK_HOME=/opt/spark and
     * SPARK_SCALA_VERSION=2.13 in the environment. */
-  private def run(execs: Int, coresPerExec: Int, sfDir: String, inputPath: String): Double = {
+  /** One phase's evidence: every timed sample's (wall, cpu) plus the best
+    * wall and ITS cpu — per-phase executor CPU seconds make host-window
+    * arguments mechanical (round-6 verdict #5): an external-load window
+    * degrades wall while cpu stays flat; an engine regression moves both. */
+  final case class PhaseResult(bestWall: Double, bestCpu: Double,
+      samples: Seq[(Double, Double)])
+
+  private def run(execs: Int, coresPerExec: Int, sfDir: String, inputPath: String): PhaseResult = {
     val cpus = execs * coresPerExec
     val spark = SparkSession.builder()
       .master(s"local-cluster[$execs,$coresPerExec,6144]")
@@ -55,13 +62,15 @@ object ScalingBench {
       // plan construction + boundary collect/broadcast happen once, outside
       // timing (on a cluster this is driver-side setup, not throughput)
       val job = Headline.scalingJob(spark, sfDir, inputPath)
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        job.count()
-        (System.nanoTime() - t0) / 1e9
+      val cpu = new CpuMeter(spark.sparkContext)
+      def once(): (Double, Double) = {
+        val (_, wall, cpuSecs) = cpu.timed(job.count())
+        (wall, cpuSecs)
       }
       once() // warmup (JIT + page cache)
-      (1 to 3).map(_ => once()).min // best of 3 (shared-host noise is one-sided)
+      val samples = (1 to 3).map(_ => once())
+      val best = samples.minBy(_._1) // best wall of 3 (host noise is one-sided)
+      PhaseResult(best._1, best._2, samples)
     } finally {
       spark.stop()
       SparkSession.clearActiveSession()
@@ -90,17 +99,26 @@ object ScalingBench {
     val pairs = (1 to cycles).map { _ =>
       (run(n, coresPerExec, sfDir, inputPath), run(n * 4, coresPerExec, sfDir, inputPath))
     }
-    val secsN = pairs.map(_._1).min
-    val secs4N = pairs.map(_._2).min
+    val bestN = pairs.map(_._1).minBy(_.bestWall)
+    val best4N = pairs.map(_._2).minBy(_.bestWall)
+    val secsN = bestN.bestWall
+    val secs4N = best4N.bestWall
     val tpN = docs / secsN
     val tp4N = docs / secs4N
     val eff = (tp4N / tpN) / 4.0
+    def r2(x: Double) = math.round(x * 100) / 100.0
+    def sampleJson(rs: Seq[PhaseResult]) = rs.flatMap(_.samples)
+      .map { case (w, c) => s"""{"wall":${r2(w)},"cpu":${r2(c)}}""" }
+      .mkString("[", ",", "]")
     val json =
       s"""{"metric":"scaling efficiency N->4N executors (local-cluster $n x$coresPerExec -> ${n * 4} x$coresPerExec)","docs":$docs,"sf":"$sfDir","factor":$factor,
          |"executors_n":$n,"cores_per_executor":$coresPerExec,"secs_n":$secsN,"secs_4n":$secs4N,
          |"docs_per_sec_n":$tpN,"docs_per_sec_4n":$tp4N,
+         |"cpu_secs_n":${r2(bestN.bestCpu)},"cpu_secs_4n":${r2(best4N.bestCpu)},
+         |"samples_n":${sampleJson(pairs.map(_._1))},"samples_4n":${sampleJson(pairs.map(_._2))},
          |"efficiency":$eff,"target":0.8}""".stripMargin.replace("\n", "")
     println(json)
     Files.writeString(Paths.get("BENCH_SCALING.json"), json + "\n")
+    ()
   }
 }

@@ -154,8 +154,11 @@ object SnapshotSource {
       val slices = entries.flatMap { e =>
         val n = math.max(1L, (e.bytes + target - 1) / target)
         val len = (e.bytes + n - 1) / n
-        (0L until n).map(i =>
-          SnapInputPartition(e.path, e.part, i * len, math.min(len, e.bytes - i * len)))
+        // ceil-of-ceil can leave a zero-length tail (bytes=9, n=4, len=3):
+        // drop it rather than plan an empty task
+        (0L until n).iterator
+          .map(i => SnapInputPartition(e.path, e.part, i * len, math.min(len, e.bytes - i * len)))
+          .filter(_.length > 0).toSeq
       }
       new SnapScan(ordered, slices, readerConf(session, ordered))
     }
