@@ -87,12 +87,20 @@ object StreamSearch {
   def searchStream(spark: SparkSession, queries: DataFrame, table: SnapshotTable,
       n: Long, k: Int, watermark: String = "10 seconds"): Dataset[SearchHitOut] = {
     import spark.implicits._
+    // the static side is the SNAPSHOT resolved here (the file list fixes at
+    // plan time): index updates after the stream starts don't shift scores
+    // mid-run — restart the query to serve a newer version
     val postings = table.read().select(col("kind"), col("id"), col("token"))
     // per-token document frequency over the STATIC index — restriction to
     // a query's tokens cannot change a token's df, so this equals the
-    // batch path's weights on the hit set
+    // batch path's weights on the hit set. PERSISTED: a stream-static join
+    // re-evaluates the static side EVERY micro-batch, and without the cache
+    // each batch would rescan + re-aggregate the whole index to rebuild a
+    // vocab-sized table (this is the static-dim case, unlike round-6's
+    // reverted single-job persists)
     val weights = postings.groupBy("token").agg(count(lit(1)).as("df"))
       .select(col("token"), expr(s"CAST($n AS BIGINT) div df").as("w"))
+      .persist()
     // watermark BEFORE the join: a query whose tokens match nothing still
     // advances the watermark (its hits are dropped by the join, its event
     // time is not)
