@@ -1078,6 +1078,54 @@ object SnapshotQueries {
   val sqlInsertUpsertSql: String = indexUpsertSql
 
   /**
+   * The DSv2 DYNAMIC `INSERT OVERWRITE` through the oracle gate: the full
+   * point index commits at ver=1, then a dynamic overwrite writes ONLY the
+   * pid % 5 == 0 rows at ver=2 — every partition present in that delta is
+   * REPLACED (its other pids vanish), every untouched partition keeps its
+   * ver=1 rows and files. The oracle recomputes the partition key with the
+   * same bit arithmetic and rebuilds the final state as
+   * (untouched-partition rows at ver=1) ∪ (delta rows at ver=2) — a
+   * dynamic overwrite that leaks survivors into touched partitions, or
+   * drops untouched ones, goes red.
+   */
+  def sqlOverwriteUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.cell.{CellFunctions, CellIndex}
+    graft.gen.GeoWorld.registerUdfs(spark)
+    val root = freshRoot("snap-sqlow", sfDir)
+    val t = new SnapshotTable(spark, root)
+    val base = graft.gen.GeoWorld.points(spark, sfDir)
+      .select(col("pid"),
+        CellFunctions.zcell(col("lon"), col("lat"), lit(CellIndex.RES_MID)).as("cell"))
+      .withColumn("part", CellFunctions.zcellParent(
+        col("cell"), lit(CellIndex.RES_MID), lit(2)))
+    t.init(base.withColumn("ver", lit(1L)))
+    spark.read.format("graft.sources.SnapshotSource").option("root", root).load()
+      .createOrReplaceTempView("snap_sqlow")
+    base.filter(col("pid") % 5 === 0).withColumn("ver", lit(2L))
+      .createOrReplaceTempView("snap_sqlow_delta")
+    val old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try spark.sql("INSERT OVERWRITE snap_sqlow SELECT pid, cell, ver, part FROM snap_sqlow_delta")
+    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+    t.read().select(col("pid"), col("cell"), col("ver"))
+  }
+
+  val sqlOverwriteUpsertSql: String = {
+    import graft.cell.{CellIndex, CellSql}
+    val cell = CellSql.encode("lon", "lat", CellIndex.RES_MID)
+    graft.query.GeoQueries.withWorld(
+      s"""snapidx AS (
+         |  SELECT pid, $cell AS cell,
+         |         ${CellSql.parent(CellSql.encode("lon", "lat", CellIndex.RES_MID), CellIndex.RES_MID, 2)} AS part
+         |  FROM pts
+         |)""".stripMargin) +
+      """SELECT pid, cell, CAST(1 AS BIGINT) AS ver FROM snapidx
+        |WHERE part NOT IN (SELECT DISTINCT part FROM snapidx WHERE pid % 5 = 0)
+        |UNION ALL
+        |SELECT pid, cell, CAST(2 AS BIGINT) AS ver FROM snapidx WHERE pid % 5 = 0""".stripMargin
+  }
+
+  /**
    * Full MAINTENANCE cycle through the oracle gate: init (quarter of the
    * point index — the cycle runs five jobs, so the slice keeps bench cost
    * honest) → COW upsert → byte-target compaction → snapshot expiry →

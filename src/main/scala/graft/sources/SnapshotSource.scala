@@ -151,6 +151,7 @@ object SnapshotSource {
       val target = Option(props.get("maxsplitbytes")).map(_.toLong).getOrElse(
         session.sessionState.conf.getConf(
           org.apache.spark.sql.internal.SQLConf.FILES_MAX_PARTITION_BYTES))
+      require(target > 0, s"maxsplitbytes must be positive, got $target")
       val slices = entries.flatMap { e =>
         val n = math.max(1L, (e.bytes + target - 1) / target)
         val len = (e.bytes + n - 1) / n

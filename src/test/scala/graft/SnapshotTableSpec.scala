@@ -589,29 +589,40 @@ class SnapshotTableSpec extends SparkSpec {
     val t = new SnapshotTable(spark, root, statsCol = Some("id"), manifestTargetFiles = 8)
     t.init((0L until 1000L).map(i => (i, i / 125, i % 7))
       .toDF("id", "part", "v").repartition(4))
-    val truth = t.read().select("id", "part", "v").collect()
+    // v2: an upsert changes some rows and adds new ids — TIME TRAVEL is
+    // part of the fuzzed surface (the version option rides pruneFiles too)
+    t.upsert((0L until 1000L by 50L).map(i => (i, i / 125, 100L))
+      .toDF("id", "part", "v").unionByName(
+        Seq((2000L, 3L, 100L), (2001L, 7L, 100L)).toDF("id", "part", "v")), Seq("id"))
+    def truthOf(version: Int) = t.read(version).select("id", "part", "v").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    val totalFiles = t.snapshot(1).size
-    spark.read.format("graft.sources.SnapshotSource").option("root", root).load()
-      .createOrReplaceTempView("fuzz_snap")
+    val truthByV = Map(1 -> truthOf(1), 2 -> truthOf(2))
+    val totalFiles = math.max(t.snapshot(1).size, t.snapshot(2).size)
+    Seq(1, 2).foreach { v =>
+      spark.read.format("graft.sources.SnapshotSource")
+        .option("root", root).option("version", v.toString).load()
+        .createOrReplaceTempView(s"fuzz_snap_v$v")
+    }
 
     // one random predicate combo: 0-2 part IN lists (the intersect logic),
     // 0-1 lower and 0-1 upper id bound (strict or not), optional id
     // equality, optional residual-only v filter
-    final case class Combo(inLists: Seq[Seq[Long]], loGe: Option[Long], loGt: Option[Long],
+    final case class Combo(version: Int, inLists: Seq[Seq[Long]],
+        loGe: Option[Long], loGt: Option[Long],
         hiLe: Option[Long], hiLt: Option[Long], idEq: Option[Long], vEq: Option[Long])
     val partList: Gen[Seq[Long]] =
       Gen.someOf(-1L to 9L).map(s => if (s.isEmpty) Seq(-999L) else s.toSeq)
     val comboGen: Gen[Combo] = for {
+      version <- Gen.oneOf(1, 2)
       nIn <- Gen.chooseNum(0, 2)
       ins <- Gen.listOfN(nIn, partList)
-      loGe <- Gen.option(Gen.chooseNum(-50L, 1050L))
-      loGt <- Gen.option(Gen.chooseNum(-50L, 1050L))
-      hiLe <- Gen.option(Gen.chooseNum(-50L, 1050L))
-      hiLt <- Gen.option(Gen.chooseNum(-50L, 1050L))
-      idEq <- Gen.option(Gen.chooseNum(-5L, 1005L))
-      vEq <- Gen.option(Gen.chooseNum(0L, 8L))
-    } yield Combo(ins, loGe, loGt, hiLe, hiLt, idEq, vEq)
+      loGe <- Gen.option(Gen.chooseNum(-50L, 2050L))
+      loGt <- Gen.option(Gen.chooseNum(-50L, 2050L))
+      hiLe <- Gen.option(Gen.chooseNum(-50L, 2050L))
+      hiLt <- Gen.option(Gen.chooseNum(-50L, 2050L))
+      idEq <- Gen.option(Gen.chooseNum(-5L, 2005L))
+      vEq <- Gen.option(Gen.oneOf(Gen.chooseNum(0L, 8L), Gen.const(100L)))
+    } yield Combo(version, ins, loGe, loGt, hiLe, hiLt, idEq, vEq)
 
     (0 until 120).foreach { i =>
       val c = comboGen(Gen.Parameters.default, Seed(i.toLong))
@@ -622,9 +633,9 @@ class SnapshotTableSpec extends SparkSpec {
           c.hiLe.map(v => s"id <= $v") ++ c.hiLt.map(v => s"id < $v") ++
           c.idEq.map(v => s"id = $v") ++ c.vEq.map(v => s"v = $v")
       val where = if (clauses.isEmpty) "1 = 1" else clauses.mkString(" AND ")
-      val df = spark.sql(s"SELECT id, part, v FROM fuzz_snap WHERE $where")
+      val df = spark.sql(s"SELECT id, part, v FROM fuzz_snap_v${c.version} WHERE $where")
       val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-      val want = truth.filter { case (id, part, v) =>
+      val want = truthByV(c.version).filter { case (id, part, v) =>
         c.inLists.forall(_.contains(part)) &&
           c.loGe.forall(id >= _) && c.loGt.forall(id > _) &&
           c.hiLe.forall(id <= _) && c.hiLt.forall(id < _) &&
