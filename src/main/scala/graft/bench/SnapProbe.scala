@@ -47,6 +47,23 @@ object SnapProbe {
       f"upsert1part(rows=$deltaRows)=${upSecs}%.2fs " +
       f"rewrittenFiles=${rewritten.size}/${v2.size} " +
       f"carriedFiles=${v2.map(_.path).toSet.intersect(v1.map(_.path).toSet).size}")
+
+    // DSv2 SQL WRITE (round 7): INSERT INTO a one-partition delta of NEW
+    // identities — the commit must carry every base manifest by reference
+    // and add only the delta's file(s); cost ∝ delta, never the table
+    spark.read.format("graft.sources.SnapshotSource").option("root", root).load()
+      .createOrReplaceTempView("snapprobe_t")
+    base.filter(col("part") === onePart)
+      .withColumn("pid", col("pid") + 100000000L).withColumn("ver", lit(3L))
+      .createOrReplaceTempView("snapprobe_delta")
+    val (_, sqlSecs) = timed(spark.sql(
+      "INSERT INTO snapprobe_t SELECT pid, lon, lat, cell, ver, part FROM snapprobe_delta"))
+    val v3 = t.snapshot(3)
+    val added = v3.map(_.path).toSet -- v2.map(_.path).toSet
+    println(f"SNAPPROBE_SQLWRITE insert1part(rows=$deltaRows)=${sqlSecs}%.2fs " +
+      f"addedFiles=${added.size} " +
+      f"carriedFiles=${v3.map(_.path).toSet.intersect(v2.map(_.path).toSet).size}/${v2.size} " +
+      f"driverFooters=${t.lastCommitDriverFooters}")
     spark.stop()
   }
 }
