@@ -252,8 +252,11 @@ object SnapshotSource {
       val partIdx = schema.fieldIndex("part")
       val statsIdx = table.statsColumn.map(schema.fieldIndex).getOrElse(-1)
       val statsIsLong = statsIdx >= 0 && schema.fields(statsIdx).dataType == LongType
+      val targetBytes = Option(props.get("targetfilebytes")).map(_.toLong)
+        .getOrElse(SnapshotSource.DEFAULT_TARGET_FILE_BYTES)
+      require(targetBytes > 0, s"targetfilebytes must be positive, got $targetBytes")
       SnapWriterFactory(dir, partIdx, if (statsIsLong) statsIdx else -1,
-        writerConf(session, physical))
+        targetBytes, writerConf(session, physical))
     }
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -294,11 +297,20 @@ object SnapshotSource {
     new org.apache.spark.SerializableWritable(conf)
   }
 
+  /** Target size at which a writer ROLLS to a new file within a partition
+    * (Iceberg's write.target-file-size-bytes spirit, 512 MB): a hot
+    * partition's SQL ingest lands as several target-sized files instead of
+    * one giant one — bounded memory per reader task later, no compaction
+    * needed just to fix ingest layout. Override per write with the
+    * `targetfilebytes` option. */
+  final val DEFAULT_TARGET_FILE_BYTES: Long = 512L * 1024 * 1024
+
   private final case class SnapWriterFactory(dir: String, partIdx: Int, statsIdx: Int,
+      targetBytes: Long,
       conf: org.apache.spark.SerializableWritable[org.apache.hadoop.conf.Configuration])
       extends DataWriterFactory {
     override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-      new SnapDataWriter(dir, partIdx, statsIdx,
+      new SnapDataWriter(dir, partIdx, statsIdx, targetBytes,
         new org.apache.hadoop.conf.Configuration(conf.value), partitionId, taskId)
   }
 
@@ -306,10 +318,13 @@ object SnapshotSource {
       extends WriterCommitMessage
 
   /** One parquet file per `part` value this task sees (the required
-    * clustering makes that one part per task in practice); rows stream
-    * through Spark's ParquetWriteSupport, stats accumulate inline. */
+    * clustering makes that one part per task in practice), ROLLED at
+    * [[DEFAULT_TARGET_FILE_BYTES]] so a hot partition never produces one
+    * giant file; rows stream through Spark's ParquetWriteSupport, stats
+    * accumulate inline per file. */
   private final class SnapDataWriter(dir: String, partIdx: Int, statsIdx: Int,
-      conf: org.apache.hadoop.conf.Configuration, partitionId: Int, taskId: Long)
+      targetBytes: Long, conf: org.apache.hadoop.conf.Configuration,
+      partitionId: Int, taskId: Long)
       extends DataWriter[InternalRow] {
 
     private final class PartFile(val part: Long) {
@@ -325,6 +340,15 @@ object SnapshotSource {
       var bounded = false
     }
     private val open = scala.collection.mutable.Map.empty[Long, PartFile]
+    private val done = scala.collection.mutable.ListBuffer.empty[SnapshotTable.FileEntry]
+
+    private def closeEntry(f: PartFile): SnapshotTable.FileEntry = {
+      f.writer.close()
+      val hp = new org.apache.hadoop.fs.Path(f.path)
+      val bytes = hp.getFileSystem(conf).getFileStatus(hp).getLen
+      SnapshotTable.FileEntry(f.path, f.part, f.rows, bytes,
+        if (f.bounded) Some(f.lo) else None, if (f.bounded) Some(f.hi) else None)
+    }
 
     override def write(row: InternalRow): Unit = {
       require(!row.isNullAt(partIdx), "snapshot write: `part` must not be null")
@@ -336,25 +360,28 @@ object SnapshotSource {
         val v = row.getLong(statsIdx)
         f.lo = math.min(f.lo, v); f.hi = math.max(f.hi, v); f.bounded = true
       }
+      // roll at the byte target; getDataSize (written + buffered) is
+      // checked every 1024 rows — it walks the column writers, so a
+      // per-row check would tax the hot loop
+      if (f.rows % 1024 == 0 && f.writer.getDataSize >= targetBytes) {
+        done += closeEntry(f)
+        open.remove(p)
+        ()
+      }
     }
 
     override def commit(): WriterCommitMessage = {
-      val entries = open.values.toSeq.sortBy(_.path).map { f =>
-        f.writer.close()
-        val hp = new org.apache.hadoop.fs.Path(f.path)
-        val bytes = hp.getFileSystem(conf).getFileStatus(hp).getLen
-        SnapshotTable.FileEntry(f.path, f.part, f.rows, bytes,
-          if (f.bounded) Some(f.lo) else None, if (f.bounded) Some(f.hi) else None)
-      }
-      SnapCommitMessage(entries)
+      done ++= open.values.toSeq.sortBy(_.path).map(closeEntry)
+      open.clear()
+      SnapCommitMessage(done.toList)
     }
 
     override def abort(): Unit = {
-      open.values.foreach { f =>
-        scala.util.Try(f.writer.close())
-        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f.path))
-        ()
-      }
+      (open.values.map(f => { scala.util.Try(f.writer.close()); f.path }) ++ done.map(_.path))
+        .foreach { p =>
+          java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p))
+          ()
+        }
     }
 
     override def close(): Unit = ()

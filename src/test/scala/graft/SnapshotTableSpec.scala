@@ -674,6 +674,25 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.snapshot(1).map(_.path).toSet.subsetOf(t.snapshot(2).map(_.path).toSet))
   }
 
+  test("SQL writes ROLL files at the byte target: a hot partition ingests as several bounded files") {
+    val root = java.nio.file.Files.createTempDirectory("snaproll").toString
+    val t = new SnapshotTable(spark, root, statsCol = Some("id"))
+    t.init(Seq((0L, 0L, 1L)).toDF("id", "part", "ver"))
+    spark.read.format("graft.sources.SnapshotSource").option("root", root)
+      .option("targetfilebytes", (64 * 1024).toString).load()
+      .createOrReplaceTempView("snap_roll")
+    // 300k rows, ALL into partition 0 (the hot-partition shape)
+    spark.range(300000L).select(($"id" + 10L).as("id"), lit(0L).as("part"), lit(2L).as("ver"))
+      .createOrReplaceTempView("snap_roll_delta")
+    spark.sql("INSERT INTO snap_roll SELECT id, ver, part FROM snap_roll_delta")
+    val files = t.snapshot(2).filter(_.part == 0L)
+    assert(files.size > 2, s"the hot partition must roll into several files (got ${files.size})")
+    assert(files.map(_.rows).sum === 300001L, "no row lost or duplicated across rolls")
+    assert(files.forall(f => f.lo.isDefined && f.hi.isDefined),
+      "every rolled file records its own stats bounds")
+    assert(t.read().select("id").distinct().count() === 300001L)
+  }
+
   test("DSv2 write path: INSERT OVERWRITE replaces partitions (dynamic) or the table (static); race preserved") {
     val root = java.nio.file.Files.createTempDirectory("snapoverwrite").toString
     val t = new SnapshotTable(spark, root, statsCol = Some("id"))
