@@ -160,18 +160,26 @@ object SnapshotSource {
         session.sessionState.conf.getConf(
           org.apache.spark.sql.internal.SQLConf.FILES_MAX_PARTITION_BYTES))
       require(target > 0, s"maxsplitbytes must be positive, got $target")
-      val slices = entries.flatMap { e =>
-        val n = math.max(1L, (e.bytes + target - 1) / target)
-        val len = (e.bytes + n - 1) / n
-        // ceil-of-ceil can leave a zero-length tail (bytes=9, n=4, len=3):
-        // drop it rather than plan an empty task
-        (0L until n).iterator
-          .map(i => SnapInputPartition(e.path, e.part, i * len, math.min(len, e.bytes - i * len)))
-          .filter(_.length > 0).toSeq
-      }
-      new SnapScan(ordered, slices, readerConf(session, ordered))
+      new SnapScan(ordered, table, parts, range,
+        Option(props.get("version")).map(_.toInt).getOrElse(-1), target,
+        (entries.map(_.bytes).sum, entries.map(_.rows).sum),
+        readerConf(session, ordered))
     }
   }
+
+  /** Byte-slice a pruned file set (≤ `target` bytes per input partition —
+    * see the slicing notes in [[SnapScanBuilder.build]]). */
+  private def sliceEntries(entries: Seq[SnapshotTable.FileEntry],
+      target: Long): Seq[SnapInputPartition] =
+    entries.flatMap { e =>
+      val n = math.max(1L, (e.bytes + target - 1) / target)
+      val len = (e.bytes + n - 1) / n
+      // ceil-of-ceil can leave a zero-length tail (bytes=9, n=4, len=3):
+      // drop it rather than plan an empty task
+      (0L until n).iterator
+        .map(i => SnapInputPartition(e.path, e.part, i * len, math.min(len, e.bytes - i * len)))
+        .filter(_.length > 0).toSeq
+    }
 
   /** The per-task hadoop conf the split-based vectorized reader needs:
     * the session conf plus the requested (physical) schema and the five
@@ -404,17 +412,70 @@ object SnapshotSource {
   final case class SnapInputPartition(path: String, part: Long,
       start: Long, length: Long) extends InputPartition
 
-  private final class SnapScan(out: StructType, partitions: Seq[SnapInputPartition],
+  /** Planned-slice observability for the DPP spec (tests run serially). */
+  private[graft] object ScanProbe {
+    @volatile var lastPlannedSlices: Int = -1
+  }
+
+  private final class SnapScan(out: StructType, table: SnapshotTable,
+      parts0: Option[Set[Long]], range: Option[(Long, Long)], version: Int,
+      target: Long, stats: (Long, Long),
       conf: org.apache.spark.SerializableWritable[org.apache.hadoop.conf.Configuration])
-      extends Scan with Batch {
+      extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering {
+
+    /** Partition set, possibly NARROWED at runtime by [[filter]]. */
+    @volatile private var parts: Option[Set[Long]] = parts0
+
     override def readSchema(): StructType = out
     override def toBatch: Batch = this
     override def description(): String =
-      s"graft-snapshot scan: ${partitions.map(_.path).distinct.size} files " +
-        s"(${partitions.size} slices) after manifest pruning"
-    override def planInputPartitions(): Array[InputPartition] = partitions.toArray
+      s"graft-snapshot scan: parts=${parts0.fold("all")(_.size.toString)} " +
+        s"range=${range.isDefined} v=$version"
+
+    /**
+     * DYNAMIC PARTITION PRUNING (DSv2 runtime filtering): a join whose
+     * other side filters `part` (e.g. a region dim joined on the routing
+     * cell) pushes the matching part VALUES into this scan at execution
+     * time — [[planInputPartitions]] then re-prunes manifests and files to
+     * the intersection, so the join reads only the dim-selected region of
+     * a 100 TB table even when the predicate wasn't known at plan time.
+     */
+    override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+      // only offer `part` when the scan OUTPUTS it — PartitionPruning
+      // resolves the refs against the scan's output and throws otherwise
+      // (a column-pruned scan that drops part can't be runtime-filtered)
+      if (out.fieldNames.contains("part")) Array(Expressions.column("part"))
+      else Array.empty
+
+    override def filter(filters: Array[Filter]): Unit = filters.foreach {
+      case In("part", vs) =>
+        val ps = vs.collect { case l: Long => l; case i: Int => i.toLong }.toSet
+        parts = Some(parts.fold(ps)(_.intersect(ps)))
+      case EqualTo("part", v: Long) =>
+        parts = Some(parts.fold(Set(v))(_.intersect(Set(v))))
+      case _ => ()
+    }
+
+    override def planInputPartitions(): Array[InputPartition] = {
+      val slices = sliceEntries(table.pruneFiles(parts, range, version), target)
+      ScanProbe.lastPlannedSlices = slices.size
+      slices.toArray
+    }
+
     override def createReaderFactory(): PartitionReaderFactory =
       new SnapReaderFactory(out, conf)
+
+    /** POST-PRUNING size/row statistics straight from the manifest entries
+      * (already in hand — no extra I/O): Catalyst's join planning sees the
+      * PRUNED scan size, so a part/range-filtered slice of a huge table
+      * (or a small dim table) auto-broadcasts in SQL joins exactly like a
+      * file-source scan would. */
+    override def estimateStatistics(): Statistics = new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(stats._1)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(stats._2)
+    }
   }
 
   private final class SnapReaderFactory(out: StructType,

@@ -760,6 +760,48 @@ class SnapshotTableSpec extends SparkSpec {
     }
   }
 
+  test("the scan reports post-pruning statistics: a small snapshot side auto-broadcasts in SQL joins") {
+    val root = java.nio.file.Files.createTempDirectory("snapstats").toString
+    val t = new SnapshotTable(spark, root)
+    t.init((0L until 100L).map(i => (i, i % 4, i * 10)).toDF("id", "part", "v"))
+    spark.read.format("graft.sources.SnapshotSource").option("root", root).load()
+      .createOrReplaceTempView("snap_dim")
+    spark.range(10000000L).createOrReplaceTempView("snap_facts")
+    val joined = spark.sql(
+      "SELECT f.id, d.v FROM snap_facts f JOIN snap_dim d ON f.id = d.id")
+    assert(joined.count() === 100L)
+    // without SupportsReportStatistics a DSv2 relation defaults to
+    // defaultSizeInBytes (effectively infinite) and this join would be a
+    // sort-merge; the manifest-derived size makes the dim side broadcast
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"small snapshot side must broadcast; got:\n${plan.take(800)}")
+  }
+
+  test("runtime filtering (DPP): a join against a filtered dim prunes the snapshot scan at execution time") {
+    val root = java.nio.file.Files.createTempDirectory("snapdpp").toString
+    val t = new SnapshotTable(spark, root)
+    t.init((0L until 8000L).map(i => (i, i % 8, i)).toDF("id", "part", "v").repartition(4))
+    val totalFiles = t.snapshot(1).size
+    assert(totalFiles > 8, "fixture: several files per partition")
+    spark.read.format("graft.sources.SnapshotSource").option("root", root).load()
+      .createOrReplaceTempView("snap_dpp")
+    // the dim must be NON-LOCAL: ConvertToLocalRelation folds a filtered
+    // LocalRelation before PartitionPruning looks for a selective
+    // predicate, and no DPP filter gets inserted (same gotcha as the
+    // write-race plant)
+    spark.range(0L, 200L).select(($"id" % 8).as("part"), $"id".as("tag"))
+      .createOrReplaceTempView("snap_dpp_dim")
+    // the join's part values are only known at EXECUTION (the dim filter):
+    // runtime filtering must push them into the scan's manifest pruning
+    val joined = spark.sql(
+      "SELECT f.id FROM snap_dpp f JOIN snap_dpp_dim d ON f.part = d.part WHERE d.tag = 3")
+    assert(joined.count() === 1000L)
+    val planned = graft.sources.SnapshotSource.ScanProbe.lastPlannedSlices
+    assert(planned > 0 && planned < totalFiles,
+      s"runtime filter must narrow planning to one partition's files ($planned of $totalFiles)")
+  }
+
   test("streaming postings ingest: a new document becomes searchable after its micro-batch merges") {
     import org.apache.spark.sql.functions.{pmod, xxhash64, lit, col, explode, split}
     import org.apache.spark.sql.types._
