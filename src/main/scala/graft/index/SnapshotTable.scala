@@ -1237,6 +1237,42 @@ object SnapshotQueries {
 
   val bboxSqlFetchSql: String = bboxIndexFetchSql
 
+  /**
+   * The bbox fetch with the cover cells arriving via a JOINED DIM TABLE
+   * instead of an IN list — the runtime-filtering serving shape (round-7:
+   * [[graft.sources.SnapshotSource]]'s `SupportsRuntimeFiltering`): the
+   * dim is a NON-LOCAL relation (a filtered range over the full res-4
+   * cell domain), so the matching `part` values reach the snapshot scan
+   * either as an inferred static IN (constraint propagation) or as a
+   * dynamic-pruning subquery at execution — both land in the same
+   * manifest pruning. Parity with the plain bbox oracle proves the
+   * join-driven pruning loses nothing.
+   */
+  def bboxDimFetch(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.cell.{CellFunctions, CellIndex}
+    graft.gen.GeoWorld.registerUdfs(spark)
+    val root = freshRoot("snap-dpp", sfDir)
+    val t = new SnapshotTable(spark, root, manifestTargetFiles = BBOX_MANIFEST_FILES)
+    t.init(graft.gen.GeoWorld.points(spark, sfDir)
+      .select(col("pid"), col("lon"), col("lat"))
+      .withColumn("part", CellFunctions.zcell(col("lon"), col("lat"), lit(ROUTE_RES))))
+    val (lo0, la0, lo1, la1) = BBOX
+    val parts = CellIndex.rectCover(lo0, la0, lo1, la1, ROUTE_RES)
+    spark.read.format("graft.sources.SnapshotSource").option("root", root).load()
+      .createOrReplaceTempView("snap_dpp_idx")
+    // the dim: all res-ROUTE_RES cells, filtered to the cover — NON-LOCAL
+    // (range-backed) so the selective predicate survives optimization
+    spark.range(1L << (2 * ROUTE_RES)).select(col("id").as("part"))
+      .filter(col("part").isin(parts: _*))
+      .createOrReplaceTempView("snap_dpp_dim")
+    spark.sql(
+      s"""SELECT f.pid, f.lon, f.lat FROM snap_dpp_idx f
+         |JOIN snap_dpp_dim d ON f.part = d.part
+         |WHERE f.lon > $lo0 AND f.lon < $lo1 AND f.lat > $la0 AND f.lat < $la1""".stripMargin)
+  }
+
+  val bboxDimFetchSql: String = bboxIndexFetchSql
+
   /** Token-hash bucket count for the persisted name index. */
   final val NAME_IDX_BUCKETS = 64L
 

@@ -294,6 +294,67 @@ class StreamAndStatsSpec extends SparkSpec {
     assert(!got.contains(999L) && !got.contains(998L))
   }
 
+  test("live index/search loop: a doc ingested by the postings stream ranks after the search stream restarts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, explode, split, pmod, xxhash64, lit}
+    import org.apache.spark.sql.types._
+    // seed index: two docs sharing the token 'alpha' with doc 1
+    val root = Files.createTempDirectory("graft-livesearch").toString
+    val t = new graft.index.SnapshotTable(spark, root)
+    def post(rows: Seq[(String, Long, String)]) = rows.toDF("kind", "id", "name")
+      .select(col("kind"), col("id"), explode(split(col("name"), "_")).as("token"))
+      .distinct()
+      .withColumn("part", pmod(xxhash64(col("token")),
+        lit(graft.index.SnapshotQueries.NAME_IDX_BUCKETS)))
+    t.init(post(Seq(("node", 1L, "alpha_one"), ("node", 2L, "beta_two"))))
+    val dir = Files.createTempDirectory("graft-livesearch-io").toString
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(plusSec: Long) = new java.sql.Timestamp(t0.getTime + plusSec * 1000)
+    val qSchema = StructType(Seq(StructField("qid", LongType),
+      StructField("query", StringType), StructField("ts", TimestampType)))
+    def search(n: Long, outDir: String, ckpt: String): Unit = {
+      val in = spark.readStream.schema(qSchema).parquet(s"$dir/q/*")
+      val q = graft.streaming.StreamSearch
+        .searchStream(spark, in, t, n, k = 5, watermark = "5 seconds")
+        .writeStream.format("parquet").option("path", outDir)
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(120000); ()
+    }
+    def fire(tag: String, fromSec: Long): Unit = {
+      // the query + two watermark ticks (the 3-batch emission pattern)
+      Seq((fromSec, s"alpha")).map { case (s, q) => (s, q, at(s)) }
+        .map { case (s, q, ts) => (s + 1L, q, ts) } // qid distinct per phase
+        .toDF("qid", "query", "ts").write.mode("append").parquet(s"$dir/q/b${tag}1")
+      Seq((900L + fromSec, "zzz_tick", at(fromSec + 600)))
+        .toDF("qid", "query", "ts").write.mode("append").parquet(s"$dir/q/b${tag}2")
+      search(2, s"$dir/out$tag", s"$dir/ckpt$tag")
+      Seq((901L + fromSec, "yyy_tick", at(fromSec + 1200)))
+        .toDF("qid", "query", "ts").write.mode("append").parquet(s"$dir/q/b${tag}3")
+      search(2, s"$dir/out$tag", s"$dir/ckpt$tag")
+    }
+    fire("A", 0)
+    val before = spark.read.parquet(s"$dir/outA").filter(col("qid") === 1L)
+      .collect().map(_.getLong(3)).toSet
+    assert(before === Set(1L), "only doc 1 matches 'alpha' before the ingest")
+    // LIVE INGEST: doc 3 ('alpha_three') merges through the postings stream
+    val pSchema = StructType(Seq(StructField("kind", StringType),
+      StructField("id", LongType), StructField("token", StringType),
+      StructField("part", LongType)))
+    post(Seq(("node", 3L, "alpha_three"))).write.mode("append").parquet(s"$dir/p/in")
+    val ingest = graft.index.StreamIngest.upsertStream(
+      spark.readStream.schema(pSchema).parquet(s"$dir/p/in"), t,
+      Seq("kind", "id", "token"), s"$dir/p/ckpt")
+    ingest.awaitTermination(120000)
+    assert(t.currentVersion === 2)
+    // a RESTARTED search stream (fresh plan → new snapshot) serves doc 3;
+    // the old run's fixed snapshot is exactly the documented isolation
+    fire("B", 30)
+    val after = spark.read.parquet(s"$dir/outB").filter(col("qid") === 31L)
+      .collect().map(_.getLong(3)).toSet
+    assert(after === Set(1L, 3L), "the ingested doc must rank after the search restarts")
+  }
+
   test("streaming dedup within watermark: a replayed source delivers each span once") {
     val dir = Files.createTempDirectory("graft-sdedup").toString
     val docs = GeoWorld.docs(spark, sfDir)
