@@ -197,6 +197,7 @@ object SparkEntry {
     "q_snap_sql" -> ((s, d) => graft.index.SnapshotQueries.bboxSqlFetch(s, d)),
     "q_snap_insert" -> ((s, d) => graft.index.SnapshotQueries.sqlInsertUpsert(s, d)),
     "q_snap_dpp" -> ((s, d) => graft.index.SnapshotQueries.bboxDimFetch(s, d)),
+    "q_snap_count" -> ((s, d) => graft.index.SnapshotQueries.snapMetaAgg(s, d)),
     "q_snap_overwrite" -> ((s, d) => graft.index.SnapshotQueries.sqlOverwriteUpsert(s, d)),
     // tag whitelist (T10/T11) + distinct stats (G7 exact twin)
     "q_tag_whitelist" -> ((s, d) => graft.index.TagOps.tagWhitelist(s, d)),
@@ -310,6 +311,7 @@ object SparkEntry {
     "q_snap_sql" -> graft.index.SnapshotQueries.bboxSqlFetchSql,
     "q_snap_insert" -> graft.index.SnapshotQueries.sqlInsertUpsertSql,
     "q_snap_dpp" -> graft.index.SnapshotQueries.bboxDimFetchSql,
+    "q_snap_count" -> graft.index.SnapshotQueries.snapMetaAggSql,
     "q_snap_overwrite" -> graft.index.SnapshotQueries.sqlOverwriteUpsertSql,
     "q_tag_whitelist" -> graft.index.TagOps.tagWhitelistSql,
     "q_cell_distinct" -> graft.index.TagOps.distinctTagsByCellSql,

@@ -1273,6 +1273,40 @@ object SnapshotQueries {
 
   val bboxDimFetchSql: String = bboxIndexFetchSql
 
+  /**
+   * Iceberg-style METADATA AGGREGATES through the oracle gate: the
+   * point→cell index answers `COUNT(*)`, `MIN(cell)`, `MAX(cell)` from
+   * its manifest entries alone (round-7 `SupportsPushDownAggregates` —
+   * exact per-file rows and stats bounds; no data file is opened, pinned
+   * by the renamed-files spec). The DuckDB oracle recomputes the same
+   * three numbers from the raw points.
+   */
+  def snapMetaAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.cell.{CellFunctions, CellIndex}
+    graft.gen.GeoWorld.registerUdfs(spark)
+    val root = freshRoot("snap-agg", sfDir)
+    val t = new SnapshotTable(spark, root, statsCol = Some("cell"))
+    t.init(graft.gen.GeoWorld.points(spark, sfDir)
+      .select(col("pid"),
+        CellFunctions.zcell(col("lon"), col("lat"), lit(CellIndex.RES_MID)).as("cell"))
+      .withColumn("part", CellFunctions.zcellParent(
+        col("cell"), lit(CellIndex.RES_MID), lit(2))))
+    spark.read.format("graft.sources.SnapshotSource").option("root", root).load()
+      .createOrReplaceTempView("snap_meta_agg")
+    spark.sql(
+      """SELECT COUNT(*) AS cnt, MIN(cell) AS lo, MAX(cell) AS hi
+        |FROM snap_meta_agg""".stripMargin)
+  }
+
+  val snapMetaAggSql: String = {
+    import graft.cell.{CellIndex, CellSql}
+    graft.query.GeoQueries.withWorld() +
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+         |       MIN(${CellSql.encode("lon", "lat", CellIndex.RES_MID)}) AS lo,
+         |       MAX(${CellSql.encode("lon", "lat", CellIndex.RES_MID)}) AS hi
+         |FROM pts""".stripMargin
+  }
+
   /** Token-hash bucket count for the persisted name index. */
   final val NAME_IDX_BUCKETS = 64L
 

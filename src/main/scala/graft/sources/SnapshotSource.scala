@@ -82,7 +82,8 @@ object SnapshotSource {
 
   private final class SnapScanBuilder(schema: StructType,
       props: java.util.Map[String, String])
-      extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+      extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+      with SupportsPushDownAggregates {
 
     private val table = tableFor(props)
     // the EFFECTIVE stats column comes from table metadata (persisted at
@@ -139,14 +140,86 @@ object SnapshotSource {
     override def pruneColumns(requiredSchema: StructType): Unit =
       required = requiredSchema
 
+    // ------------- METADATA-ONLY AGGREGATES (Iceberg's metadata count) --
+    // COUNT(*), MIN(statsCol), MAX(statsCol) — optionally GROUP BY part —
+    // are answered from the MANIFEST ENTRIES alone: rows are exact per
+    // file, and lo/hi are exact per-file extremes of the stats column
+    // (footer numeric statistics / writer-side tracking). A 100 TB table's
+    // count never opens a data file. Spark only offers aggregates here
+    // when no post-scan filter remains, and every filter of ours is
+    // residual — so a filtered query automatically falls back to the real
+    // scan; Min/Max are accepted only when EVERY pruned entry carries
+    // bounds (an all-NULL or non-numeric stats file rejects the pushdown).
+    private var aggPlan: Option[(Boolean, Seq[String])] = None // (grouped, kinds)
+
+    private def version: Int = Option(props.get("version")).map(_.toInt).getOrElse(-1)
+
+    private def aggPushable(a: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+        : Option[(Boolean, Seq[String])] = {
+      import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+      import org.apache.spark.sql.connector.expressions.NamedReference
+      def nameOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+        e match {
+          case r: NamedReference if r.fieldNames.length == 1 => Some(r.fieldNames.head)
+          case _ => None
+        }
+      val grouped = a.groupByExpressions match {
+        case Array() => Some(false)
+        case Array(r: NamedReference) if r.fieldNames.sameElements(Array("part")) => Some(true)
+        case _ => None
+      }
+      val statsIsLong = statsCol.exists(c =>
+        schema.fields.exists(f => f.name == c && f.dataType == LongType))
+      val kinds = a.aggregateExpressions.toSeq.map {
+        case _: CountStar => Some("count")
+        case m: Min if statsIsLong && nameOf(m.column) == statsCol => Some("min")
+        case m: Max if statsIsLong && nameOf(m.column) == statsCol => Some("max")
+        case _ => None
+      }
+      for {
+        g <- grouped
+        ks <- if (kinds.nonEmpty && kinds.forall(_.isDefined)) Some(kinds.flatten) else None
+        // Min/Max demand bounds on EVERY covering entry (cheap: manifests)
+        if !ks.exists(k => k == "min" || k == "max") ||
+          table.pruneFiles(parts, range, version).forall(e => e.lo.isDefined && e.hi.isDefined)
+      } yield (g, ks)
+    }
+
+    override def supportCompletePushDown(
+        a: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+      aggPushable(a).isDefined
+
+    override def pushAggregation(
+        a: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+      aggPlan = aggPushable(a)
+      aggPlan.isDefined
+    }
+
     override def build(): Scan = {
+      val entries = table.pruneFiles(parts, range, version)
+      aggPlan match {
+        case Some((grouped, kinds)) =>
+          def aggValues(es: Seq[SnapshotTable.FileEntry]): Seq[Any] = kinds.map {
+            case "count" => es.map(_.rows).sum
+            case "min" => if (es.isEmpty) null else es.flatMap(_.lo).min
+            case _ => if (es.isEmpty) null else es.flatMap(_.hi).max
+          }
+          val rows: Seq[Seq[Any]] =
+            if (!grouped) Seq(aggValues(entries))
+            else entries.groupBy(_.part).toSeq.sortBy(_._1)
+              .map { case (p, es) => p +: aggValues(es) }
+          val fields =
+            (if (grouped) Seq(StructField("part", LongType, nullable = false)) else Nil) ++
+              kinds.zipWithIndex.map { case (k, i) =>
+                StructField(s"agg_${i}_$k", LongType, nullable = k != "count") }
+          return new SnapAggScan(StructType(fields), rows)
+        case None => ()
+      }
       // read schema in TABLE order (physical file order) so the vectorized
       // reader's output needs no per-batch reordering; Spark projects to
       // the query's order above the scan
       val names = required.fieldNames.toSet
       val ordered = StructType(schema.fields.filter(f => names.contains(f.name)))
-      val entries = table.pruneFiles(parts, range,
-        Option(props.get("version")).map(_.toInt).getOrElse(-1))
       val session = SparkSession.active
       // FAT FILES SPLIT AT PLAN TIME (round-6 verdict #4): one input
       // partition per ≤ maxsplitbytes byte slice, not per file — a huge
@@ -160,10 +233,37 @@ object SnapshotSource {
         session.sessionState.conf.getConf(
           org.apache.spark.sql.internal.SQLConf.FILES_MAX_PARTITION_BYTES))
       require(target > 0, s"maxsplitbytes must be positive, got $target")
-      new SnapScan(ordered, table, parts, range,
-        Option(props.get("version")).map(_.toInt).getOrElse(-1), target,
+      new SnapScan(ordered, table, parts, range, version, target,
         (entries.map(_.bytes).sum, entries.map(_.rows).sum),
         readerConf(session, ordered))
+    }
+  }
+
+  /** A pushed-down metadata aggregate: the result rows were computed from
+    * the manifest entries at plan time; ONE input partition replays them. */
+  private final class SnapAggScan(out: StructType, rows: Seq[Seq[Any]])
+      extends Scan with Batch {
+    override def readSchema(): StructType = out
+    override def toBatch: Batch = this
+    override def description(): String =
+      s"graft-snapshot METADATA aggregate (${rows.size} rows, no data files)"
+    override def planInputPartitions(): Array[InputPartition] =
+      Array(SnapAggPartition(rows))
+    override def createReaderFactory(): PartitionReaderFactory = SnapAggReaderFactory
+  }
+
+  private final case class SnapAggPartition(rows: Seq[Seq[Any]]) extends InputPartition
+
+  private object SnapAggReaderFactory extends PartitionReaderFactory {
+    override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+      val it = p.asInstanceOf[SnapAggPartition].rows.iterator
+      new PartitionReader[InternalRow] {
+        private var cur: InternalRow = _
+        override def next(): Boolean =
+          if (it.hasNext) { cur = InternalRow.fromSeq(it.next()); true } else false
+        override def get(): InternalRow = cur
+        override def close(): Unit = ()
+      }
     }
   }
 

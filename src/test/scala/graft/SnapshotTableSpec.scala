@@ -802,6 +802,38 @@ class SnapshotTableSpec extends SparkSpec {
       s"runtime filter must narrow planning to one partition's files ($planned of $totalFiles)")
   }
 
+  test("COUNT(*)/MIN/MAX answer from MANIFESTS alone: they survive the data files being renamed away") {
+    val root = java.nio.file.Files.createTempDirectory("snapagg").toString
+    val t = new SnapshotTable(spark, root, statsCol = Some("id"))
+    t.init((0L until 1000L).map(i => (i, i / 125, i % 7)).toDF("id", "part", "v").repartition(4))
+    spark.read.format("graft.sources.SnapshotSource").option("root", root).load()
+      .createOrReplaceTempView("snap_agg")
+    // the airtight pin: RENAME every data file away — a metadata-only
+    // aggregate cannot notice, a real scan would explode
+    val entries = t.snapshot(1)
+    def mv(suffix: String): Unit = entries.foreach { e =>
+      java.nio.file.Files.move(java.nio.file.Paths.get(e.path + (if (suffix.isEmpty) ".bak" else "")),
+        java.nio.file.Paths.get(e.path + suffix)); ()
+    }
+    mv(".bak")
+    try {
+      assert(spark.sql("SELECT COUNT(*) FROM snap_agg").head.getLong(0) === 1000L)
+      val mm = spark.sql("SELECT MIN(id), MAX(id) FROM snap_agg").head
+      assert((mm.getLong(0), mm.getLong(1)) === ((0L, 999L)))
+      // grouped by the partition key: one metadata row per partition
+      val perPart = spark.sql("SELECT part, COUNT(*) AS c FROM snap_agg GROUP BY part")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(perPart === (0L until 8L).map(_ -> 125L).toMap)
+      // MIN of a non-stats column must NOT push (it would need the data):
+      // with the files gone this query has to FAIL, proving the fallback
+      intercept[Exception] { spark.sql("SELECT MIN(v) FROM snap_agg").collect() }
+    } finally mv("")
+    // files restored: a FILTERED aggregate falls back to the real scan
+    // (all our filters are residual, so Spark won't push the aggregate)
+    assert(spark.sql("SELECT COUNT(*) FROM snap_agg WHERE id < 10").head.getLong(0) === 10L)
+    assert(spark.sql("SELECT MIN(v) FROM snap_agg").head.getLong(0) === 0L)
+  }
+
   test("streaming postings ingest: a new document becomes searchable after its micro-batch merges") {
     import org.apache.spark.sql.functions.{pmod, xxhash64, lit, col, explode, split}
     import org.apache.spark.sql.types._
