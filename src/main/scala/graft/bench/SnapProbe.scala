@@ -64,6 +64,16 @@ object SnapProbe {
       f"addedFiles=${added.size} " +
       f"carriedFiles=${v3.map(_.path).toSet.intersect(v2.map(_.path).toSet).size}/${v2.size} " +
       f"driverFooters=${t.lastCommitDriverFooters}")
+
+    // metadata aggregate vs real scan (round 7): COUNT(*) from manifests
+    // opens zero data files — compare against the same count forced
+    // through the data path (a residual filter blocks the pushdown)
+    val (metaCnt, metaSecs) = timed(
+      spark.sql("SELECT COUNT(*) FROM snapprobe_t").head.getLong(0))
+    val (scanCnt, scanSecs) = timed(
+      spark.sql("SELECT COUNT(*) FROM snapprobe_t WHERE pid >= 0").head.getLong(0))
+    println(f"SNAPPROBE_METAAGG metaCount=$metaCnt in ${metaSecs}%.3fs " +
+      f"vs dataCount=$scanCnt in ${scanSecs}%.3fs")
     spark.stop()
   }
 }
