@@ -832,6 +832,18 @@ class SnapshotTableSpec extends SparkSpec {
     // (all our filters are residual, so Spark won't push the aggregate)
     assert(spark.sql("SELECT COUNT(*) FROM snap_agg WHERE id < 10").head.getLong(0) === 10L)
     assert(spark.sql("SELECT MIN(v) FROM snap_agg").head.getLong(0) === 0L)
+    // metadata aggregates time-travel: each version answers from ITS OWN
+    // manifests
+    t.upsert(Seq((2000L, 3L, 1L)).toDF("id", "part", "v"), Seq("id"))
+    Seq(1, 2).foreach { v =>
+      spark.read.format("graft.sources.SnapshotSource")
+        .option("root", root).option("version", v.toString).load()
+        .createOrReplaceTempView(s"snap_agg_v$v")
+    }
+    assert(spark.sql("SELECT COUNT(*) FROM snap_agg_v1").head.getLong(0) === 1000L)
+    assert(spark.sql("SELECT COUNT(*), MAX(id) FROM snap_agg_v2").head match {
+      case r => (r.getLong(0), r.getLong(1)) == ((1001L, 2000L))
+    })
   }
 
   test("streaming postings ingest: a new document becomes searchable after its micro-batch merges") {
