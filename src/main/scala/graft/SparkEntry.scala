@@ -199,6 +199,8 @@ object SparkEntry {
     "q_snap_dpp" -> ((s, d) => graft.index.SnapshotQueries.bboxDimFetch(s, d)),
     "q_snap_count" -> ((s, d) => graft.index.SnapshotQueries.snapMetaAgg(s, d)),
     "q_snap_overwrite" -> ((s, d) => graft.index.SnapshotQueries.sqlOverwriteUpsert(s, d)),
+    "q_snap_delete" -> ((s, d) => graft.index.SnapshotQueries.sqlDelete(s, d)),
+    "q_snap_feed" -> ((s, d) => graft.index.SnapshotQueries.changeFeed(s, d)),
     // tag whitelist (T10/T11) + distinct stats (G7 exact twin)
     "q_tag_whitelist" -> ((s, d) => graft.index.TagOps.tagWhitelist(s, d)),
     "q_cell_distinct" -> ((s, d) => graft.index.TagOps.distinctTagsByCell(s, d)),
@@ -313,6 +315,8 @@ object SparkEntry {
     "q_snap_dpp" -> graft.index.SnapshotQueries.bboxDimFetchSql,
     "q_snap_count" -> graft.index.SnapshotQueries.snapMetaAggSql,
     "q_snap_overwrite" -> graft.index.SnapshotQueries.sqlOverwriteUpsertSql,
+    "q_snap_delete" -> graft.index.SnapshotQueries.sqlDeleteSql,
+    "q_snap_feed" -> graft.index.SnapshotQueries.changeFeedSql,
     "q_tag_whitelist" -> graft.index.TagOps.tagWhitelistSql,
     "q_cell_distinct" -> graft.index.TagOps.distinctTagsByCellSql,
   )

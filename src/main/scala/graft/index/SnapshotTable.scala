@@ -582,6 +582,67 @@ class SnapshotTable(spark: SparkSession, root: String,
   }
 
   /**
+   * Partitions whose FILE SET changed between two snapshots — the CHANGE
+   * FEED's planning core ([[graft.sources.SnapshotSource]]'s
+   * MicroBatchStream): only manifest pages NOT shared by the two versions
+   * are opened (carried pages are identical by path, so the diff costs
+   * O(pages touched by the commits in between), never a whole-table
+   * listing), and a partition counts as changed iff its file set differs —
+   * surviving entries rewritten verbatim into a fresh filtered page cancel
+   * out, so an upsert of partition 3 never re-feeds partitions 2 and 4
+   * that merely shared its manifest page. `fromV <= 0` returns None =
+   * "everything" (the feed's initial-snapshot batch carries no partition
+   * filter at all).
+   */
+  def changedParts(fromV: Int, toV: Int): Option[Set[Long]] = {
+    if (fromV <= 0) return None
+    val from = manifestList(fromV)
+    val to = manifestList(toV)
+    val fromPaths = from.map(_.path).toSet
+    val toPaths = to.map(_.path).toSet
+    def filesByPart(ms: Seq[ManifestMeta], shared: Set[String]): Map[Long, Set[String]] =
+      ms.filterNot(m => shared(m.path)).flatMap(m => readManifest(m.path))
+        .groupBy(_.part).view.mapValues(_.map(_.path).toSet).toMap
+    val a = filesByPart(from, toPaths)
+    val b = filesByPart(to, fromPaths)
+    Some((a.keySet ++ b.keySet).filter(p => a.get(p) != b.get(p)))
+  }
+
+  /**
+   * METADATA-ONLY partition drop (Iceberg's "metadata delete": a DELETE
+   * whose predicate aligns with partition boundaries never touches data):
+   * every file of a touched partition leaves the new snapshot by manifest
+   * surgery alone — shared manifest pages are split and their SURVIVING
+   * entries rewritten (O(covering pages); no data file is opened, read, or
+   * written), untouched manifests carry by reference, and the dropped
+   * files stay on disk for time travel until [[expire]] collects them.
+   * This is where the SQL `DELETE FROM` path lands
+   * ([[graft.sources.SnapshotSource]]'s SupportsDelete) when the WHERE
+   * clause is exactly partition predicates; row-level deletes use the COW
+   * [[delete]] instead. CAS like the other external commits: plans against
+   * `basedOn`, commits `basedOn + 1`, CREATE_NEW decides a race. Returns
+   * the new version.
+   */
+  private[graft] def deleteParts(touched: Set[Long], basedOn: Int): Int = recordingCommit {
+    require(basedOn > 0, "init() before deleteParts()")
+    val next = basedOn + 1
+    val (carried, _, filteredPages) = splitParent(basedOn, touched)
+    commitOrCleanup(next, basedOn, carried, Seq.empty, filteredPages)
+    next
+  }
+
+  /** Unconditional `DELETE FROM t` / `TRUNCATE`: the new snapshot
+    * references NO manifests (the persisted schema keeps the empty version
+    * readable). Metadata-only like [[deleteParts]]; old files await
+    * [[expire]]. */
+  private[graft] def truncateAll(basedOn: Int): Int = recordingCommit {
+    require(basedOn > 0, "init() before truncateAll()")
+    val next = basedOn + 1
+    commitOrCleanup(next, basedOn, Seq.empty, Seq.empty, Seq.empty)
+    next
+  }
+
+  /**
    * Bin-pack compaction (Iceberg's rewrite_data_files), sized by BYTES:
    * each partition's target file count is `ceil(partitionBytes /
    * targetFileBytes)` (min 1), and a partition is rewritten when its
@@ -1123,6 +1184,102 @@ object SnapshotQueries {
         |WHERE part NOT IN (SELECT DISTINCT part FROM snapidx WHERE pid % 5 = 0)
         |UNION ALL
         |SELECT pid, cell, CAST(2 AS BIGINT) AS ver FROM snapidx WHERE pid % 5 = 0""".stripMargin
+  }
+
+  /**
+   * The CHANGE FEED through the oracle gate (round-7): the point index
+   * commits at v1, a COW merge re-versions every pid % 97 == 0 row at v2
+   * (a SPARSE touch — most partitions stay untouched), and a `readStream`
+   * positioned at startingversion=1 consumes exactly one batch: the
+   * CURRENT rows of the partitions that merge touched, nothing else
+   * re-read ([[graft.sources.SnapshotSource]]'s MicroBatchStream;
+   * incremental partition refresh). The oracle recomputes those
+   * partitions' merged state with the same bit arithmetic — a feed that
+   * leaks untouched partitions, misses a touched one, or serves pre-merge
+   * rows goes red.
+   */
+  def changeFeed(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.cell.{CellFunctions, CellIndex}
+    graft.gen.GeoWorld.registerUdfs(spark)
+    val root = freshRoot("snap-feed", sfDir)
+    val t = new SnapshotTable(spark, root)
+    val base = graft.gen.GeoWorld.points(spark, sfDir)
+      .select(col("pid"),
+        CellFunctions.zcell(col("lon"), col("lat"), lit(CellIndex.RES_MID)).as("cell"))
+      .withColumn("part", CellFunctions.zcellParent(
+        col("cell"), lit(CellIndex.RES_MID), lit(2)))
+    t.init(base.withColumn("ver", lit(1L)))
+    t.upsert(base.filter(col("pid") % 97 === 0).withColumn("ver", lit(2L)), Seq("pid"))
+    val q = spark.readStream.format("graft.sources.SnapshotSource")
+      .option("root", root).option("startingversion", "1").load()
+      .writeStream.format("memory").queryName("snap_feed_sink")
+      .option("checkpointLocation", s"$root/feed-ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table("snap_feed_sink").select(col("pid"), col("cell"), col("ver"))
+  }
+
+  val changeFeedSql: String = {
+    import graft.cell.{CellIndex, CellSql}
+    graft.query.GeoQueries.withWorld(
+      s"""snapidx AS (
+         |  SELECT pid, ${CellSql.encode("lon", "lat", CellIndex.RES_MID)} AS cell,
+         |         ${CellSql.parent(CellSql.encode("lon", "lat", CellIndex.RES_MID), CellIndex.RES_MID, 2)} AS part,
+         |         CAST(CASE WHEN pid % 97 = 0 THEN 2 ELSE 1 END AS BIGINT) AS ver
+         |  FROM pts
+         |)""".stripMargin) +
+      """SELECT pid, cell, ver FROM snapidx
+        |WHERE part IN (SELECT DISTINCT part FROM snapidx WHERE pid % 97 = 0)""".stripMargin
+  }
+
+  /**
+   * SQL `DELETE FROM` through the DSv2 SupportsDelete path (round-7): the
+   * full point index commits at v1, then `DELETE FROM … WHERE part IN
+   * (literal list)` drops every partition containing a pid % 7 == 0 row —
+   * a METADATA-ONLY commit (manifest surgery; zero data files opened,
+   * read, or written — [[SnapshotTable.deleteParts]]; asserted here via
+   * the footer counter so the bench path keeps the scale property honest,
+   * and again in the spec). The oracle recomputes the survivors as "rows
+   * whose partition contains no pid % 7 == 0 row" with the same bit
+   * arithmetic — a delete that drops too little, too much, or resurrects
+   * time-travel files goes red.
+   */
+  def sqlDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.cell.{CellFunctions, CellIndex}
+    graft.gen.GeoWorld.registerUdfs(spark)
+    val root = freshRoot("snap-sqldel", sfDir)
+    val t = new SnapshotTable(spark, root)
+    val base = graft.gen.GeoWorld.points(spark, sfDir)
+      .select(col("pid"),
+        CellFunctions.zcell(col("lon"), col("lat"), lit(CellIndex.RES_MID)).as("cell"))
+      .withColumn("part", CellFunctions.zcellParent(
+        col("cell"), lit(CellIndex.RES_MID), lit(2)))
+    t.init(base)
+    spark.read.format("graft.sources.SnapshotSource").option("root", root).load()
+      .createOrReplaceTempView("snap_sqldel")
+    // literal partition list (drop every partition holding a pid%7==0 row):
+    // driver-bounded by partition count — the translated IN filter is what
+    // SupportsDelete.canDeleteWhere accepts as a metadata delete
+    val parts = base.filter(col("pid") % 7 === 0)
+      .select("part").distinct().collect().map(_.getLong(0)).sorted
+    val before = SnapshotTable.totalFooterOpens.get()
+    spark.sql(s"DELETE FROM snap_sqldel WHERE part IN (${parts.mkString(",")})")
+    require(SnapshotTable.totalFooterOpens.get() == before,
+      "metadata delete must not open any parquet footer")
+    t.read().select(col("pid"), col("cell"))
+  }
+
+  val sqlDeleteSql: String = {
+    import graft.cell.{CellIndex, CellSql}
+    graft.query.GeoQueries.withWorld(
+      s"""snapidx AS (
+         |  SELECT pid, ${CellSql.encode("lon", "lat", CellIndex.RES_MID)} AS cell,
+         |         ${CellSql.parent(CellSql.encode("lon", "lat", CellIndex.RES_MID), CellIndex.RES_MID, 2)} AS part
+         |  FROM pts
+         |)""".stripMargin) +
+      """SELECT pid, cell FROM snapidx
+        |WHERE part NOT IN (SELECT DISTINCT part FROM snapidx WHERE pid % 7 = 0)""".stripMargin
   }
 
   /**

@@ -64,7 +64,8 @@ object SnapshotSource {
   }
 
   private final class SnapTable(schema: StructType,
-      props: java.util.Map[String, String]) extends Table with SupportsRead with SupportsWrite {
+      props: java.util.Map[String, String]) extends Table with SupportsRead with SupportsWrite
+      with org.apache.spark.sql.connector.catalog.SupportsDelete {
     override def name(): String = s"graft-snapshot(${props.get("root")})"
     override def schema(): StructType = schema
     // identity partitioning on `part` (the table's physical layout): with
@@ -73,11 +74,69 @@ object SnapshotSource {
     override def partitioning(): Array[Transform] = Array(Expressions.identity("part"))
     override def capabilities(): java.util.Set[TableCapability] =
       java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-        TableCapability.TRUNCATE, TableCapability.OVERWRITE_DYNAMIC)
+        TableCapability.TRUNCATE, TableCapability.OVERWRITE_DYNAMIC,
+        TableCapability.MICRO_BATCH_READ)
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
       new SnapScanBuilder(schema, props)
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
       new SnapWriteBuilder(info, props)
+
+    // ------------------- SQL DELETE (Iceberg's metadata delete contract):
+    // `DELETE FROM t WHERE <partition predicates>` is accepted ONLY when
+    // the whole WHERE translates to a `part` value set — the delete is
+    // then pure manifest surgery (SnapshotTable.deleteParts: no data file
+    // opened, read, or written; dropped files stay for time travel until
+    // expire()). Anything finer-grained is REJECTED here so Spark raises
+    // its standard "cannot translate/delete" analysis error instead of a
+    // silent partial delete — row-level deletes go through the COW
+    // SnapshotTable.delete() API, exactly like Iceberg splits metadata
+    // deletes from copy-on-write ones.
+    override def canDeleteWhere(filters: Array[Filter]): Boolean =
+      deletePartsOf(filters).isDefined
+    override def deleteWhere(filters: Array[Filter]): Unit = {
+      val t = tableFor(props)
+      // CAS against the CURRENT version at execution (same rule as the
+      // write path): a rival commit landing between plan and here makes
+      // CREATE_NEW fail and the statement must be re-run
+      val basedOn = t.currentVersion
+      deletePartsOf(filters) match {
+        case Some(None) => t.truncateAll(basedOn)
+        case Some(Some(ps)) => t.deleteParts(ps, basedOn)
+        case None => throw new UnsupportedOperationException(
+          s"graft snapshot DELETE supports partition predicates on `part` only; got " +
+            filters.mkString(", "))
+      }
+      ()
+    }
+  }
+
+  /** Translate a DELETE's conjunctive filters to a partition set:
+    * `Some(None)` = unconditional (truncate), `Some(Some(ps))` = drop
+    * exactly `ps`, `None` = not a pure partition predicate (rejected).
+    * Disjunctions of part equalities union; conjuncts intersect. */
+  private[sources] def deletePartsOf(filters: Array[Filter]): Option[Option[Set[Long]]] = {
+    def longOf(v: Any): Option[Long] = v match {
+      case l: Long => Some(l)
+      case i: Int => Some(i.toLong)
+      case s: Short => Some(s.toLong)
+      case b: Byte => Some(b.toLong)
+      case _ => None
+    }
+    def partsOf(f: Filter): Option[Set[Long]] = f match {
+      case EqualTo("part", v) => longOf(v).map(Set(_))
+      case In("part", vs) =>
+        val ps = vs.flatMap(longOf(_))
+        if (ps.length == vs.length) Some(ps.toSet) else None
+      case Or(a, b) => for { x <- partsOf(a); y <- partsOf(b) } yield x ++ y
+      case _ => None
+    }
+    val real = filters.filterNot(_.isInstanceOf[AlwaysTrue])
+    if (real.isEmpty) Some(None)
+    else {
+      val sets = real.map(partsOf)
+      if (sets.forall(_.isDefined)) Some(Some(sets.flatten.reduce(_ intersect _)))
+      else None
+    }
   }
 
   private final class SnapScanBuilder(schema: StructType,
@@ -235,7 +294,8 @@ object SnapshotSource {
       require(target > 0, s"maxsplitbytes must be positive, got $target")
       new SnapScan(ordered, table, parts, range, version, target,
         (entries.map(_.bytes).sum, entries.map(_.rows).sum),
-        readerConf(session, ordered))
+        readerConf(session, ordered),
+        Option(props.get("startingversion")).map(_.toInt).getOrElse(0))
     }
   }
 
@@ -520,7 +580,8 @@ object SnapshotSource {
   private final class SnapScan(out: StructType, table: SnapshotTable,
       parts0: Option[Set[Long]], range: Option[(Long, Long)], version: Int,
       target: Long, stats: (Long, Long),
-      conf: org.apache.spark.SerializableWritable[org.apache.hadoop.conf.Configuration])
+      conf: org.apache.spark.SerializableWritable[org.apache.hadoop.conf.Configuration],
+      startVersion: Int = 0)
       extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering {
 
     /** Partition set, possibly NARROWED at runtime by [[filter]]. */
@@ -565,6 +626,29 @@ object SnapshotSource {
     override def createReaderFactory(): PartitionReaderFactory =
       new SnapReaderFactory(out, conf)
 
+    /**
+     * CHANGE FEED (incremental partition refresh — Iceberg's incremental
+     * scan, closed over COW rewrites): `spark.readStream` on the table
+     * emits, per micro-batch, the CURRENT rows of every partition whose
+     * file set changed in the offset window. Offsets are snapshot VERSIONS
+     * (checkpoint-resumable integers); planning diffs only the manifest
+     * pages the window's commits touched ([[SnapshotTable.changedParts]]),
+     * so a 100 TB table's downstream consumers process new commits without
+     * ever rescanning — O(delta pages) planning, delta-partition reads.
+     * Re-emitting the whole current state of a changed partition (rather
+     * than row diffs) makes every batch idempotently MERGE-able by key —
+     * exactly-once table state downstream with at-least-once feeds, the
+     * same convergence rule as [[graft.index.StreamIngest]]. A maintenance
+     * rewrite (compaction) changes file sets without changing rows, so it
+     * re-feeds the rewritten partitions — harmless under that contract.
+     * `startingversion` (default 0 = from the beginning, whole snapshot as
+     * the first batch) positions the initial offset, mirroring Kafka's
+     * startingOffsets.
+     */
+    override def toMicroBatchStream(checkpointLocation: String)
+        : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      new SnapMicroBatchStream(out, table, parts0, range, target, conf, startVersion)
+
     /** POST-PRUNING size/row statistics straight from the manifest entries
       * (already in hand — no extra I/O): Catalyst's join planning sees the
       * PRUNED scan size, so a part/range-filtered slice of a huge table
@@ -576,6 +660,48 @@ object SnapshotSource {
       override def numRows(): java.util.OptionalLong =
         java.util.OptionalLong.of(stats._2)
     }
+  }
+
+  /** A change-feed offset: the snapshot VERSION the feed has consumed
+    * through (serialized as its decimal string in the checkpoint). */
+  private final case class SnapVersionOffset(v: Int)
+      extends org.apache.spark.sql.connector.read.streaming.Offset {
+    override def json(): String = v.toString
+  }
+
+  /** The change-feed stream (see [[SnapScan.toMicroBatchStream]]): batch
+    * (start, end] = current rows at `end` of the partitions changed in the
+    * window, intersected with any pushed partition filter; file slicing
+    * and the columnar reader are the batch path's, unchanged. */
+  private final class SnapMicroBatchStream(out: StructType, table: SnapshotTable,
+      parts0: Option[Set[Long]], range: Option[(Long, Long)], target: Long,
+      conf: org.apache.spark.SerializableWritable[org.apache.hadoop.conf.Configuration],
+      startVersion: Int)
+      extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+    import org.apache.spark.sql.connector.read.streaming.Offset
+
+    override def initialOffset(): Offset = SnapVersionOffset(startVersion)
+    override def latestOffset(): Offset =
+      SnapVersionOffset(math.max(startVersion, table.currentVersion))
+    override def deserializeOffset(json: String): Offset = SnapVersionOffset(json.toInt)
+
+    override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+      val s = start.asInstanceOf[SnapVersionOffset].v
+      val e = end.asInstanceOf[SnapVersionOffset].v
+      if (e <= s) return Array.empty
+      val effective = (table.changedParts(s, e), parts0) match {
+        case (None, p) => p
+        case (Some(c), None) => Some(c)
+        case (Some(c), Some(p)) => Some(c.intersect(p))
+      }
+      if (effective.exists(_.isEmpty)) return Array.empty
+      sliceEntries(table.pruneFiles(effective, range, e), target).toArray
+    }
+
+    override def createReaderFactory(): PartitionReaderFactory =
+      new SnapReaderFactory(out, conf)
+    override def commit(end: Offset): Unit = ()
+    override def stop(): Unit = ()
   }
 
   private final class SnapReaderFactory(out: StructType,

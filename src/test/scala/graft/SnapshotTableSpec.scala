@@ -905,6 +905,88 @@ class SnapshotTableSpec extends SparkSpec {
       s"${covering.size} covering of ${all.size} pages — the search must not touch the whole index")
   }
 
+  test("SQL DELETE is a METADATA delete: partition predicates drop files by manifest surgery alone") {
+    val root = java.nio.file.Files.createTempDirectory("snapdelete").toString
+    val t = new SnapshotTable(spark, root, statsCol = Some("id"))
+    t.init((0L until 1000L).map(i => (i, i % 8, 1L)).toDF("id", "part", "ver").repartition(4))
+    spark.read.format("graft.sources.SnapshotSource").option("root", root).load()
+      .createOrReplaceTempView("snap_del")
+    val footersBefore = SnapshotTable.totalFooterOpens.get()
+    spark.sql("DELETE FROM snap_del WHERE part IN (2, 5)")
+    assert(t.currentVersion === 2)
+    assert(SnapshotTable.totalFooterOpens.get() === footersBefore,
+      "a metadata delete must not open any parquet footer")
+    val got = t.read().select("id").collect().map(_.getLong(0)).toSet
+    assert(got === (0L until 1000L).filter(i => i % 8 != 2 && i % 8 != 5).toSet)
+    // untouched partitions carry the SAME files; dropped files SURVIVE on
+    // disk for time travel until expire()
+    assert(t.snapshot(1).filterNot(e => e.part == 2L || e.part == 5L).map(_.path).toSet ===
+      t.snapshot(2).map(_.path).toSet)
+    t.snapshot(1).filter(e => e.part == 2L || e.part == 5L).foreach(e =>
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(e.path))))
+    assert(t.read(1).count() === 1000L, "time travel sees the pre-delete table")
+    // OR-of-equalities translates too
+    spark.sql("DELETE FROM snap_del WHERE part = 0 OR part = 7")
+    assert(t.read().select("part").distinct().collect().map(_.getLong(0)).toSet ===
+      Set(1L, 3L, 4L, 6L))
+    // a row-level predicate is REJECTED (no silent partial delete) — the
+    // COW SnapshotTable.delete() API is the row-level path
+    intercept[Exception] { spark.sql("DELETE FROM snap_del WHERE id = 3") }
+    assert(t.currentVersion === 3, "a rejected delete must not commit")
+    // unconditional DELETE truncates to an empty (still readable) table
+    spark.sql("DELETE FROM snap_del")
+    assert(t.currentVersion === 4)
+    assert(t.read().count() === 0L)
+    assert(t.read(3).count() === 500L, "previous snapshots intact")
+  }
+
+  test("change feed: each micro-batch refreshes exactly the touched partitions; restart resumes from the checkpoint") {
+    val root = java.nio.file.Files.createTempDirectory("snapfeed").toString
+    val t = new SnapshotTable(spark, root, statsCol = Some("id"))
+    t.init(baseDf) // ids 0..999, part = id % 8, ver 1
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Set[(Long, Long, Long)]]()
+    def startFeed() = spark.readStream.format("graft.sources.SnapshotSource")
+      .option("root", root).load()
+      .writeStream.option("checkpointLocation", s"$root/feed-ckpt")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.add(df.select("id", "part", "ver").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+        ()
+      }
+      .start()
+    val q = startFeed()
+    try {
+      q.processAllAvailable()
+      // initial batch: the whole v1 snapshot
+      assert(got.size === 1)
+      assert(got.poll().size === 1000)
+      // a merge touching ONLY partition 3 feeds partition 3's CURRENT rows
+      t.upsert(Seq((3L, 3L, 2L), (2003L, 3L, 2L)).toDF("id", "part", "ver"), Seq("id"))
+      q.processAllAvailable()
+      assert(got.size === 1)
+      val b2 = got.poll()
+      assert(b2.forall(_._2 == 3L), "only the touched partition is re-fed")
+      assert(b2.size === 126, "the partition's FULL current state (125 base + 1 insert)")
+      assert(b2.filter(_._3 == 2L).map(_._1) === Set(3L, 2003L),
+        "merged values, not pre-merge rows")
+    } finally q.stop()
+    // changedParts itself: page-sharing neighbours cancel out
+    assert(t.changedParts(1, 2) === Some(Set(3L)))
+    assert(t.changedParts(0, 2) === None, "initial offset = everything")
+    // a commit landing while the feed is DOWN arrives after restart — the
+    // checkpointed version offset resumes, nothing replays
+    t.upsert(Seq((4L, 4L, 3L)).toDF("id", "part", "ver"), Seq("id"))
+    val q2 = startFeed()
+    try {
+      q2.processAllAvailable()
+      assert(got.size === 1, "exactly one catch-up batch, no replay of consumed offsets")
+      val b3 = got.poll()
+      assert(b3.forall(_._2 == 4L))
+      assert(b3.size === 125)
+      assert(b3.filter(_._3 == 3L).map(_._1) === Set(4L))
+    } finally q2.stop()
+  }
+
   test("expire drops old snapshots' orphan files but keeps everything current") {
     val (_, t) = freshTable()
     t.init(baseDf)
