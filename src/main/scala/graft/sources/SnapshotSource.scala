@@ -295,7 +295,8 @@ object SnapshotSource {
       new SnapScan(ordered, table, parts, range, version, target,
         (entries.map(_.bytes).sum, entries.map(_.rows).sum),
         readerConf(session, ordered),
-        Option(props.get("startingversion")).map(_.toInt).getOrElse(0))
+        Option(props.get("startingversion")).map(_.toInt).getOrElse(0),
+        Option(props.get("maxversionspertrigger")).map(_.toInt))
     }
   }
 
@@ -581,7 +582,7 @@ object SnapshotSource {
       parts0: Option[Set[Long]], range: Option[(Long, Long)], version: Int,
       target: Long, stats: (Long, Long),
       conf: org.apache.spark.SerializableWritable[org.apache.hadoop.conf.Configuration],
-      startVersion: Int = 0)
+      startVersion: Int = 0, maxVersions: Option[Int] = None)
       extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering {
 
     /** Partition set, possibly NARROWED at runtime by [[filter]]. */
@@ -643,11 +644,13 @@ object SnapshotSource {
      * re-feeds the rewritten partitions — harmless under that contract.
      * `startingversion` (default 0 = from the beginning, whole snapshot as
      * the first batch) positions the initial offset, mirroring Kafka's
-     * startingOffsets.
+     * startingOffsets; `maxversionspertrigger` bounds a batch's commit
+     * window (admission control — see the notes in the stream class).
      */
     override def toMicroBatchStream(checkpointLocation: String)
         : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-      new SnapMicroBatchStream(out, table, parts0, range, target, conf, startVersion)
+      new SnapMicroBatchStream(out, table, parts0, range, target, conf, startVersion,
+        maxVersions)
 
     /** POST-PRUNING size/row statistics straight from the manifest entries
       * (already in hand — no extra I/O): Catalyst's join planning sees the
@@ -676,14 +679,40 @@ object SnapshotSource {
   private final class SnapMicroBatchStream(out: StructType, table: SnapshotTable,
       parts0: Option[Set[Long]], range: Option[(Long, Long)], target: Long,
       conf: org.apache.spark.SerializableWritable[org.apache.hadoop.conf.Configuration],
-      startVersion: Int)
-      extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-    import org.apache.spark.sql.connector.read.streaming.Offset
+      startVersion: Int, maxVersions: Option[Int])
+      extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+      with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+    import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxFiles}
 
     override def initialOffset(): Offset = SnapVersionOffset(startVersion)
-    override def latestOffset(): Offset =
-      SnapVersionOffset(math.max(startVersion, table.currentVersion))
     override def deserializeOffset(json: String): Offset = SnapVersionOffset(json.toInt)
+
+    // ---- admission control: `maxversionspertrigger` bounds how many
+    // COMMITS one micro-batch may span. A consumer resuming after a long
+    // outage on a hot 100 TB table would otherwise plan ONE batch over
+    // hundreds of versions — whose union of touched partitions approaches
+    // the whole table; capping the window keeps each catch-up batch's read
+    // set (and its executors' working set) commit-sized. The version cap
+    // rides ReadLimit.maxFiles (a version = one commit's file group);
+    // ReadAllAvailable (Trigger.Once semantics) is honoured uncapped.
+    private def trueLatest: Int = math.max(startVersion, table.currentVersion)
+
+    override def getDefaultReadLimit: ReadLimit =
+      maxVersions.map(v => ReadLimit.maxFiles(v)).getOrElse(ReadLimit.allAvailable())
+
+    override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+      val s = start.asInstanceOf[SnapVersionOffset].v
+      val capped = limit match {
+        case f: ReadMaxFiles => math.min(trueLatest, s + f.maxFiles())
+        case _ => trueLatest
+      }
+      SnapVersionOffset(capped)
+    }
+
+    override def reportLatestOffset(): Offset = SnapVersionOffset(trueLatest)
+
+    override def latestOffset(): Offset = throw new UnsupportedOperationException(
+      "latestOffset(start, limit) drives this stream (SupportsAdmissionControl)")
 
     override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
       val s = start.asInstanceOf[SnapVersionOffset].v

@@ -987,6 +987,31 @@ class SnapshotTableSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("change feed admission control: maxversionspertrigger splits a catch-up into commit-sized batches") {
+    val root = java.nio.file.Files.createTempDirectory("snapfeedcap").toString
+    val t = new SnapshotTable(spark, root, statsCol = Some("id"))
+    t.init(baseDf) // v1
+    t.upsert(Seq((3L, 3L, 2L)).toDF("id", "part", "ver"), Seq("id")) // v2
+    t.upsert(Seq((4L, 4L, 2L)).toDF("id", "part", "ver"), Seq("id")) // v3
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Set[Long]]()
+    val q = spark.readStream.format("graft.sources.SnapshotSource")
+      .option("root", root).option("maxversionspertrigger", "1").load()
+      .writeStream.option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.add(df.select("part").collect().map(_.getLong(0)).toSet)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // three versions behind -> three batches, each ONE commit's window
+    import scala.jdk.CollectionConverters._
+    val got = batches.iterator().asScala.toSeq
+    assert(got.size === 3, s"catch-up must split per version (got ${got.size} batches)")
+    assert(got(0) === (0L until 8L).toSet, "batch 1 = the initial snapshot (v0 -> v1)")
+    assert(got(1) === Set(3L), "batch 2 = v2's touched partition only")
+    assert(got(2) === Set(4L), "batch 3 = v3's touched partition only")
+  }
+
   test("expire drops old snapshots' orphan files but keeps everything current") {
     val (_, t) = freshTable()
     t.init(baseDf)
