@@ -355,7 +355,8 @@ class SnapshotTable(spark: SparkSession, root: String,
         throw e
     }
 
-  private def commit(v: Int, parent: Int, manifests: Seq[ManifestMeta]): Unit = {
+  private def commit(v: Int, parent: Int, manifests: Seq[ManifestMeta],
+      extra: String = ""): Unit = {
     val listJson = manifests.map { m =>
       val stats = (m.lo, m.hi) match {
         case (Some(l), Some(h)) => s""","lo":$l,"hi":$h"""
@@ -370,8 +371,109 @@ class SnapshotTable(spark: SparkSession, root: String,
     // committed this version makes CREATE_NEW fail, and the loser must
     // re-read the table state and retry its merge
     Files.writeString(snapPath(v),
-      s"""{"version":$v,"parent":$parent,"manifests":$listJson}""",
+      s"""{"version":$v,"parent":$parent$extra,"manifests":$listJson}""",
       java.nio.file.StandardOpenOption.CREATE_NEW)
+  }
+
+  // ---- streaming-sink epoch markers (exactly-once micro-batch commits) ----
+
+  private val streamMarkerRe =
+    """"stream":\{"query":"([^"]+)","epoch":(\d+)\}""".r
+
+  /** The streaming-sink marker of snapshot v, when that snapshot was a
+    * micro-batch epoch commit: (queryId, epochId). */
+  def streamMarker(v: Int): Option[(String, Long)] =
+    streamMarkerRe.findFirstMatchIn(Files.readString(snapPath(v)))
+      .map(m => (m.group(1), m.group(2).toLong))
+
+  /** The HIGHEST epoch streaming query `queryId` has committed to this
+    * table — the sink's replay fence. Walks snapshots newest-first and
+    * stops at the first marker for this query (epochs are monotone per
+    * query), so the cost is O(commits since the query's last epoch) tiny
+    * JSON reads — normally 0–1; worst case (a restart after a long
+    * foreign-writer streak) bounded by the retained version count, which
+    * [[expire]] keeps finite. Expired snapshots are skipped, not errors:
+    * an epoch older than the retention window is by definition not the
+    * last batch, so Spark never replays it. */
+  def lastEpochFor(queryId: String): Option[Long] = {
+    var v = currentVersion
+    while (v > 0) {
+      if (Files.exists(snapPath(v)))
+        streamMarker(v) match {
+          case Some((q, e)) if q == queryId => return Some(e)
+          case _ => ()
+        }
+      v -= 1
+    }
+    None
+  }
+
+  /** Scratch dir for ONE streaming query run's data files (per-epoch
+    * subdirs keep replayed epochs apart). Named on the attempt-dir pattern
+    * (`v0-stream-<uuid>`) so a crashed run's orphans fall to [[expire]]'s
+    * existing `v\d+-` sweep. */
+  private[graft] def provisionStreamDir(): String =
+    s"$root/v0-stream-${java.util.UUID.randomUUID().toString.take(8)}"
+
+  /**
+   * Commit one micro-batch EPOCH from the streaming sink
+   * ([[graft.sources.SnapshotSource]]'s StreamingWrite) — EXACTLY-ONCE and
+   * CONTENTION-SAFE where the batch paths are snapshot-isolated:
+   *  - Replay fence: if `(queryId, epochId)` is already at-or-behind
+   *    [[lastEpochFor]], a restarted query re-delivering a committed batch
+   *    deletes its rewritten files and returns without a new version.
+   *  - CAS retry: an append/truncate epoch carries no read dependency on
+   *    the base snapshot, so losing a CREATE_NEW race to a rival committer
+   *    (a batch INSERT, an upsert, another stream) is retried against the
+   *    refreshed head — the new entries' manifest pages are version-
+   *    independent and REUSED across retries (unlike the batch paths,
+   *    which must fail back to the planner, review the round-6 notes on
+   *    commitFiles). Only on giving up are files and pages deleted.
+   * Streaming modes are Append (`WriteAppend`), Complete (`WriteTruncate`,
+   * each epoch replaces the table) and partition-replace
+   * (`WriteDynamicOverwrite`, each epoch replaces exactly the partitions it
+   * carries — the mode that makes a change-feed → sink pipeline an EXACT
+   * MIRROR, since the feed re-emits whole partitions).
+   */
+  private[graft] def commitFilesEpoch(entries: Seq[FileEntry],
+      mode: SnapshotTable.WriteMode, queryId: String, epochId: Long,
+      maxRaces: Int = 5): Int = recordingCommit {
+    require(currentVersion > 0, "init() the snapshot table before streaming writes")
+    def deleteAll(pages: Seq[ManifestMeta]): Unit = {
+      pages.foreach(m => Files.deleteIfExists(Paths.get(m.path)))
+      entries.foreach(f => Files.deleteIfExists(Paths.get(f.path)))
+    }
+    var pages: Seq[ManifestMeta] = null
+    var races = 0
+    var committed = -1
+    while (committed < 0) {
+      val cur = currentVersion
+      if (lastEpochFor(queryId).exists(_ >= epochId)) {
+        // replayed epoch: the table already holds this batch
+        deleteAll(Option(pages).getOrElse(Seq.empty))
+        committed = cur
+      } else {
+        if (pages == null) pages = writeManifests(entries)
+        // (manifest list to commit, pages built against THIS base version —
+        // stale on a lost race, deleted before the retry rebuilds them)
+        val (all, perBase) = mode match {
+          case SnapshotTable.WriteAppend => (manifestList(cur) ++ pages, Seq.empty)
+          case SnapshotTable.WriteTruncate => (pages, Seq.empty)
+          case SnapshotTable.WriteDynamicOverwrite =>
+            val (carried, _, filteredPages) = splitParent(cur, entries.map(_.part).toSet)
+            (carried ++ pages, filteredPages)
+        }
+        val marker = s""","stream":{"query":"$queryId","epoch":$epochId}"""
+        try { commit(cur + 1, cur, all, marker); committed = cur + 1 }
+        catch {
+          case e: java.nio.file.FileAlreadyExistsException =>
+            perBase.foreach(m => Files.deleteIfExists(Paths.get(m.path)))
+            races += 1
+            if (races > maxRaces) { deleteAll(pages); throw e }
+        }
+      }
+    }
+    committed
   }
 
   /** Initial load: full write of `df` as snapshot 1. `df` must carry a

@@ -75,7 +75,7 @@ object SnapshotSource {
     override def capabilities(): java.util.Set[TableCapability] =
       java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
         TableCapability.TRUNCATE, TableCapability.OVERWRITE_DYNAMIC,
-        TableCapability.MICRO_BATCH_READ)
+        TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
       new SnapScanBuilder(schema, props)
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -385,11 +385,12 @@ object SnapshotSource {
     override def truncate(): WriteBuilder = { mode = SnapshotTable.WriteTruncate; this }
     override def overwriteDynamicPartitions(): WriteBuilder = {
       mode = SnapshotTable.WriteDynamicOverwrite; this }
-    override def build(): Write = new SnapWrite(info.schema(), props, mode)
+    override def build(): Write = new SnapWrite(info.schema(), props, mode, info.queryId())
   }
 
   private final class SnapWrite(schema: StructType,
-      props: java.util.Map[String, String], mode: SnapshotTable.WriteMode)
+      props: java.util.Map[String, String], mode: SnapshotTable.WriteMode,
+      queryId: String)
       extends Write with RequiresDistributionAndOrdering {
     override def description(): String = s"graft-snapshot write ($mode)"
     // one shuffle clusters each `part` into one task → one file per
@@ -398,6 +399,94 @@ object SnapshotSource {
       Distributions.clustered(Array(Expressions.column("part")))
     override def requiredOrdering(): Array[SortOrder] = Array.empty
     override def toBatch: BatchWrite = new SnapBatchWrite(schema, props, mode)
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new SnapStreamingWrite(schema, props, mode, queryId)
+  }
+
+  /** The shared writer-factory setup (physical `_part` schema, stats/part
+    * column indices, file-roll target, shipped conf) — identical for the
+    * batch and streaming write paths. */
+  private def writerSetup(schema: StructType, table: SnapshotTable,
+      props: java.util.Map[String, String]): (Int, Int, Long,
+      org.apache.spark.SerializableWritable[org.apache.hadoop.conf.Configuration]) = {
+    val session = SparkSession.active
+    // physical file schema: `part` (always last in table read order)
+    // persists as the `_part` data column — same positions, same values,
+    // matching the programmatic writes' layout exactly
+    val physical = StructType(schema.fields.map(f =>
+      if (f.name == "part") f.copy(name = "_part") else f))
+    val partIdx = schema.fieldIndex("part")
+    val statsIdx = table.statsColumn.map(schema.fieldIndex).getOrElse(-1)
+    val statsIsLong = statsIdx >= 0 && schema.fields(statsIdx).dataType == LongType
+    val targetBytes = Option(props.get("targetfilebytes")).map(_.toLong)
+      .getOrElse(SnapshotSource.DEFAULT_TARGET_FILE_BYTES)
+    require(targetBytes > 0, s"targetfilebytes must be positive, got $targetBytes")
+    (partIdx, if (statsIsLong) statsIdx else -1, targetBytes,
+      writerConf(session, physical))
+  }
+
+  /**
+   * Micro-batch streaming sink onto the snapshot table — `writeStream
+   * .format("graft.sources.SnapshotSource")` closes the loop with the
+   * change-feed read: a pipeline can tail one snapshot table and commit
+   * its transform into another, each epoch an ordinary snapshot version
+   * (time-travel, change feed, and SQL reads all see it immediately).
+   * EXACTLY-ONCE: every epoch commit stamps `(queryId, epochId)` into the
+   * snapshot JSON; a restarted query replaying its last batch hits the
+   * fence in [[SnapshotTable.commitFilesEpoch]] and drops the duplicate.
+   * Data files land under ONE scratch dir per query run (per-epoch
+   * subdirs), on the attempt-dir naming so a crashed run is swept by
+   * expire(). Append mode appends; Complete mode truncates per epoch; and
+   * `option("replacepartitions", "true")` turns an Append stream into a
+   * PARTITION-REPLACE sink — each epoch replaces exactly the partitions it
+   * carries. That is the mode that makes `change feed → sink` an exact
+   * MIRROR of the upstream table: the feed re-emits whole rewritten
+   * partitions, so replaying them as partition overwrites converges the
+   * follower to the leader state instead of accumulating duplicates.
+   */
+  private final class SnapStreamingWrite(schema: StructType,
+      props: java.util.Map[String, String], mode0: SnapshotTable.WriteMode,
+      queryId: String)
+      extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+    private val mode =
+      if (mode0 == SnapshotTable.WriteAppend &&
+          Option(props.get("replacepartitions")).exists(_.toBoolean))
+        SnapshotTable.WriteDynamicOverwrite
+      else mode0
+    private val table = tableFor(props)
+    private val scratch = table.provisionStreamDir()
+
+    override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+        : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+      val (partIdx, statsIdx, targetBytes, conf) = writerSetup(schema, table, props)
+      SnapStreamWriterFactory(scratch, partIdx, statsIdx, targetBytes, conf)
+    }
+
+    override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+      val entries = messages.toSeq.collect { case m: SnapCommitMessage => m.entries }.flatten
+      // an empty trigger commits no version: nothing to fence (replaying
+      // an empty epoch is a no-op), and a ProcessingTime stream's idle
+      // ticks must not balloon the version history
+      if (entries.nonEmpty) table.commitFilesEpoch(entries, mode, queryId, epochId)
+      ()
+    }
+
+    override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+      messages.toSeq.collect { case m: SnapCommitMessage => m.entries }.flatten
+        .foreach(e => java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(e.path)))
+      ()
+    }
+  }
+
+  private final case class SnapStreamWriterFactory(scratch: String, partIdx: Int,
+      statsIdx: Int, targetBytes: Long,
+      conf: org.apache.spark.SerializableWritable[org.apache.hadoop.conf.Configuration])
+      extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+    override def createWriter(partitionId: Int, taskId: Long,
+        epochId: Long): DataWriter[InternalRow] =
+      new SnapDataWriter(s"$scratch/e$epochId", partIdx, statsIdx, targetBytes,
+        new org.apache.hadoop.conf.Configuration(conf.value), partitionId, taskId)
   }
 
   private final class SnapBatchWrite(schema: StructType,
@@ -412,20 +501,8 @@ object SnapshotSource {
     private val dir = table.provisionAttemptDir()
 
     override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-      val session = SparkSession.active
-      // physical file schema: `part` (always last in table read order)
-      // persists as the `_part` data column — same positions, same values,
-      // matching the programmatic writes' layout exactly
-      val physical = StructType(schema.fields.map(f =>
-        if (f.name == "part") f.copy(name = "_part") else f))
-      val partIdx = schema.fieldIndex("part")
-      val statsIdx = table.statsColumn.map(schema.fieldIndex).getOrElse(-1)
-      val statsIsLong = statsIdx >= 0 && schema.fields(statsIdx).dataType == LongType
-      val targetBytes = Option(props.get("targetfilebytes")).map(_.toLong)
-        .getOrElse(SnapshotSource.DEFAULT_TARGET_FILE_BYTES)
-      require(targetBytes > 0, s"targetfilebytes must be positive, got $targetBytes")
-      SnapWriterFactory(dir, partIdx, if (statsIsLong) statsIdx else -1,
-        targetBytes, writerConf(session, physical))
+      val (partIdx, statsIdx, targetBytes, conf) = writerSetup(schema, table, props)
+      SnapWriterFactory(dir, partIdx, statsIdx, targetBytes, conf)
     }
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {

@@ -1012,6 +1012,96 @@ class SnapshotTableSpec extends SparkSpec {
     assert(got(2) === Set(4L), "batch 3 = v3's touched partition only")
   }
 
+  test("streaming epoch commits: replay fence drops duplicates, foreign queries unaffected") {
+    val (_, t) = freshTable()
+    t.init(baseDf) // v1
+    def mkEntries(id: Long, part: Long): Seq[SnapshotTable.FileEntry] = {
+      val dir = java.nio.file.Files.createTempDirectory("epochfiles").toString + "/d"
+      Seq((id, 1L, part)).toDF("id", "ver", "_part").coalesce(1).write.parquet(dir)
+      val f = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet")).head
+      Seq(SnapshotTable.FileEntry(f.getAbsolutePath, part, 1L, f.length()))
+    }
+    assert(t.commitFilesEpoch(mkEntries(9000L, 3L), SnapshotTable.WriteAppend, "qA", 0L) === 2)
+    assert(t.read().where($"id" === 9000L).count() === 1)
+    // replay of epoch 0 (a restart re-delivers the last batch): fenced —
+    // no new version, the duplicate's files deleted, rows unchanged
+    val dup = mkEntries(9000L, 3L)
+    assert(t.commitFilesEpoch(dup, SnapshotTable.WriteAppend, "qA", 0L) === 2)
+    assert(t.currentVersion === 2)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dup.head.path)),
+      "the replayed epoch's files must be deleted")
+    assert(t.read().where($"id" === 9000L).count() === 1)
+    // a DIFFERENT query's epoch 0 is not fenced; qA's next epoch advances
+    assert(t.commitFilesEpoch(mkEntries(9001L, 4L), SnapshotTable.WriteAppend, "qB", 0L) === 3)
+    assert(t.commitFilesEpoch(mkEntries(9002L, 5L), SnapshotTable.WriteAppend, "qA", 1L) === 4)
+    assert(t.lastEpochFor("qA") === Some(1L))
+    assert(t.lastEpochFor("qB") === Some(0L))
+    assert(t.lastEpochFor("nope") === None)
+    assert(t.streamMarker(2) === Some(("qA", 0L)))
+    assert(t.streamMarker(1) === None, "a non-streaming commit carries no marker")
+  }
+
+  test("streaming sink: a file stream's micro-batches land as snapshot versions") {
+    val (root, t) = freshTable()
+    t.init(baseDf) // v1
+    val in = java.nio.file.Files.createTempDirectory("sinkin").toString
+    Seq((8000L, 7L, 2L)).toDF("id", "ver", "part").write.parquet(s"$in/b1")
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("id", org.apache.spark.sql.types.LongType)
+      .add("ver", org.apache.spark.sql.types.LongType)
+      .add("part", org.apache.spark.sql.types.LongType)
+    val q = spark.readStream.schema(schema).parquet(s"$in/*")
+      .writeStream.format("graft.sources.SnapshotSource")
+      .option("root", root).option("checkpointLocation", s"$root/ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(t.currentVersion === 2)
+      assert(t.read().where($"id" === 8000L).count() === 1)
+      Seq((8001L, 7L, 6L)).toDF("id", "ver", "part").write.parquet(s"$in/b2")
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(t.currentVersion === 3)
+    val (m2, m3) = (t.streamMarker(2).get, t.streamMarker(3).get)
+    assert(m2._1 === m3._1, "both epochs stamped by the same query")
+    assert(m3._2 > m2._2, "epoch ids must be monotone")
+    assert(t.read().where($"ver" === 7L).count() === 2)
+  }
+
+  test("mirror pipeline: change feed + replacepartitions sink converge a follower table") {
+    val rootA = java.nio.file.Files.createTempDirectory("mirrorA").toString
+    val a = new SnapshotTable(spark, rootA)
+    a.init(baseDf)
+    val rootB = java.nio.file.Files.createTempDirectory("mirrorB").toString
+    val b = new SnapshotTable(spark, rootB)
+    b.init(baseDf.limit(17)) // stale seed state — the mirror must converge anyway
+    def pipe() = spark.readStream.format("graft.sources.SnapshotSource")
+      .option("root", rootA).load()
+      .writeStream.format("graft.sources.SnapshotSource")
+      .option("root", rootB).option("replacepartitions", "true")
+      .option("checkpointLocation", s"$rootB/ckpt")
+      .start()
+    def state(t: SnapshotTable) = t.read().select("id", "part", "ver").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val q = pipe()
+    try {
+      q.processAllAvailable()
+      assert(state(b) === state(a), "initial snapshot replicated")
+      a.upsert(Seq((3L, 3L, 2L), (2003L, 3L, 2L)).toDF("id", "part", "ver"), Seq("id"))
+      q.processAllAvailable()
+      // the feed re-emits partition 3 WHOLE; partition-replace applies it
+      // as an overwrite, so the follower matches instead of duplicating
+      assert(state(b) === state(a), "upsert replicated partition-exact")
+    } finally q.stop()
+    // restart on the same checkpoint with nothing new upstream: a no-op
+    // (any replayed batch dies on the epoch fence, not as duplicate rows)
+    val vB = b.currentVersion
+    val q2 = pipe()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(b.currentVersion === vB)
+    assert(state(b) === state(a))
+  }
+
   test("expire drops old snapshots' orphan files but keeps everything current") {
     val (_, t) = freshTable()
     t.init(baseDf)
