@@ -526,7 +526,7 @@ class SnapshotTable(spark: SparkSession, root: String,
       val touched = cachedDelta.select("part").distinct().collect().map(_.getLong(0)).toSet
       val (carried, touchedFiles, filteredPages) = splitParent(cur, touched)
       val merged = if (touchedFiles.nonEmpty) {
-        val base = spark.read.parquet(touchedFiles.map(_.path): _*)
+        val base = readPhysical(touchedFiles.map(_.path))
           .withColumn("part", col("_part")).drop("_part")
         base.join(cachedDelta.select(("part" +: keyCols).map(col): _*),
             "part" +: keyCols, "left_anti")
@@ -608,10 +608,64 @@ class SnapshotTable(spark: SparkSession, root: String,
       files1.filter(f => f.lo.forall(_ <= hi) && f.hi.forall(_ >= lo)) }
   }
 
-  /** The table's persisted read-order schema (written at init). */
+  /** The table's persisted read-order schema (written at init, evolved by
+    * [[addColumn]]/[[dropColumn]]). */
   def tableSchema: org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.DataType.fromJson(
       Files.readString(schemaPath)).asInstanceOf[org.apache.spark.sql.types.StructType]
+
+  // ---- schema evolution (metadata-only — no data file is ever rewritten) ----
+
+  private def writeSchema(s: org.apache.spark.sql.types.StructType): Unit = {
+    // atomic replace: a concurrent reader sees either schema, never a torn file
+    val tmp = Paths.get(s"$root/schema.json.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    Files.writeString(tmp, s.json)
+    Files.move(tmp, schemaPath, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  /**
+   * METADATA-ONLY add-column (Iceberg's schema evolution, the only kind
+   * that works at 100 TB — rewriting every data file to add a field is not
+   * an operation): schema.json is atomically replaced with the new field
+   * appended after the existing data columns (`part` stays last); no data
+   * file, manifest, or snapshot is touched. Files written BEFORE the
+   * evolution lack the column and NULL-FILL on read (both the DataFrame
+   * path and the DSv2 vectorized reader); writes after it must carry the
+   * column (strict — a null-filling writer contract would mask schema
+   * typos). All versions — including time travel to pre-evolution
+   * snapshots — read with the CURRENT schema.
+   *
+   * Column mapping is BY NAME (no Iceberg field ids): re-adding a
+   * previously dropped name RESURRECTS its values from surviving
+   * pre-drop files rather than reading fresh nulls — prefer fresh names.
+   */
+  def addColumn(name: String, dataType: org.apache.spark.sql.types.DataType): Unit = {
+    val cur = tableSchema
+    require(name != "part" && name != "_part",
+      s"'$name' is reserved (partition key / physical partition column)")
+    require(!cur.fieldNames.contains(name), s"column '$name' already exists")
+    writeSchema(org.apache.spark.sql.types.StructType(
+      cur.fields.filterNot(_.name == "part") ++
+        Seq(org.apache.spark.sql.types.StructField(name, dataType, nullable = true)) ++
+        cur.fields.filter(_.name == "part")))
+  }
+
+  /** METADATA-ONLY drop-column: the field leaves schema.json; data files
+    * keep the bytes (an explicit-schema read simply never requests them)
+    * until natural rewrites age them out. The partition key and the stats
+    * column are protected — manifest lo/hi bounds would dangle. */
+  def dropColumn(name: String): Unit = {
+    val cur = tableSchema
+    require(name != "part", "cannot drop the partition key")
+    require(!statsColumn.contains(name),
+      s"cannot drop the stats column '$name' — manifest bounds are built from it")
+    require(cur.fieldNames.contains(name), s"no such column '$name'")
+    require(cur.fields.count(_.name != "part") > 1, "cannot drop the last data column")
+    writeSchema(org.apache.spark.sql.types.StructType(
+      cur.fields.filterNot(_.name == name)))
+  }
 
   /** Time-travel read of snapshot v (default: current). */
   def read(version: Int = -1): DataFrame =
@@ -643,14 +697,32 @@ class SnapshotTable(spark: SparkSession, root: String,
 
   private def readFiles(files: Seq[FileEntry]): DataFrame =
     if (files.isEmpty) {
-      // schema-only: built from the schema persisted at init — an empty
+      // schema-only: built from the persisted schema — an empty
       // selection, an empty historical version, even a fully-deleted table
       // all resolve without scanning or borrowing another version's files
-      val schema = org.apache.spark.sql.types.DataType.fromJson(
-        Files.readString(schemaPath)).asInstanceOf[org.apache.spark.sql.types.StructType]
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    } else spark.read.parquet(files.map(_.path): _*)
-      .withColumn("part", col("_part")).drop("_part")
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], tableSchema)
+    } else {
+      // EXPLICIT schema, not file inference: files written before an
+      // addColumn lack the new field (the parquet reader null-fills a
+      // requested-but-missing column), and files still carrying a dropped
+      // one simply never have it requested. recursiveFileLookup disables
+      // partition-dir discovery so the physical `_part` column is the one
+      // source of the partition value regardless of attempt-dir layout.
+      readPhysical(files.map(_.path))
+        .withColumn("part", col("_part")).drop("_part")
+    }
+
+  /** Read data files under the CURRENT schema's physical form (`part` →
+    * `_part`), by explicit schema — the one reader every path that touches
+    * raw files must use, or schema evolution corrupts it: inference over a
+    * mixed pre-/post-[[addColumn]] file group resolves to ONE file's
+    * footer, silently dropping the evolved column from the others. */
+  private def readPhysical(paths: Seq[String]): DataFrame = {
+    val physical = org.apache.spark.sql.types.StructType(tableSchema.fields.map(f =>
+      if (f.name == "part") f.copy(name = "_part") else f))
+    spark.read.schema(physical).option("recursiveFileLookup", "true")
+      .parquet(paths: _*)
+  }
 
   /**
    * Copy-on-write DELETE by key: rows of touched partitions matching
@@ -671,7 +743,7 @@ class SnapshotTable(spark: SparkSession, root: String,
       val touched = cachedKeys.select("part").distinct().collect().map(_.getLong(0)).toSet
       val (carried, touchedFiles, filteredPages) = splitParent(cur, touched)
       val (newFiles, newManifests) = if (touchedFiles.nonEmpty) {
-        val base = spark.read.parquet(touchedFiles.map(_.path): _*)
+        val base = readPhysical(touchedFiles.map(_.path))
           .withColumn("part", col("_part")).drop("_part")
         val nf = writeVersionDir(base.join(cachedKeys.select(("part" +: keyCols).map(col): _*),
           "part" +: keyCols, "left_anti"), next)
@@ -818,7 +890,7 @@ class SnapshotTable(spark: SparkSession, root: String,
       try {
         val jobs = plan.toSeq.sortBy(_._1).map { case (p, want) =>
           scala.concurrent.Future {
-            val base = spark.read.parquet(byPartTouched(p).map(_.path): _*)
+            val base = readPhysical(byPartTouched(p).map(_.path))
             val sliced = statsColumn match {
               case Some(c) if want > 1 => base.repartitionByRange(want, col(c))
               case Some(c) => base.coalesce(1).sortWithinPartitions(col(c))

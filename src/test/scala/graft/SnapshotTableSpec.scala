@@ -1102,6 +1102,61 @@ class SnapshotTableSpec extends SparkSpec {
     assert(state(b) === state(a))
   }
 
+  test("addColumn is metadata-only: old files null-fill, new writes carry values") {
+    val (root, t) = freshTable()
+    t.init(baseDf) // v1: (id, ver, part), 1000 rows, parts 0-7
+    val filesBefore = t.snapshot(1).map(_.path).toSet
+    t.addColumn("score", org.apache.spark.sql.types.LongType)
+    assert(t.snapshot(1).map(_.path).toSet === filesBefore, "no data file rewritten")
+    assert(t.read().schema.fieldNames.toSeq === Seq("id", "ver", "score", "part"))
+    assert(t.read().where($"score".isNotNull).count() === 0, "pre-evolution files null-fill")
+    // a post-evolution upsert carries the column; untouched partitions stay null
+    t.upsert(Seq((3L, 2L, 77L, 3L)).toDF("id", "ver", "score", "part"), Seq("id"))
+    assert(t.read().where($"score" === 77L).count() === 1)
+    assert(t.read().where($"part" === 5L && $"score".isNull).count() === 125)
+    // partition 3's REWRITTEN survivors carry explicit nulls, same answer
+    assert(t.read().where($"part" === 3L && $"score".isNull).count() === 124)
+    // the DSv2 vectorized path sees the evolved schema and null-fills too
+    val sql = spark.read.format("graft.sources.SnapshotSource").option("root", root).load()
+    assert(sql.schema.fieldNames.contains("score"))
+    assert(sql.where($"score" === 77L).count() === 1)
+    assert(sql.where($"score".isNull).count() === 999)
+    // time travel reads pre-evolution snapshots with the CURRENT schema
+    assert(t.read(1).schema.fieldNames.contains("score"))
+    assert(t.read(1).where($"score".isNull).count() === 1000)
+    // compacting a MIXED pre-/post-evolution partition keeps the column:
+    // append a post-evolution file into part 5 (which still holds its
+    // pre-evolution file), then compact them into one
+    val dir = java.nio.file.Files.createTempDirectory("evoappend").toString + "/d"
+    Seq((9100L, 1L, 55L, 5L)).toDF("id", "ver", "score", "_part")
+      .coalesce(1).write.parquet(dir)
+    val af = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet")).head
+    t.commitFilesEpoch(Seq(SnapshotTable.FileEntry(af.getAbsolutePath, 5L, 1L, af.length())),
+      SnapshotTable.WriteAppend, "evoq", 0L)
+    val vc = t.compact()
+    assert(t.snapshot(vc).count(_.part == 5L) === 1, "part 5 compacted to one file")
+    assert(t.read(vc).where($"score" === 55L).count() === 1,
+      "compact must not let footer inference drop the evolved column")
+    assert(t.read(vc).where($"part" === 5L && $"score".isNull).count() === 125)
+    intercept[IllegalArgumentException](t.addColumn("score", org.apache.spark.sql.types.LongType))
+    intercept[IllegalArgumentException](t.addColumn("part", org.apache.spark.sql.types.LongType))
+  }
+
+  test("dropColumn is metadata-only; part and the stats column are protected") {
+    val root = java.nio.file.Files.createTempDirectory("snapdrop").toString
+    val t = new SnapshotTable(spark, root, statsCol = Some("id"))
+    t.init(baseDf)
+    val filesBefore = t.snapshot(1).map(_.path).toSet
+    t.dropColumn("ver")
+    assert(t.snapshot(1).map(_.path).toSet === filesBefore, "no data file rewritten")
+    assert(t.read().schema.fieldNames.toSeq === Seq("id", "part"))
+    assert(t.read().count() === 1000)
+    intercept[IllegalArgumentException](t.dropColumn("part"))
+    intercept[IllegalArgumentException](t.dropColumn("id")) // stats column
+    intercept[IllegalArgumentException](t.dropColumn("nope"))
+    intercept[IllegalArgumentException](t.dropColumn("id")) // also the last data column
+  }
+
   test("expire drops old snapshots' orphan files but keeps everything current") {
     val (_, t) = freshTable()
     t.init(baseDf)
