@@ -98,9 +98,12 @@ class SnapshotTable(spark: SparkSession, root: String,
     ("""\{"path":"([^"]+)","part_lo":(-?\d+),"part_hi":(-?\d+),"files":(\d+),""" +
      """"rows":(\d+)(?:,"lo":(-?\d+),"hi":(-?\d+))?\}""").r
 
-  /** The manifest list of snapshot v — O(#manifests) driver cost. */
+  /** The manifest list of snapshot v — O(#manifests) driver cost.
+    * Version 0 is the EMPTY table (a catalog-created table before its
+    * first commit): no snapshot file, no manifests. */
   def manifestList(v: Int): Seq[ManifestMeta] =
-    metaRe.findAllMatchIn(Files.readString(snapPath(v)))
+    if (v <= 0) Seq.empty
+    else metaRe.findAllMatchIn(Files.readString(snapPath(v)))
       .map(m => ManifestMeta(m.group(1), m.group(2).toLong, m.group(3).toLong,
         m.group(4).toInt, m.group(5).toLong,
         Option(m.group(6)).map(_.toLong), Option(m.group(7)).map(_.toLong)))
@@ -438,7 +441,8 @@ class SnapshotTable(spark: SparkSession, root: String,
   private[graft] def commitFilesEpoch(entries: Seq[FileEntry],
       mode: SnapshotTable.WriteMode, queryId: String, epochId: Long,
       maxRaces: Int = 5): Int = recordingCommit {
-    require(currentVersion > 0, "init() the snapshot table before streaming writes")
+    require(currentVersion > 0 || Files.exists(schemaPath),
+      "create/init the snapshot table before streaming writes")
     def deleteAll(pages: Seq[ManifestMeta]): Unit = {
       pages.foreach(m => Files.deleteIfExists(Paths.get(m.path)))
       entries.foreach(f => Files.deleteIfExists(Paths.get(f.path)))
@@ -569,7 +573,10 @@ class SnapshotTable(spark: SparkSession, root: String,
   private[graft] def commitFiles(entries: Seq[FileEntry],
       mode: SnapshotTable.WriteMode, basedOn: Int): Int = recordingCommit {
     val cur = basedOn
-    require(cur > 0, "init() the snapshot table before SQL writes")
+    // basedOn == 0 is a catalog-created EMPTY table's first commit (its
+    // schema was persisted at CREATE TABLE); an uncreated root still fails
+    require(cur > 0 || Files.exists(schemaPath),
+      "create/init the snapshot table before SQL writes")
     val next = cur + 1
     mode match {
       case SnapshotTable.WriteAppend =>
@@ -1129,6 +1136,31 @@ object SnapshotTable {
     Files.writeString(statsMetaPath(root),
       s"""{"statscol":${statsCol.fold("null")(c => s""""$c"""")}}""")
     ()
+  }
+
+  /** Create an EMPTY snapshot table (version 0): persist the read-order
+    * schema and stats metadata only — the catalog's `CREATE TABLE`. The
+    * first write (SQL INSERT, streaming epoch, or programmatic
+    * [[SnapshotTable.init]]-free commit) becomes version 1. */
+  def createEmpty(spark: SparkSession, root: String,
+      schema: org.apache.spark.sql.types.StructType,
+      statsCol: Option[String]): SnapshotTable = {
+    import org.apache.spark.sql.types.{LongType, StructType}
+    val part = schema.fields.find(_.name == "part").getOrElse(
+      throw new IllegalArgumentException(
+        "snapshot table schema needs a long `part` partition column"))
+    require(part.dataType == LongType, s"`part` must be BIGINT, got ${part.dataType}")
+    require(schema.fields.length > 1, "schema needs at least one data column")
+    statsCol.foreach(c => require(schema.fieldNames.contains(c) && c != "part",
+      s"stats column '$c' must be a data column of the schema"))
+    val schemaFile = Paths.get(s"$root/schema.json")
+    require(!Files.exists(schemaFile), s"table at $root already exists")
+    Files.createDirectories(Paths.get(root))
+    val readOrder = StructType(
+      schema.fields.filterNot(_.name == "part") ++ schema.fields.filter(_.name == "part"))
+    Files.writeString(schemaFile, readOrder.json)
+    writeStatsMeta(root, statsCol)
+    new SnapshotTable(spark, root, statsCol)
   }
 }
 

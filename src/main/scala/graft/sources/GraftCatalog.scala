@@ -1,0 +1,206 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.index.SnapshotTable
+
+/**
+ * DataSourceV2 CATALOG over snapshot tables — the full SQL DDL/DML surface
+ * without leaving `spark.sql`:
+ * {{{
+ *   spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+ *   spark.conf.set("spark.sql.catalog.graft.warehouse", "/data/graft")
+ *
+ *   CREATE NAMESPACE graft.geo
+ *   CREATE TABLE graft.geo.cells (id BIGINT, cell BIGINT, part BIGINT)
+ *     PARTITIONED BY (part) TBLPROPERTIES ('statscol'='cell')
+ *   INSERT INTO graft.geo.cells ...           -- first commit = version 1
+ *   ALTER TABLE graft.geo.cells ADD COLUMN score BIGINT   -- metadata-only
+ *   DELETE FROM graft.geo.cells WHERE part = 3            -- metadata-only
+ *   SELECT * FROM graft.geo.cells VERSION AS OF 2         -- time travel
+ * }}}
+ * A table is a directory `warehouse/<namespace…>/<name>` holding the
+ * snapshot layout ([[graft.index.SnapshotTable]]); `CREATE TABLE` persists
+ * only schema + stats metadata (version 0, no data), and every
+ * read/write/delete rides the existing DSv2 paths
+ * ([[SnapshotSource.SnapTable]]) — commit CAS, manifest pruning,
+ * aggregate pushdown, change feed, and the streaming sink all work on
+ * catalog tables unchanged. `ALTER TABLE ADD/DROP COLUMN` maps onto the
+ * metadata-only schema evolution ([[SnapshotTable.addColumn]]/
+ * [[SnapshotTable.dropColumn]]) — at 100 TB DDL must never touch data.
+ *
+ * Reference role: the store's keyspace/table management
+ * (`OsmStorageService.scala:34-60` creates keyspaces and tables up front);
+ * here the same lifecycle is Spark-native DDL.
+ */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name needs option 'spark.sql.catalog.$name.warehouse'"))
+  }
+
+  override def name(): String = catalogName
+
+  // path safety: namespace levels and table names become directory names —
+  // reject anything that could escape the warehouse
+  private def checkPart(s: String): String = {
+    require(s.matches("[A-Za-z0-9_]+"),
+      s"illegal name '$s' (letters, digits, underscore only)")
+    s
+  }
+
+  private def nsDir(namespace: Array[String]): Path =
+    Paths.get((warehouse +: namespace.toSeq.map(checkPart)).mkString("/"))
+
+  private def rootOf(ident: Identifier): String =
+    (warehouse +: (ident.namespace().toSeq :+ ident.name()).map(checkPart)).mkString("/")
+
+  private def isTableDir(root: String): Boolean =
+    Files.exists(Paths.get(s"$root/schema.json"))
+
+  private def propsFor(root: String, version: Option[String]): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    m.put("root", root)
+    version.foreach(m.put("version", _))
+    m
+  }
+
+  // ------------------------------------------------------------- tables
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = nsDir(namespace)
+    if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(namespace)
+    val s = Files.list(dir)
+    try s.iterator().asScala
+      .filter(p => Files.isDirectory(p) && isTableDir(p.toString))
+      .map(p => Identifier.of(namespace, p.getFileName.toString))
+      .toArray
+    finally s.close()
+  }
+
+  override def loadTable(ident: Identifier): Table = loadAt(ident, None)
+
+  /** SQL time travel: `SELECT … FROM graft.ns.t VERSION AS OF 3`. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    require(version.matches("\\d+"), s"version must be a snapshot number, got '$version'")
+    loadAt(ident, Some(version))
+  }
+
+  private def loadAt(ident: Identifier, version: Option[String]): Table = {
+    val root = rootOf(ident)
+    if (!isTableDir(root)) throw new NoSuchTableException(ident)
+    val t = new SnapshotTable(SparkSession.active, root)
+    new SnapshotSource.SnapTable(t.tableSchema, propsFor(root, version))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
+    val root = rootOf(ident)
+    if (isTableDir(root)) throw new TableAlreadyExistsException(ident)
+    // the snapshot layout has exactly one physical organisation: identity
+    // partitioning on `part` — accept it declared or implicit, refuse others
+    require(partitions.isEmpty ||
+        (partitions.length == 1 && partitions(0).name == "identity" &&
+          partitions(0).references.length == 1 &&
+          partitions(0).references()(0).fieldNames.sameElements(Array("part"))),
+      "snapshot tables are PARTITIONED BY (part) — other partitionings are not supported")
+    SnapshotTable.createEmpty(SparkSession.active, root, schema,
+      Option(properties.get("statscol")))
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val root = rootOf(ident)
+    if (!isTableDir(root)) throw new NoSuchTableException(ident)
+    val t = new SnapshotTable(SparkSession.active, root)
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1, "nested column evolution is not supported")
+        t.addColumn(a.fieldNames()(0), a.dataType())
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames().length == 1, "nested column evolution is not supported")
+        if (!d.ifExists() || t.tableSchema.fieldNames.contains(d.fieldNames()(0)))
+          t.dropColumn(d.fieldNames()(0))
+      case other => throw new UnsupportedOperationException(
+        s"table change $other is not supported (ADD COLUMN / DROP COLUMN only)")
+    }
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val root = rootOf(ident)
+    if (!isTableDir(root)) false
+    else {
+      val walk = Files.walk(Paths.get(root))
+      val contents = try walk.iterator().asScala.toSeq finally walk.close()
+      contents.reverseIterator.foreach(Files.deleteIfExists(_))
+      true
+    }
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "RENAME is not supported: manifests reference data files by absolute path")
+
+  // --------------------------------------------------------- namespaces
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val dir = Paths.get(warehouse)
+    if (!Files.isDirectory(dir)) Array.empty
+    else {
+      val s = Files.list(dir)
+      try s.iterator().asScala
+        .filter(p => Files.isDirectory(p) && !isTableDir(p.toString))
+        .map(p => Array(p.getFileName.toString))
+        .toArray
+      finally s.close()
+    }
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (Files.isDirectory(nsDir(namespace))) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def loadNamespaceMetadata(namespace: Array[String]): java.util.Map[String, String] =
+    if (Files.isDirectory(nsDir(namespace))) java.util.Collections.emptyMap()
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def createNamespace(namespace: Array[String],
+      metadata: java.util.Map[String, String]): Unit = {
+    Files.createDirectories(nsDir(namespace))
+    ()
+  }
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("namespace properties are not supported")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val dir = nsDir(namespace)
+    if (!Files.isDirectory(dir)) false
+    else {
+      val s = Files.list(dir)
+      val empty = try !s.iterator().hasNext finally s.close()
+      require(empty || cascade, s"namespace ${namespace.mkString(".")} is not empty")
+      val walk = Files.walk(dir)
+      val contents = try walk.iterator().asScala.toSeq finally walk.close()
+      contents.reverseIterator.foreach(Files.deleteIfExists(_))
+      true
+    }
+  }
+}

@@ -63,7 +63,7 @@ object SnapshotSource {
       statsCol = Option(props.get("statscol")))
   }
 
-  private final class SnapTable(schema: StructType,
+  private[sources] final class SnapTable(schema: StructType,
       props: java.util.Map[String, String]) extends Table with SupportsRead with SupportsWrite
       with org.apache.spark.sql.connector.catalog.SupportsDelete {
     override def name(): String = s"graft-snapshot(${props.get("root")})"
