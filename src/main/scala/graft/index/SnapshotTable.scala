@@ -1637,6 +1637,40 @@ object SnapshotQueries {
   val bboxDimFetchSql: String = bboxIndexFetchSql
 
   /**
+   * The CATALOG lifecycle through the oracle gate
+   * ([[graft.sources.GraftCatalog]]): CREATE TABLE via SQL DDL, INSERT
+   * INTO from the derived point table, then the same bbox fetch — table
+   * identity, schema, and the write all handled by `spark.sql` through
+   * the TableCatalog, no programmatic handle anywhere. Parity with the
+   * plain bbox oracle proves the catalog write path (clustered DSv2
+   * write, footer-free stats, v0→v1 first commit) reproduces the
+   * programmatic init exactly.
+   */
+  def bboxCatalogFetch(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.cell.{CellFunctions, CellIndex}
+    graft.gen.GeoWorld.registerUdfs(spark)
+    val wh = freshRoot("snap-cat", sfDir)
+    spark.conf.set("spark.sql.catalog.graftq", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftq.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftq.idx")
+    spark.sql("CREATE TABLE graftq.idx.pts (pid BIGINT, lon DOUBLE, lat DOUBLE, " +
+      "part BIGINT) PARTITIONED BY (part)")
+    graft.gen.GeoWorld.points(spark, sfDir)
+      .select(col("pid"), col("lon"), col("lat"))
+      .withColumn("part", CellFunctions.zcell(col("lon"), col("lat"), lit(ROUTE_RES)))
+      .createOrReplaceTempView("snap_cat_src")
+    spark.sql("INSERT INTO graftq.idx.pts SELECT pid, lon, lat, part FROM snap_cat_src")
+    val (lo0, la0, lo1, la1) = BBOX
+    val parts = CellIndex.rectCover(lo0, la0, lo1, la1, ROUTE_RES)
+    spark.sql(
+      s"""SELECT pid, lon, lat FROM graftq.idx.pts
+         |WHERE part IN (${parts.mkString(", ")})
+         |  AND lon > $lo0 AND lon < $lo1 AND lat > $la0 AND lat < $la1""".stripMargin)
+  }
+
+  val bboxCatalogFetchSql: String = bboxIndexFetchSql
+
+  /**
    * Iceberg-style METADATA AGGREGATES through the oracle gate: the
    * point→cell index answers `COUNT(*)`, `MIN(cell)`, `MAX(cell)` from
    * its manifest entries alone (round-7 `SupportsPushDownAggregates` —
