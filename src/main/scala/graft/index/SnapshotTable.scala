@@ -595,6 +595,30 @@ class SnapshotTable(spark: SparkSession, root: String,
   }
 
   /**
+   * Commit a COW GROUP REPLACEMENT (the row-level UPDATE/MERGE/DELETE
+   * write path — [[graft.sources.SnapshotSource]]'s
+   * SnapReplaceGroupsWrite): the `touched` partitions leave the parent
+   * snapshot by manifest surgery, `entries` page in as their replacement.
+   * Like [[commitFiles]]' dynamic overwrite but with the replaced set
+   * EXPLICIT — a partition whose every row was deleted has no entries yet
+   * must still be dropped, and the rewrite's scan (not the data) decides
+   * the set. A no-match rewrite (both empty) commits nothing.
+   */
+  private[graft] def commitReplacingParts(entries: Seq[FileEntry], touched: Set[Long],
+      basedOn: Int): Int = recordingCommit {
+    require(basedOn > 0 || Files.exists(schemaPath),
+      "create/init the snapshot table before row-level SQL writes")
+    if (entries.isEmpty && touched.isEmpty) basedOn
+    else {
+      val next = basedOn + 1
+      val (carried, _, filteredPages) = splitParent(basedOn, touched)
+      val nm = writeManifests(entries)
+      commitOrCleanup(next, basedOn, carried ++ nm, entries, nm ++ filteredPages)
+      next
+    }
+  }
+
+  /**
    * Manifest-level pruning core, shared by the read methods and the DSv2
    * scan ([[graft.sources.SnapshotSource]]): only manifests whose bounds
    * intersect the requested partitions/range are OPENED, then their file

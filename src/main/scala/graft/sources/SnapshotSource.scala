@@ -65,7 +65,34 @@ object SnapshotSource {
 
   private[sources] final class SnapTable(schema: StructType,
       props: java.util.Map[String, String]) extends Table with SupportsRead with SupportsWrite
-      with org.apache.spark.sql.connector.catalog.SupportsDelete {
+      with org.apache.spark.sql.connector.catalog.SupportsDelete
+      with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+      with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+    /** `_file` — the data file a row came from (Iceberg's `_file`),
+      * attached at zero cost from the manifest entry like the virtual
+      * `part`. Doubles as the row-level rewrite's required metadata: its
+      * presence makes Spark project the write rows back to the TABLE
+      * schema (the DataAndMetadataWritingSparkTask path) instead of
+      * handing the writer raw op-prefixed rewrite rows. */
+    override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+      Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = "_file"
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.StringType
+        override def isNullable: Boolean = false
+        override def comment(): String = "data file path of the row (from the manifest entry)"
+      })
+
+    /** SQL UPDATE / MERGE INTO / non-partition-aligned DELETE, as
+      * group-based COPY-ON-WRITE at partition granularity — see
+      * [[SnapRowLevelOperation]]. Partition-aligned DELETEs never get
+      * here: Spark's metadata-only optimization claims them through
+      * [[SupportsDelete.canDeleteWhere]] first. */
+    override def newRowLevelOperationBuilder(
+        info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+        : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+      () => new SnapRowLevelOperation(info.command(), schema, props)
     override def name(): String = s"graft-snapshot(${props.get("root")})"
     override def schema(): StructType = schema
     // identity partitioning on `part` (the table's physical layout): with
@@ -140,7 +167,8 @@ object SnapshotSource {
   }
 
   private final class SnapScanBuilder(schema: StructType,
-      props: java.util.Map[String, String])
+      props: java.util.Map[String, String],
+      register: SnapScan => Unit = _ => ())
       extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
       with SupportsPushDownAggregates {
 
@@ -276,9 +304,14 @@ object SnapshotSource {
       }
       // read schema in TABLE order (physical file order) so the vectorized
       // reader's output needs no per-batch reordering; Spark projects to
-      // the query's order above the scan
+      // the query's order above the scan. The virtual columns (`part`,
+      // metadata `_file`) trail the data columns — they are attached as
+      // partition values, which the vectorized reader appends at the end.
       val names = required.fieldNames.toSet
-      val ordered = StructType(schema.fields.filter(f => names.contains(f.name)))
+      val ordered = StructType(schema.fields.filter(f => names.contains(f.name)) ++
+        (if (names.contains("_file"))
+          Seq(StructField("_file", org.apache.spark.sql.types.StringType, nullable = false))
+        else Nil))
       val session = SparkSession.active
       // FAT FILES SPLIT AT PLAN TIME (round-6 verdict #4): one input
       // partition per ≤ maxsplitbytes byte slice, not per file — a huge
@@ -292,11 +325,13 @@ object SnapshotSource {
         session.sessionState.conf.getConf(
           org.apache.spark.sql.internal.SQLConf.FILES_MAX_PARTITION_BYTES))
       require(target > 0, s"maxsplitbytes must be positive, got $target")
-      new SnapScan(ordered, table, parts, range, version, target,
+      val scan = new SnapScan(ordered, table, parts, range, version, target,
         (entries.map(_.bytes).sum, entries.map(_.rows).sum),
         readerConf(session, ordered),
         Option(props.get("startingversion")).map(_.toInt).getOrElse(0),
         Option(props.get("maxversionspertrigger")).map(_.toInt))
+      register(scan)
+      scan
     }
   }
 
@@ -350,7 +385,7 @@ object SnapshotSource {
       out: StructType): org.apache.spark.SerializableWritable[org.apache.hadoop.conf.Configuration] = {
     import org.apache.spark.sql.internal.SQLConf
     val conf = session.sessionState.newHadoopConf()
-    val physical = StructType(out.fields.filter(_.name != "part"))
+    val physical = StructType(out.fields.filterNot(f => f.name == "part" || f.name == "_file"))
     conf.set("parquet.read.support.class",
       classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport].getName)
     conf.set(org.apache.spark.sql.execution.datasources.parquet
@@ -473,6 +508,90 @@ object SnapshotSource {
     }
 
     override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+      messages.toSeq.collect { case m: SnapCommitMessage => m.entries }.flatten
+        .foreach(e => java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(e.path)))
+      ()
+    }
+  }
+
+  // ------------------------------------------ ROW-LEVEL OPERATIONS (COW)
+
+  /**
+   * SQL `UPDATE` / `MERGE INTO` / arbitrary `DELETE` via group-based
+   * COPY-ON-WRITE at PARTITION granularity (Iceberg's COW): Spark rewrites
+   * the statement into "scan the affected groups, apply the changes,
+   * REPLACE those groups". The operation's scan is the ordinary pruned
+   * [[SnapScan]] — compile-time predicates prune manifests and files, and
+   * Spark's runtime group filtering (riding the scan's
+   * SupportsRuntimeFiltering) narrows it to the partitions actually
+   * holding matches, so an `UPDATE … WHERE part = 3 AND id = 7` rewrites
+   * one partition of a 100 TB table, not the table. The write commits a
+   * replacement of EXACTLY the partitions the scan planned (captured
+   * post-runtime-filtering via the build hook — Spark builds the
+   * group-filter subquery's scan from the ORIGINAL table, so the hook
+   * only ever sees the main rewrite scan): a partition whose rows were
+   * all deleted produces no files and still leaves the snapshot, and a
+   * MERGE insert into a brand-new partition pages in alongside.
+   */
+  private final class SnapRowLevelOperation(
+      cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
+      schema: StructType, props: java.util.Map[String, String])
+      extends org.apache.spark.sql.connector.write.RowLevelOperation {
+
+    /** The rewrite's MAIN scan — its post-runtime-filter planned
+      * partitions are the replaced-group set. */
+    @volatile private var configured: SnapScan = null
+
+    override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+    override def description(): String = s"graft-snapshot COW $cmd"
+
+    /** Requiring `_file` engages Spark's metadata-projection write task
+      * (DataAndMetadataWritingSparkTask), which projects every rewrite row
+      * back to the TABLE schema before it reaches the writer — without a
+      * required metadata attribute the group-based plan hands the writer
+      * raw rows still carrying the internal `__row_operation` column. */
+    override def requiredMetadataAttributes()
+        : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+      Array(Expressions.column("_file"))
+
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      new SnapScanBuilder(schema, props, s => configured = s)
+
+    override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = new WriteBuilder {
+      override def build(): Write = new Write with RequiresDistributionAndOrdering {
+        override def description(): String = s"graft-snapshot COW $cmd write"
+        override def requiredDistribution(): Distribution =
+          Distributions.clustered(Array(Expressions.column("part")))
+        override def requiredOrdering(): Array[SortOrder] = Array.empty
+        override def toBatch: BatchWrite =
+          new SnapReplaceGroupsWrite(info.schema(), props, () => configured)
+      }
+    }
+  }
+
+  private final class SnapReplaceGroupsWrite(schema: StructType,
+      props: java.util.Map[String, String], scan: () => SnapScan)
+      extends BatchWrite {
+
+    private val table = tableFor(props)
+    // snapshot isolation like every external commit: plan-time base, CAS
+    // on basedOn+1, CREATE_NEW decides a race and the loser re-runs
+    private val basedOn = table.currentVersion
+    private val dir = table.provisionAttemptDir()
+
+    override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+      val (partIdx, statsIdx, targetBytes, conf) = writerSetup(schema, table, props)
+      SnapWriterFactory(dir, partIdx, statsIdx, targetBytes, conf)
+    }
+
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      val entries = messages.toSeq.collect { case m: SnapCommitMessage => m.entries }.flatten
+      val scanned = Option(scan()).fold(Set.empty[Long])(_.plannedParts)
+      table.commitReplacingParts(entries, scanned ++ entries.map(_.part), basedOn)
+      ()
+    }
+
+    override def abort(messages: Array[WriterCommitMessage]): Unit = {
       messages.toSeq.collect { case m: SnapCommitMessage => m.entries }.flatten
         .foreach(e => java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(e.path)))
       ()
@@ -695,8 +814,18 @@ object SnapshotSource {
       case _ => ()
     }
 
+    /** The `part` values of the files the LAST [[planInputPartitions]]
+      * covered — AFTER runtime narrowing. This is the replaced-group set
+      * for row-level COW rewrites: the write must replace exactly the
+      * partitions whose rows the scan fed into the rewrite, no more (a
+      * partition dropped without its rows rewritten is data loss), no
+      * less (a matched partition kept would duplicate). */
+    @volatile private[sources] var plannedParts: Set[Long] = Set.empty
+
     override def planInputPartitions(): Array[InputPartition] = {
-      val slices = sliceEntries(table.pruneFiles(parts, range, version), target)
+      val entries = table.pruneFiles(parts, range, version)
+      plannedParts = entries.map(_.part).toSet
+      val slices = sliceEntries(entries, target)
       ScanProbe.lastPlannedSlices = slices.size
       slices.toArray
     }
@@ -818,9 +947,12 @@ object SnapshotSource {
 
     override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] = {
       val sp = p.asInstanceOf[SnapInputPartition]
-      // `part` is VIRTUAL: its value comes from the manifest entry and is
-      // attached as a partition column — the physical `_part` is not read
-      val needPart = out.fieldNames.contains("part")
+      // `part` and metadata `_file` are VIRTUAL: their values come from
+      // the manifest entry and are attached as partition columns — the
+      // physical `_part` is not read, the path costs nothing. They trail
+      // the data columns in `out` (scan build order), matching where the
+      // vectorized reader appends partition values.
+      val virtualFields = out.fields.filter(f => f.name == "part" || f.name == "_file")
       val reader = new org.apache.spark.sql.execution.datasources.parquet
         .VectorizedParquetRecordReader(false, 4096)
       var closed = false
@@ -834,8 +966,12 @@ object SnapshotSource {
           conf.value, new org.apache.hadoop.mapreduce.TaskAttemptID())
         reader.initialize(split, ctx)
         val (pSchema, pRow) =
-          if (needPart) (StructType(Seq(StructField("part", LongType))), InternalRow(sp.part))
-          else (new StructType(), InternalRow.empty)
+          if (virtualFields.isEmpty) (new StructType(), InternalRow.empty)
+          else (StructType(virtualFields.toSeq.map(f => StructField(f.name, f.dataType))),
+            InternalRow.fromSeq(virtualFields.toSeq.map {
+              case f if f.name == "part" => sp.part
+              case _ => org.apache.spark.unsafe.types.UTF8String.fromString(sp.path)
+            }))
         reader.initBatch(pSchema, pRow)
         reader.enableReturningBatches()
       } catch { case e: Throwable => reader.close(); closed = true; throw e }

@@ -76,6 +76,79 @@ class GraftCatalogSpec extends SparkSpec {
       .intersect(Set("del")).isEmpty)
   }
 
+  test("UPDATE is COW at partition granularity: only matched partitions rewrite") {
+    warehouse
+    spark.sql("CREATE TABLE cat.geo.upd (id BIGINT, v BIGINT, part BIGINT) PARTITIONED BY (part)")
+    spark.sql("INSERT INTO cat.geo.upd SELECT id, id AS v, id % 4 AS part FROM range(40)")
+    val t = new SnapshotTable(spark, s"$warehouse/geo/upd")
+    val byPart1 = t.snapshot(1).groupBy(_.part).view.mapValues(_.map(_.path).toSet).toMap
+    spark.sql("UPDATE cat.geo.upd SET v = v + 1000 WHERE part = 1 AND id < 10")
+    assert(t.currentVersion === 2)
+    val byPart2 = t.snapshot(2).groupBy(_.part).view.mapValues(_.map(_.path).toSet).toMap
+    Seq(0L, 2L, 3L).foreach(p => assert(byPart2(p) === byPart1(p),
+      s"partition $p must carry over by reference"))
+    assert(byPart2(1L).intersect(byPart1(1L)).isEmpty, "partition 1 fully rewritten")
+    assert(spark.sql("SELECT count(*) AS n FROM cat.geo.upd").head().getLong(0) === 40)
+    assert(spark.sql("SELECT count(*) AS n FROM cat.geo.upd WHERE v >= 1000").head().getLong(0) === 3)
+    assert(spark.sql("SELECT sum(v) AS s FROM cat.geo.upd WHERE part = 1").head().getLong(0) ===
+      (1 + 5 + 9 + 3000) + (13 + 17 + 21 + 25 + 29 + 33 + 37))
+  }
+
+  test("MERGE INTO: delete, update and insert clauses through one COW rewrite") {
+    warehouse
+    spark.sql("CREATE TABLE cat.geo.m (id BIGINT, v BIGINT, part BIGINT) PARTITIONED BY (part)")
+    spark.sql("INSERT INTO cat.geo.m SELECT id, id AS v, id % 2 AS part FROM range(10)")
+    Seq((0L, 0L, 0L, "D"), (1L, 500L, 1L, "U"), (100L, 900L, 9L, "I"))
+      .toDF("id", "v", "part", "op").createOrReplaceTempView("m_src")
+    spark.sql(
+      """MERGE INTO cat.geo.m t USING m_src s ON t.id = s.id AND t.part = s.part
+        |WHEN MATCHED AND s.op = 'D' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT (id, v, part) VALUES (s.id, s.v, s.part)""".stripMargin)
+    val got = spark.sql("SELECT id, v, part FROM cat.geo.m ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = ((1L until 10L).map(i => (i, if (i == 1L) 500L else i, i % 2)) :+
+      (100L, 900L, 9L)).sortBy(_._1)
+    assert(got === want, "delete id=0, update id=1, insert id=100 into a NEW partition")
+  }
+
+  test("non-aligned DELETE falls back to COW; aligned DELETE stays metadata-only") {
+    warehouse
+    spark.sql("CREATE TABLE cat.geo.d2 (id BIGINT, part BIGINT) PARTITIONED BY (part)")
+    spark.sql("INSERT INTO cat.geo.d2 SELECT id, id % 3 AS part FROM range(30)")
+    val t = new SnapshotTable(spark, s"$warehouse/geo/d2")
+    val v1Files = t.snapshot(1).map(_.path).toSet
+    // aligned: pure partition predicate -> metadata-only (no file rewritten)
+    spark.sql("DELETE FROM cat.geo.d2 WHERE part = 0")
+    assert(t.snapshot(2).map(_.path).toSet.subsetOf(v1Files), "metadata delete wrote nothing")
+    assert(spark.sql("SELECT count(*) AS n FROM cat.geo.d2").head().getLong(0) === 20)
+    // non-aligned: row predicate -> COW rewrite of the matched partitions
+    spark.sql("DELETE FROM cat.geo.d2 WHERE part = 1 AND id < 10")
+    assert(spark.sql("SELECT count(*) AS n FROM cat.geo.d2").head().getLong(0) === 17)
+    assert(spark.sql("SELECT count(*) AS n FROM cat.geo.d2 WHERE part = 1").head().getLong(0) === 7)
+    val byPart3 = t.snapshot(t.currentVersion).groupBy(_.part)
+      .view.mapValues(_.map(_.path).toSet).toMap
+    assert(byPart3(2L).subsetOf(v1Files), "unmatched partition 2 carried by reference")
+    assert(byPart3(1L).intersect(v1Files).isEmpty, "matched partition 1 rewritten")
+  }
+
+  test("_file metadata column: rows report their manifest data file at zero cost") {
+    warehouse
+    spark.sql("CREATE TABLE cat.geo.fm (id BIGINT, part BIGINT) PARTITIONED BY (part)")
+    spark.sql("INSERT INTO cat.geo.fm SELECT id, id % 2 AS part FROM range(8)")
+    val t = new SnapshotTable(spark, s"$warehouse/geo/fm")
+    val manifestPaths = t.snapshot(1).map(_.path).toSet
+    val got = spark.sql("SELECT DISTINCT _file FROM cat.geo.fm").collect()
+      .map(_.getString(0)).toSet
+    assert(got === manifestPaths, "_file must be exactly the manifest entries' paths")
+    // hidden from SELECT * (metadata-column contract)
+    assert(!spark.sql("SELECT * FROM cat.geo.fm").schema.fieldNames.contains("_file"))
+    // usable in predicates alongside data columns
+    val one = manifestPaths.head
+    assert(spark.sql(s"SELECT count(*) AS n FROM cat.geo.fm WHERE _file = '$one'")
+      .head().getLong(0) === 4)
+  }
+
   test("catalog guards: bad names, wrong partitioning, duplicate create") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS cat.guard")
