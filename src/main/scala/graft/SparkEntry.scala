@@ -203,6 +203,8 @@ object SparkEntry {
     "q_snap_feed" -> ((s, d) => graft.index.SnapshotQueries.changeFeed(s, d)),
     // catalog DDL/DML lifecycle: CREATE TABLE + INSERT INTO + pruned SELECT
     "q_snap_catalog" -> ((s, d) => graft.index.SnapshotQueries.bboxCatalogFetch(s, d)),
+    // three-clause MERGE INTO via the group-based COW row-level path
+    "q_snap_merge" -> ((s, d) => graft.index.SnapshotQueries.sqlMergeUpsert(s, d)),
     // tag whitelist (T10/T11) + distinct stats (G7 exact twin)
     "q_tag_whitelist" -> ((s, d) => graft.index.TagOps.tagWhitelist(s, d)),
     "q_cell_distinct" -> ((s, d) => graft.index.TagOps.distinctTagsByCell(s, d)),
@@ -314,6 +316,7 @@ object SparkEntry {
     "q_snap_bbox" -> graft.index.SnapshotQueries.bboxIndexFetchSql,
     "q_snap_sql" -> graft.index.SnapshotQueries.bboxSqlFetchSql,
     "q_snap_catalog" -> graft.index.SnapshotQueries.bboxCatalogFetchSql,
+    "q_snap_merge" -> graft.index.SnapshotQueries.sqlMergeUpsertSql,
     "q_snap_insert" -> graft.index.SnapshotQueries.sqlInsertUpsertSql,
     "q_snap_dpp" -> graft.index.SnapshotQueries.bboxDimFetchSql,
     "q_snap_count" -> graft.index.SnapshotQueries.snapMetaAggSql,

@@ -1695,6 +1695,66 @@ object SnapshotQueries {
   val bboxCatalogFetchSql: String = bboxIndexFetchSql
 
   /**
+   * SQL `MERGE INTO` through the oracle gate (the row-level COW path,
+   * [[graft.sources.SnapshotSource]]'s SupportsRowLevelOperations): the
+   * full point→cell index commits at ver=1 through the catalog, then ONE
+   * MERGE statement exercises all three clauses — matched `pid % 6 = 0`
+   * rows are DELETED, the remaining `pid % 3 = 0` matches are UPDATED to
+   * ver=2, and brand-new identities (`-pid - 1`, colliding with nothing)
+   * INSERT at ver=3 into their cells' partitions. The DuckDB oracle
+   * rebuilds the exact final state from the raw points — a rewrite that
+   * drops an unmatched partition, leaks a deleted row, or misses an
+   * insert goes red.
+   */
+  def sqlMergeUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.cell.{CellFunctions, CellIndex}
+    graft.gen.GeoWorld.registerUdfs(spark)
+    val wh = freshRoot("snap-mergew", sfDir)
+    spark.conf.set("spark.sql.catalog.graftm", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftm.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftm.idx")
+    spark.sql("CREATE TABLE graftm.idx.pts (pid BIGINT, cell BIGINT, ver BIGINT, " +
+      "part BIGINT) PARTITIONED BY (part)")
+    val base = graft.gen.GeoWorld.points(spark, sfDir)
+      .select(col("pid"),
+        CellFunctions.zcell(col("lon"), col("lat"), lit(CellIndex.RES_MID)).as("cell"))
+      .withColumn("part", CellFunctions.zcellParent(
+        col("cell"), lit(CellIndex.RES_MID), lit(2)))
+      .withColumn("ver", lit(1L))
+    base.createOrReplaceTempView("snap_merge_base")
+    spark.sql("INSERT INTO graftm.idx.pts SELECT pid, cell, ver, part FROM snap_merge_base")
+    // the delta: every pid % 3 = 0 identity (matched), plus its negative
+    // twin (-pid - 1: unmatched by construction, same cell → same part)
+    base.filter(col("pid") % 3 === 0).select(col("pid"), col("cell"), col("part"))
+      .unionByName(base.filter(col("pid") % 3 === 0)
+        .select((-col("pid") - 1).as("pid"), col("cell"), col("part")))
+      .createOrReplaceTempView("snap_merge_delta")
+    spark.sql(
+      """MERGE INTO graftm.idx.pts t USING snap_merge_delta s
+        |ON t.pid = s.pid AND t.part = s.part
+        |WHEN MATCHED AND s.pid % 6 = 0 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET ver = 2
+        |WHEN NOT MATCHED THEN INSERT (pid, cell, ver, part)
+        |  VALUES (s.pid, s.cell, 3, s.part)""".stripMargin)
+    spark.sql("SELECT pid, cell, ver FROM graftm.idx.pts")
+  }
+
+  val sqlMergeUpsertSql: String = {
+    import graft.cell.{CellIndex, CellSql}
+    val cell = CellSql.encode("lon", "lat", CellIndex.RES_MID)
+    graft.query.GeoQueries.withWorld() +
+      s"""SELECT pid, cell, ver FROM (
+         |  SELECT pid, $cell AS cell, CAST(1 AS BIGINT) AS ver FROM pts WHERE pid % 3 <> 0
+         |  UNION ALL
+         |  SELECT pid, $cell AS cell, CAST(2 AS BIGINT) AS ver FROM pts
+         |  WHERE pid % 3 = 0 AND pid % 6 <> 0
+         |  UNION ALL
+         |  SELECT -pid - 1 AS pid, $cell AS cell, CAST(3 AS BIGINT) AS ver FROM pts
+         |  WHERE pid % 3 = 0
+         |)""".stripMargin
+  }
+
+  /**
    * Iceberg-style METADATA AGGREGATES through the oracle gate: the
    * point→cell index answers `COUNT(*)`, `MIN(cell)`, `MAX(cell)` from
    * its manifest entries alone (round-7 `SupportsPushDownAggregates` —
