@@ -586,8 +586,16 @@ object SnapshotSource {
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       val entries = messages.toSeq.collect { case m: SnapCommitMessage => m.entries }.flatten
+      // replace EXACTLY the scanned groups — no more, no less. Entries in
+      // partitions the scan never planned are MERGE inserts into existing
+      // or new partitions that held no matches: their groups were not
+      // re-emitted by the rewrite, so they must APPEND (pages alongside
+      // the partition's surviving files), not replace — unioning
+      // entries' parts into the replace set wiped such partitions (a
+      // no-match MERGE replaced whole partitions with just its inserts;
+      // caught by the model-check spec).
       val scanned = Option(scan()).fold(Set.empty[Long])(_.plannedParts)
-      table.commitReplacingParts(entries, scanned ++ entries.map(_.part), basedOn)
+      table.commitReplacingParts(entries, scanned, basedOn)
       ()
     }
 

@@ -149,6 +149,58 @@ class GraftCatalogSpec extends SparkSpec {
       .head().getLong(0) === 4)
   }
 
+  test("model check: a seeded mixed DML sequence matches an in-memory model") {
+    warehouse
+    spark.sql("CREATE TABLE cat.geo.fz (id BIGINT, v BIGINT, part BIGINT) PARTITIONED BY (part)")
+    // model: id -> v (part = id % 5, derived — identity partitioning)
+    val model = scala.collection.mutable.Map.empty[Long, Long]
+    def pt(id: Long) = id % 5
+    val rnd = new scala.util.Random(20260818L)
+    // seed rows
+    spark.sql("INSERT INTO cat.geo.fz SELECT id, id AS v, id % 5 AS part FROM range(50)")
+    (0L until 50L).foreach(i => model(i) = i)
+    def check(tag: String): Unit = {
+      val got = spark.sql("SELECT id, v, part FROM cat.geo.fz").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+      val want = model.map { case (id, v) => id -> ((v, pt(id))) }.toMap
+      assert(got === want, s"diverged after $tag")
+    }
+    for (step <- 0 until 30) {
+      rnd.nextInt(4) match {
+        case 0 => // append a fresh id
+          val id = 1000L + step
+          val v = rnd.nextInt(100).toLong
+          spark.sql(s"INSERT INTO cat.geo.fz VALUES ($id, $v, ${pt(id)})")
+          model(id) = v
+        case 1 => // update a value band
+          val lo = rnd.nextInt(50).toLong
+          spark.sql(s"UPDATE cat.geo.fz SET v = v + 7 WHERE id >= $lo AND id < ${lo + 9}")
+          model.keys.filter(id => id >= lo && id < lo + 9).foreach(id => model(id) += 7)
+        case 2 => // delete a sparse slice
+          val m = rnd.nextInt(6) + 2
+          val r = rnd.nextInt(m)
+          spark.sql(s"DELETE FROM cat.geo.fz WHERE id % $m = $r AND id < 50")
+          model.keys.filter(id => id % m == r && id < 50).toSeq.foreach(model.remove)
+        case _ => // merge: upsert 5 ids around a random base
+          val base = rnd.nextInt(60).toLong
+          val ids = (base until base + 5L)
+          ids.map(i => (i, i * 2, pt(i))).toDF("id", "v", "part")
+            .createOrReplaceTempView("fz_src")
+          spark.sql(
+            """MERGE INTO cat.geo.fz t USING fz_src s ON t.id = s.id AND t.part = s.part
+              |WHEN MATCHED THEN UPDATE SET v = s.v
+              |WHEN NOT MATCHED THEN INSERT (id, v, part) VALUES (s.id, s.v, s.part)""".stripMargin)
+          ids.foreach(i => model(i) = i * 2)
+      }
+      check(s"step $step")
+    }
+    check("final")
+    // the whole history stayed snapshot-versioned: time travel to the seed
+    val t = new SnapshotTable(spark, s"$warehouse/geo/fz")
+    assert(t.currentVersion >= 30)
+    assert(spark.sql("SELECT count(*) AS n FROM cat.geo.fz VERSION AS OF 1").head().getLong(0) === 50)
+  }
+
   test("catalog guards: bad names, wrong partitioning, duplicate create") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS cat.guard")
