@@ -383,6 +383,20 @@ class SnapshotTable(spark: SparkSession, root: String,
   private val streamMarkerRe =
     """"stream":\{"query":"([^"]+)","epoch":(\d+)\}""".r
 
+  /** The latest version committed AT OR BEFORE `tsMillis` (epoch millis) —
+    * `TIMESTAMP AS OF` time travel. Commit time is the snapshot file's
+    * mtime (the CREATE_NEW moment IS the commit point, so the file's own
+    * timestamp is authoritative); expired versions are skipped. */
+  def versionAt(tsMillis: Long): Option[Int] = {
+    var v = currentVersion
+    while (v > 0) {
+      if (Files.exists(snapPath(v)) &&
+          Files.getLastModifiedTime(snapPath(v)).toMillis <= tsMillis) return Some(v)
+      v -= 1
+    }
+    None
+  }
+
   /** The streaming-sink marker of snapshot v, when that snapshot was a
     * micro-batch epoch commit: (queryId, epochId). */
   def streamMarker(v: Int): Option[(String, Long)] =

@@ -101,6 +101,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     loadAt(ident, Some(version))
   }
 
+  /** SQL time travel by wall clock: `… TIMESTAMP AS OF '2026-08-18 10:00:00'`
+    * (Spark hands epoch MICROseconds) — resolves to the latest version
+    * committed at or before that moment via the snapshot files' mtimes. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val root = rootOf(ident)
+    if (!isTableDir(root)) throw new NoSuchTableException(ident)
+    val t = new SnapshotTable(SparkSession.active, root)
+    val v = t.versionAt(timestamp / 1000L).getOrElse(throw new IllegalArgumentException(
+      s"no snapshot of ${ident.name()} existed at or before timestamp ${timestamp}us"))
+    loadAt(ident, Some(v.toString))
+  }
+
   private def loadAt(ident: Identifier, version: Option[String]): Table = {
     val root = rootOf(ident)
     if (!isTableDir(root)) throw new NoSuchTableException(ident)

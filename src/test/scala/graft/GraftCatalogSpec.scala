@@ -201,6 +201,46 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) AS n FROM cat.geo.fz VERSION AS OF 1").head().getLong(0) === 50)
   }
 
+  test("TIMESTAMP AS OF resolves to the latest version committed at or before the instant") {
+    warehouse
+    spark.sql("CREATE TABLE cat.geo.tt (id BIGINT, part BIGINT) PARTITIONED BY (part)")
+    spark.sql("INSERT INTO cat.geo.tt VALUES (1, 0)") // v1
+    Thread.sleep(20)
+    val betweenMs = System.currentTimeMillis()
+    Thread.sleep(20)
+    spark.sql("INSERT INTO cat.geo.tt VALUES (2, 0)") // v2
+    val ts = new java.sql.Timestamp(betweenMs)
+    val n = spark.sql(s"SELECT count(*) AS n FROM cat.geo.tt TIMESTAMP AS OF '$ts'")
+      .head().getLong(0)
+    assert(n === 1, "between the commits only v1 existed")
+    assert(spark.sql("SELECT count(*) AS n FROM cat.geo.tt").head().getLong(0) === 2)
+    val tooEarly = new java.sql.Timestamp(betweenMs - 3600 * 1000)
+    intercept[Exception](spark.sql(
+      s"SELECT * FROM cat.geo.tt TIMESTAMP AS OF '$tooEarly'").collect())
+  }
+
+  test("a row-level rewrite losing the commit race fails cleanly and leaves no orphan files") {
+    warehouse
+    spark.sql("CREATE TABLE cat.geo.race (id BIGINT, v BIGINT, part BIGINT) PARTITIONED BY (part)")
+    spark.sql("INSERT INTO cat.geo.race SELECT id, id AS v, id % 2 AS part FROM range(10)")
+    val root = s"$warehouse/geo/race"
+    val t = new SnapshotTable(spark, root)
+    // a rival committing against the same base as an in-flight rewrite:
+    // replay the CAS directly — stale basedOn must throw CREATE_NEW and
+    // delete the attempt's fresh data files and pages
+    val dir = java.nio.file.Files.createTempDirectory("race").toString + "/d"
+    Seq((99L, 99L, 1L)).toDF("id", "v", "_part").coalesce(1).write.parquet(dir)
+    val f = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet")).head
+    val entries = Seq(SnapshotTable.FileEntry(f.getAbsolutePath, 1L, 1L, f.length()))
+    val staleBase = t.currentVersion
+    t.upsert(Seq((50L, 50L, 0L)).toDF("id", "v", "part"), Seq("id")) // rival wins v+1
+    intercept[java.nio.file.FileAlreadyExistsException](
+      t.commitReplacingParts(entries, Set(1L), staleBase))
+    assert(!f.exists(), "the race loser's data file must be deleted")
+    // table state is the rival's — untouched by the failed rewrite
+    assert(spark.sql("SELECT count(*) AS n FROM cat.geo.race").head().getLong(0) === 11)
+  }
+
   test("catalog guards: bad names, wrong partitioning, duplicate create") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS cat.guard")
