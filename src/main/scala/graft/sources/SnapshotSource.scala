@@ -103,10 +103,24 @@ object SnapshotSource {
       java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
         TableCapability.TRUNCATE, TableCapability.OVERWRITE_DYNAMIC,
         TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
+    /** Per-operation options LAYERED OVER the table's own properties: on
+      * the TableProvider path the two coincide, but a CATALOG-loaded table
+      * carries only `root` (+ time-travel `version`) — without the merge,
+      * read/write options (`startingversion`, `maxversionspertrigger`,
+      * `replacepartitions`, `targetfilebytes`, `maxsplitbytes`…) would be
+      * silently dropped for `spark.readStream.table` / `writeStream
+      * .toTable`. Operation options win on conflict (explicit beats
+      * ambient). */
+    private def merged(opts: java.util.Map[String, String]): java.util.Map[String, String] = {
+      val m = new java.util.HashMap[String, String](props)
+      m.putAll(opts)
+      m
+    }
+
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-      new SnapScanBuilder(schema, props)
+      new SnapScanBuilder(schema, merged(options.asCaseSensitiveMap()))
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-      new SnapWriteBuilder(info, props)
+      new SnapWriteBuilder(info, merged(info.options().asCaseSensitiveMap()))
 
     // ------------------- SQL DELETE (Iceberg's metadata delete contract):
     // `DELETE FROM t WHERE <partition predicates>` is accepted ONLY when

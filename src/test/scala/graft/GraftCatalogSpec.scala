@@ -241,6 +241,27 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) AS n FROM cat.geo.race").head().getLong(0) === 11)
   }
 
+  test("streaming by identifier: readStream.table change feed into writeStream.toTable mirror") {
+    warehouse
+    spark.sql("CREATE TABLE cat.geo.sa (id BIGINT, v BIGINT, part BIGINT) PARTITIONED BY (part)")
+    spark.sql("CREATE TABLE cat.geo.sb (id BIGINT, v BIGINT, part BIGINT) PARTITIONED BY (part)")
+    spark.sql("INSERT INTO cat.geo.sa SELECT id, id AS v, id % 3 AS part FROM range(12)")
+    val ckpt = java.nio.file.Files.createTempDirectory("catmirror").toString
+    val q = spark.readStream.table("cat.geo.sa")
+      .writeStream.option("checkpointLocation", ckpt)
+      .option("replacepartitions", "true")
+      .toTable("cat.geo.sb")
+    def state(name: String) = spark.sql(s"SELECT id, v, part FROM cat.geo.$name").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    try {
+      q.processAllAvailable()
+      assert(state("sb") === state("sa"), "whole-table first batch replicated")
+      spark.sql("UPDATE cat.geo.sa SET v = v + 100 WHERE id = 4") // COW rewrite of part 1
+      q.processAllAvailable()
+      assert(state("sb") === state("sa"), "a row-level rewrite flows through the feed")
+    } finally q.stop()
+  }
+
   test("catalog guards: bad names, wrong partitioning, duplicate create") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS cat.guard")
