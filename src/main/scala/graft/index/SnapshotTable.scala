@@ -53,8 +53,10 @@ import scala.jdk.CollectionConverters._
  *
  * Driver state per read is O(#covering-manifest entries) — the touched
  * region's file list, which `spark.read.parquet(paths)` needs on the driver
- * anyway; a full DataSourceV2 port would push even that listing into
- * distributed scan planning.
+ * anyway. The DataSourceV2 surface over this table lives in
+ * [[graft.sources.SnapshotSource]] (pushdown, change feed, streaming sink,
+ * row-level DML) and [[graft.sources.GraftCatalog]] (DDL, time travel,
+ * maintenance procedures).
  */
 class SnapshotTable(spark: SparkSession, root: String,
     statsCol: Option[String] = None, manifestTargetFiles: Int = 64) {

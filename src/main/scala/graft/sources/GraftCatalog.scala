@@ -5,11 +5,15 @@ import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, ProcedureCatalog, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
 
 import graft.index.SnapshotTable
 
@@ -42,7 +46,7 @@ import graft.index.SnapshotTable
  * (`OsmStorageService.scala:34-60` creates keyspaces and tables up front);
  * here the same lifecycle is Spark-native DDL.
  */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -168,6 +172,110 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(
       "RENAME is not supported: manifests reference data files by absolute path")
+
+  // --------------------------------------------------- maintenance procedures
+
+  /**
+   * Iceberg-style TABLE MAINTENANCE as SQL stored procedures (Spark 4's
+   * ProcedureCatalog — `CALL cat.system.<proc>(…)`):
+   * {{{
+   *   CALL cat.system.compact(tbl => 'geo.cells', target_file_bytes => 536870912)
+   *   CALL cat.system.expire(tbl => 'geo.cells', keep_last => 2)
+   *   CALL cat.system.snapshots(tbl => 'geo.cells')   -- version history
+   * }}}
+   * The operational loop — ingest, compact, expire, inspect — needs no
+   * programmatic handle: at 100 TB these run from a SQL-only scheduler
+   * exactly like reads and DML. Each rides the existing distributed
+   * maintenance planning (compact plans over a Spark aggregation, expire
+   * decides liveness with a distributed anti-join; the driver never
+   * materialises a file list).
+   */
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      Array("expire", "compact", "snapshots").map(n => Identifier.of(Array("system"), n))
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    require(ident.namespace().sameElements(Array("system")),
+      s"procedures live in the 'system' namespace, got ${ident.namespace().mkString(".")}")
+    ident.name() match {
+      case "expire" => new MaintenanceProc("expire",
+        "drop old snapshots, delete unreferenced files, sweep orphan attempt dirs",
+        Array(
+          ProcedureParameter.in("tbl", StringType).build(),
+          ProcedureParameter.in("keep_last", IntegerType).defaultValue("1").build(),
+          ProcedureParameter.in("grace_ms", LongType)
+            .defaultValue((24L * 3600 * 1000).toString).build()),
+        StructType(Seq(StructField("deleted_files", IntegerType, nullable = false),
+          StructField("current_version", IntegerType, nullable = false))),
+        { (t, in) =>
+          val deleted = t.expire(in.getInt(1), in.getLong(2))
+          Array[InternalRow](InternalRow(deleted, t.currentVersion))
+        })
+      case "compact" => new MaintenanceProc("compact",
+        "bin-pack each partition's files toward a byte target (stats-ordered rewrite)",
+        Array(
+          ProcedureParameter.in("tbl", StringType).build(),
+          ProcedureParameter.in("max_files", IntegerType).defaultValue("1").build(),
+          ProcedureParameter.in("target_file_bytes", LongType)
+            .defaultValue(Long.MaxValue.toString).build(),
+          ProcedureParameter.in("max_partitions", IntegerType)
+            .defaultValue(Int.MaxValue.toString).build()),
+        StructType(Seq(StructField("version", IntegerType, nullable = false))),
+        { (t, in) =>
+          Array[InternalRow](InternalRow(t.compact(in.getInt(1), in.getLong(2), in.getInt(3))))
+        })
+      case "snapshots" => new MaintenanceProc("snapshots",
+        "version history: files/rows per retained snapshot plus streaming epoch markers",
+        Array(ProcedureParameter.in("tbl", StringType).build()),
+        StructType(Seq(
+          StructField("version", IntegerType, nullable = false),
+          StructField("files", LongType, nullable = false),
+          StructField("rows", LongType, nullable = false),
+          StructField("stream_query", StringType, nullable = true),
+          StructField("stream_epoch", LongType, nullable = true))),
+        { (t, _) =>
+          (1 to t.currentVersion).flatMap { v =>
+            scala.util.Try {
+              val ms = t.manifestList(v)
+              val marker = t.streamMarker(v)
+              InternalRow(v, ms.map(_.files.toLong).sum, ms.map(_.rows).sum,
+                marker.map(m => UTF8String.fromString(m._1)).orNull,
+                marker.map(m => java.lang.Long.valueOf(m._2)).orNull)
+            }.toOption // expired versions have no snapshot file — skip
+          }.toArray
+        })
+      case other => throw new IllegalArgumentException(
+        s"unknown procedure '$other' (expire, compact, snapshots)")
+    }
+  }
+
+  /** One maintenance procedure: binds as itself, resolves the `tbl`
+    * argument (`ns.name`) against this catalog's warehouse, runs `body`
+    * on the table handle, and returns the result rows as a driver-local
+    * scan. */
+  private final class MaintenanceProc(procName: String, desc: String,
+      params: Array[ProcedureParameter], out: StructType,
+      body: (SnapshotTable, InternalRow) => Array[InternalRow])
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = desc
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val parts = input.getUTF8String(0).toString.split('.')
+      val ident = Identifier.of(parts.init, parts.last)
+      val root = rootOf(ident)
+      if (!isTableDir(root)) throw new NoSuchTableException(ident)
+      val result = body(new SnapshotTable(SparkSession.active, root), input)
+      java.util.Collections.singletonList[Scan](new LocalScan {
+        override def readSchema(): StructType = out
+        override def rows(): Array[InternalRow] = result
+        override def description(): String = s"graft $procName result"
+      }).iterator()
+    }
+  }
 
   // --------------------------------------------------------- namespaces
 

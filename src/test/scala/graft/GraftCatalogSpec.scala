@@ -262,6 +262,30 @@ class GraftCatalogSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("maintenance procedures: CALL system.snapshots / compact / expire") {
+    warehouse
+    spark.sql("CREATE TABLE cat.geo.mnt (id BIGINT, part BIGINT) PARTITIONED BY (part)")
+    (0 until 3).foreach(i => spark.sql(
+      s"INSERT INTO cat.geo.mnt SELECT id + ${i * 100} AS id, id % 2 AS part FROM range(10)"))
+    val t = new SnapshotTable(spark, s"$warehouse/geo/mnt")
+    assert(t.currentVersion === 3)
+    assert(t.snapshot(3).groupBy(_.part).forall(_._2.size == 3), "3 appends = 3 files/part")
+    val hist = spark.sql("CALL cat.system.snapshots(tbl => 'geo.mnt')").collect()
+    assert(hist.map(_.getInt(0)).toSeq === Seq(1, 2, 3))
+    assert(hist.map(_.getLong(2)).toSeq === Seq(10L, 20L, 30L), "row lineage per version")
+    val cv = spark.sql("CALL cat.system.compact(tbl => 'geo.mnt')").head().getInt(0)
+    assert(cv === 4)
+    assert(t.snapshot(4).groupBy(_.part).forall(_._2.size == 1), "compacted to 1 file/part")
+    val exp = spark.sql(
+      "CALL cat.system.expire(tbl => 'geo.mnt', keep_last => 1, grace_ms => 0)").head()
+    assert(exp.getInt(1) === 4)
+    assert(exp.getInt(0) > 0, "pre-compaction files swept")
+    assert(spark.sql("SELECT count(*) AS n FROM cat.geo.mnt").head().getLong(0) === 30)
+    assert(spark.sql("CALL cat.system.snapshots(tbl => 'geo.mnt')").collect()
+      .map(_.getInt(0)).toSeq === Seq(4), "history keeps only the survivor")
+    intercept[Exception](spark.sql("CALL cat.system.nope(tbl => 'geo.mnt')"))
+  }
+
   test("catalog guards: bad names, wrong partitioning, duplicate create") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS cat.guard")
