@@ -6,6 +6,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
 import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder, Transform}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
@@ -341,6 +342,9 @@ object SnapshotSource {
       require(target > 0, s"maxsplitbytes must be positive, got $target")
       val scan = new SnapScan(ordered, table, parts, range, version, target,
         (entries.map(_.bytes).sum, entries.map(_.rows).sum),
+        if (Option(props.get("spj")).exists(_.toBoolean))
+          entries.iterator.map(_.part).toSet.size
+        else -1,
         readerConf(session, ordered),
         Option(props.get("startingversion")).map(_.toInt).getOrElse(0),
         Option(props.get("maxversionspertrigger")).map(_.toInt))
@@ -789,7 +793,11 @@ object SnapshotSource {
   /** One byte slice of one data file: `[start, start + length)` selects
     * the row groups whose midpoint the slice covers. */
   final case class SnapInputPartition(path: String, part: Long,
-      start: Long, length: Long) extends InputPartition
+      start: Long, length: Long) extends InputPartition with HasPartitionKey {
+    /** The slice's `part` value, exposed so Spark can KEY-GROUP slices
+      * (storage-partitioned joins — see [[SnapScan.outputPartitioning]]). */
+    override def partitionKey(): InternalRow = InternalRow(part)
+  }
 
   /** Planned-slice observability for the DPP spec (tests run serially). */
   private[graft] object ScanProbe {
@@ -798,10 +806,11 @@ object SnapshotSource {
 
   private final class SnapScan(out: StructType, table: SnapshotTable,
       parts0: Option[Set[Long]], range: Option[(Long, Long)], version: Int,
-      target: Long, stats: (Long, Long),
+      target: Long, stats: (Long, Long), nParts: Int,
       conf: org.apache.spark.SerializableWritable[org.apache.hadoop.conf.Configuration],
       startVersion: Int = 0, maxVersions: Option[Int] = None)
-      extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering {
+      extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering
+      with SupportsReportPartitioning {
 
     /** Partition set, possibly NARROWED at runtime by [[filter]]. */
     @volatile private var parts: Option[Set[Long]] = parts0
@@ -879,6 +888,33 @@ object SnapshotSource {
         : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
       new SnapMicroBatchStream(out, table, parts0, range, target, conf, startVersion,
         maxVersions)
+
+    /**
+     * STORAGE-PARTITIONED JOINS (Iceberg's SPJ): the table IS key-grouped
+     * storage — every file holds exactly one `part` value — so the scan
+     * can report `KeyGroupedPartitioning(identity(part))`, with each byte
+     * slice carrying its key ([[SnapInputPartition.partitionKey]]). Spark
+     * (`spark.sql.sources.v2.bucketing.enabled`, default ON in 4.x) then
+     * groups slices by part and plans joins on `part` between two snapshot
+     * tables (and aggregations whose grouping contains `part`) WITHOUT ANY
+     * EXCHANGE — at 100 TB the fact↔fact cell-aligned join (points ⋈
+     * per-cell stats, both routed by the same cell scheme) moves ZERO rows
+     * over the network where a hash join would shuffle both full tables.
+     *
+     * Reporting is OPT-IN per read/table (`spj=true` option or table
+     * property — Iceberg gates identically via `preserve-data-grouping`)
+     * because grouping is unconditional once reported: a measured probe
+     * showed a PLAIN scan of 256 slices across 8 partitions collapsing to
+     * 8 tasks — correct, but 1/32 the parallelism on queries that never
+     * join. With `spj` unset the scan reports unknown and per-slice
+     * parallelism is untouched; a column-pruned scan that drops `part`
+     * also reports unknown (Catalyst could not resolve the key against
+     * the scan output anyway).
+     */
+    override def outputPartitioning(): Partitioning =
+      if (nParts >= 0 && out.fieldNames.contains("part"))
+        new KeyGroupedPartitioning(Array(Expressions.identity("part")), nParts)
+      else new UnknownPartitioning(0)
 
     /** POST-PRUNING size/row statistics straight from the manifest entries
       * (already in hand — no extra I/O): Catalyst's join planning sees the

@@ -778,6 +778,47 @@ class SnapshotTableSpec extends SparkSpec {
       s"small snapshot side must broadcast; got:\n${plan.take(800)}")
   }
 
+  test("storage-partitioned join: co-partitioned snapshot tables join + aggregate with ZERO exchange") {
+    val rootA = java.nio.file.Files.createTempDirectory("snapspja").toString
+    val rootB = java.nio.file.Files.createTempDirectory("snapspjb").toString
+    new SnapshotTable(spark, rootA).init(
+      (0L until 4000L).map(i => (i, i % 8, i * 3)).toDF("id", "part", "v").repartition(4))
+    new SnapshotTable(spark, rootB).init(
+      (0L until 8L).map(p => (p, p * 100)).toDF("part", "w"))
+    def view(root: String, name: String, spj: Boolean): Unit =
+      spark.read.format("graft.sources.SnapshotSource").option("root", root)
+        .option("spj", spj.toString).load().createOrReplaceTempView(name)
+    // join on part AND aggregate grouped by part: under SPJ both ride the
+    // scans' KeyGroupedPartitioning — the whole query plans no exchange
+    val sql = """SELECT a.part AS part, count(*) AS n, sum(a.v + b.w) AS s
+                 FROM spj_a a JOIN spj_b b ON a.part = b.part GROUP BY a.part"""
+    val conf = spark.conf
+    val broadcastWas = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // control: without spj the scans report no partitioning — shuffles
+      view(rootA, "spj_a", spj = false); view(rootB, "spj_b", spj = false)
+      val off = spark.sql(sql).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(spark.sql(sql).queryExecution.executedPlan.toString.contains("Exchange"),
+        "control: the non-SPJ plan must shuffle (else this pin proves nothing)")
+      // control 2: a PLAIN spj=false scan keeps per-slice task parallelism
+      val plainA = spark.read.format("graft.sources.SnapshotSource")
+        .option("root", rootA).load()
+      val filesA = new SnapshotTable(spark, rootA).snapshot(1).size
+      assert(plainA.rdd.getNumPartitions === filesA,
+        "default reads must not key-group (a grouped plain scan loses slice parallelism)")
+      view(rootA, "spj_a", spj = true); view(rootB, "spj_b", spj = true)
+      val on = spark.sql(sql)
+      val got = on.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(got.sortBy(_._1).toSeq === off.sortBy(_._1).toSeq, "SPJ parity")
+      val plan = on.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"storage-partitioned join must plan NO exchange; got:\n${plan.take(1200)}")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", broadcastWas)
+    }
+  }
+
   test("runtime filtering (DPP): a join against a filtered dim prunes the snapshot scan at execution time") {
     val root = java.nio.file.Files.createTempDirectory("snapdpp").toString
     val t = new SnapshotTable(spark, root)
