@@ -205,6 +205,10 @@ object SparkEntry {
     "q_snap_catalog" -> ((s, d) => graft.index.SnapshotQueries.bboxCatalogFetch(s, d)),
     // three-clause MERGE INTO via the group-based COW row-level path
     "q_snap_merge" -> ((s, d) => graft.index.SnapshotQueries.sqlMergeUpsert(s, d)),
+    // storage-partitioned join: co-partitioned fact<->rollup, zero exchange
+    "q_snap_spj" -> ((s, d) => graft.index.SnapshotQueries.spjJoin(s, d)),
+    // latest-k via TopN pushdown over manifest bounds (event-ordered layout)
+    "q_snap_topn" -> ((s, d) => graft.index.SnapshotQueries.snapTopN(s, d)),
     // tag whitelist (T10/T11) + distinct stats (G7 exact twin)
     "q_tag_whitelist" -> ((s, d) => graft.index.TagOps.tagWhitelist(s, d)),
     "q_cell_distinct" -> ((s, d) => graft.index.TagOps.distinctTagsByCell(s, d)),
@@ -317,6 +321,8 @@ object SparkEntry {
     "q_snap_sql" -> graft.index.SnapshotQueries.bboxSqlFetchSql,
     "q_snap_catalog" -> graft.index.SnapshotQueries.bboxCatalogFetchSql,
     "q_snap_merge" -> graft.index.SnapshotQueries.sqlMergeUpsertSql,
+    "q_snap_spj" -> graft.index.SnapshotQueries.spjJoinSql,
+    "q_snap_topn" -> graft.index.SnapshotQueries.snapTopNSql,
     "q_snap_insert" -> graft.index.SnapshotQueries.sqlInsertUpsertSql,
     "q_snap_dpp" -> graft.index.SnapshotQueries.bboxDimFetchSql,
     "q_snap_count" -> graft.index.SnapshotQueries.snapMetaAggSql,

@@ -74,6 +74,27 @@ object SnapProbe {
       spark.sql("SELECT COUNT(*) FROM snapprobe_t WHERE pid >= 0").head.getLong(0))
     println(f"SNAPPROBE_METAAGG metaCount=$metaCnt in ${metaSecs}%.3fs " +
       f"vs dataCount=$scanCnt in ${scanSecs}%.3fs")
+
+    // LIMIT / TOP-N pushdown (round 7): an event-ordered layout (range-
+    // repartitioned on pid) gives tight per-file pid bounds — latest-50
+    // plans only the top band's files; compare vs the same query with the
+    // pruning disabled by a residual-shaped predicate that forces the full
+    // scan path
+    val rootE = java.nio.file.Files.createTempDirectory("snapprobe-ev").toString
+    val te = new graft.index.SnapshotTable(spark, rootE, statsCol = Some("pid"))
+    te.init(base.drop("ver").repartitionByRange(32, col("pid")))
+    val ev = spark.read.format("graft.sources.SnapshotSource")
+      .option("root", rootE).option("statscol", "pid").load()
+    val totalFiles = te.snapshot(1).size
+    val (_, limSecs) = timed(ev.limit(50).collect())
+    val limPlanned = graft.sources.SnapshotSource.ScanProbe.lastPlannedSlices
+    val (_, topSecs) = timed(ev.orderBy(col("pid").desc).limit(50).collect())
+    val topPlanned = graft.sources.SnapshotSource.ScanProbe.lastPlannedSlices
+    val (_, fullSecs) = timed(ev.orderBy(col("pid").desc, col("cell")).limit(50).collect())
+    val fullPlanned = graft.sources.SnapshotSource.ScanProbe.lastPlannedSlices
+    println(f"SNAPPROBE_TOPN files=$totalFiles limit50: $limPlanned slices ${limSecs}%.3fs; " +
+      f"topn50: $topPlanned slices ${topSecs}%.3fs; " +
+      f"unpushable sort: $fullPlanned slices ${fullSecs}%.3fs")
     spark.stop()
   }
 }

@@ -864,6 +864,32 @@ class SnapshotTable(spark: SparkSession, root: String,
   }
 
   /**
+   * RESTORE to an earlier snapshot (Delta Lake's `RESTORE TABLE … VERSION
+   * AS OF`): commits a NEW version whose manifest list is exactly
+   * snapshot `to`'s — history stays linear and fully time-travelable (the
+   * undone versions remain queryable until [[expire]]), and the commit is
+   * METADATA-ONLY: manifests and data files are referenced, never copied
+   * (O(#manifests) driver cost at any table size). A `to` whose snapshot
+   * or manifests have been expired fails with a clear error instead of
+   * committing dangling references. Returns the new version.
+   */
+  def restore(to: Int): Int = recordingCommit {
+    val cur = currentVersion
+    require(cur > 0, "init() before restore()")
+    require(to >= 1 && to <= cur, s"restore target $to outside [1, $cur]")
+    require(Files.exists(snapPath(to)), s"version $to has been expired")
+    val ms = manifestList(to)
+    ms.filterNot(m => Files.exists(Paths.get(m.path))) match {
+      case Seq() => ()
+      case gone => sys.error(
+        s"version $to is not restorable: ${gone.size} manifest(s) expired, e.g. ${gone.head.path}")
+    }
+    val next = cur + 1
+    commit(next, cur, ms)
+    next
+  }
+
+  /**
    * Bin-pack compaction (Iceberg's rewrite_data_files), sized by BYTES:
    * each partition's target file count is `ceil(partitionBytes /
    * targetFileBytes)` (min 1), and a partition is rewritten when its
@@ -1675,6 +1701,115 @@ object SnapshotQueries {
   }
 
   val bboxDimFetchSql: String = bboxIndexFetchSql
+
+  /**
+   * STORAGE-PARTITIONED JOIN through the oracle gate (round-7, the
+   * [[graft.sources.SnapshotSource]] `SupportsReportPartitioning` path):
+   * the point→cell index and its per-(part, cell) density rollup are both
+   * persisted as snapshot tables routed by the SAME `part` scheme and read
+   * with `spj=true`, so the fact↔fact join on `(part, cell)` AND the final
+   * GROUP BY `part` ride the scans' `KeyGroupedPartitioning` — the whole
+   * query plans ZERO exchanges (spec-pinned in SnapshotTableSpec; at
+   * 100 TB this is the cell-aligned enrichment join with no shuffle of
+   * either side). Broadcast is disabled for the query's scope so the
+   * co-partitioned path actually decides the plan (the rollup side would
+   * otherwise broadcast at test SF), and
+   * `requireAllClusterKeysForCoPartition=false` lets the superset join
+   * keys (part, cell) match the partition key (part) — Iceberg documents
+   * the same toggle for its SPJ. The oracle recomputes the dense-cell
+   * per-partition stats directly from the raw points.
+   */
+  def spjJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.cell.{CellFunctions, CellIndex}
+    graft.gen.GeoWorld.registerUdfs(spark)
+    val rootF = freshRoot("snap-spjf", sfDir)
+    val rootD = freshRoot("snap-spjd", sfDir)
+    val base = graft.gen.GeoWorld.points(spark, sfDir)
+      .select(col("pid"),
+        CellFunctions.zcell(col("lon"), col("lat"), lit(CellIndex.RES_MID)).as("cell"))
+      .withColumn("part", CellFunctions.zcellParent(
+        col("cell"), lit(CellIndex.RES_MID), lit(2)))
+    new SnapshotTable(spark, rootF).init(base)
+    new SnapshotTable(spark, rootD).init(
+      base.groupBy(col("part"), col("cell")).agg(count(lit(1)).as("n")))
+    def reg(root: String, name: String): Unit =
+      spark.read.format("graft.sources.SnapshotSource").option("root", root)
+        .option("spj", "true").load().createOrReplaceTempView(name)
+    reg(rootF, "snap_spj_f"); reg(rootD, "snap_spj_d")
+    val conf = spark.conf
+    val broadcastWas = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val requireAllWas = conf.get("spark.sql.requireAllClusterKeysForCoPartition")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    try
+      spark.sql(
+        """SELECT a.part AS part, count(*) AS npts,
+          |       count(DISTINCT a.cell) AS ncells
+          |FROM snap_spj_f a JOIN snap_spj_d b
+          |  ON a.part = b.part AND a.cell = b.cell
+          |WHERE b.n >= 2
+          |GROUP BY a.part""".stripMargin)
+        // materialise INSIDE the conf scope: the temp views re-plan lazily
+        .localCheckpoint(eager = true)
+    finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", broadcastWas)
+      conf.set("spark.sql.requireAllClusterKeysForCoPartition", requireAllWas)
+    }
+  }
+
+  val spjJoinSql: String = {
+    import graft.cell.{CellIndex, CellSql}
+    graft.query.GeoQueries.withWorld(
+      s"""snapidx AS (
+         |  SELECT pid, ${CellSql.encode("lon", "lat", CellIndex.RES_MID)} AS cell,
+         |         ${CellSql.parent(CellSql.encode("lon", "lat", CellIndex.RES_MID), CellIndex.RES_MID, 2)} AS part
+         |  FROM pts
+         |),
+         |celln AS (
+         |  SELECT part, cell, count(*) AS n FROM snapidx GROUP BY part, cell
+         |)""".stripMargin) +
+      """SELECT a.part AS part, CAST(count(*) AS BIGINT) AS npts,
+        |       CAST(count(DISTINCT a.cell) AS BIGINT) AS ncells
+        |FROM snapidx a JOIN celln b ON a.part = b.part AND a.cell = b.cell
+        |WHERE b.n >= 2
+        |GROUP BY a.part""".stripMargin
+  }
+
+  /**
+   * TOP-N PUSHDOWN through the oracle gate (round-7): the point→cell index
+   * is laid out EVENT-ORDERED — range-repartitioned on `pid` before init,
+   * the standard discipline for an append-mostly event table, so each data
+   * file covers a narrow pid band and the manifests' per-file [lo, hi]
+   * bounds are tight. `ORDER BY pid DESC LIMIT 50` ("the latest 50
+   * observations") then plans only the files whose bands can reach the
+   * top — the `SupportsPushDownTopN` path (SnapshotSource): at 100 TB the
+   * latest-k preview reads O(k / rows-per-file) files instead of the whole
+   * table. pid is unique, so the result set is deterministic and the
+   * DuckDB oracle re-derives it with the same window.
+   */
+  def snapTopN(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.cell.{CellFunctions, CellIndex}
+    graft.gen.GeoWorld.registerUdfs(spark)
+    val root = freshRoot("snap-topn", sfDir)
+    val t = new SnapshotTable(spark, root, statsCol = Some("pid"))
+    t.init(graft.gen.GeoWorld.points(spark, sfDir)
+      .select(col("pid"),
+        CellFunctions.zcell(col("lon"), col("lat"), lit(CellIndex.RES_MID)).as("cell"))
+      .withColumn("part", CellFunctions.zcellParent(
+        col("cell"), lit(CellIndex.RES_MID), lit(2)))
+      .repartitionByRange(32, col("pid")))
+    spark.read.format("graft.sources.SnapshotSource")
+      .option("root", root).option("statscol", "pid").load()
+      .orderBy(col("pid").desc).limit(50)
+      .select(col("pid"), col("cell"))
+  }
+
+  val snapTopNSql: String = {
+    import graft.cell.{CellIndex, CellSql}
+    graft.query.GeoQueries.withWorld() +
+      s"""SELECT pid, ${CellSql.encode("lon", "lat", CellIndex.RES_MID)} AS cell
+         |FROM pts ORDER BY pid DESC LIMIT 50""".stripMargin
+  }
 
   /**
    * The CATALOG lifecycle through the oracle gate

@@ -192,7 +192,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
    */
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
-      Array("expire", "compact", "snapshots").map(n => Identifier.of(Array("system"), n))
+      Array("expire", "compact", "snapshots", "restore")
+        .map(n => Identifier.of(Array("system"), n))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): UnboundProcedure = {
@@ -245,8 +246,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
             }.toOption // expired versions have no snapshot file — skip
           }.toArray
         })
+      case "restore" => new MaintenanceProc("restore",
+        "commit a new version with an earlier snapshot's exact content (Delta's RESTORE; metadata-only)",
+        Array(
+          ProcedureParameter.in("tbl", StringType).build(),
+          ProcedureParameter.in("version", IntegerType).build()),
+        StructType(Seq(
+          StructField("restored_from", IntegerType, nullable = false),
+          StructField("current_version", IntegerType, nullable = false))),
+        { (t, in) =>
+          val to = in.getInt(1)
+          Array[InternalRow](InternalRow(to, t.restore(to)))
+        })
       case other => throw new IllegalArgumentException(
-        s"unknown procedure '$other' (expire, compact, snapshots)")
+        s"unknown procedure '$other' (expire, compact, snapshots, restore)")
     }
   }
 

@@ -185,7 +185,7 @@ object SnapshotSource {
       props: java.util.Map[String, String],
       register: SnapScan => Unit = _ => ())
       extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-      with SupportsPushDownAggregates {
+      with SupportsPushDownAggregates with SupportsPushDownLimit with SupportsPushDownTopN {
 
     private val table = tableFor(props)
     // the EFFECTIVE stats column comes from table metadata (persisted at
@@ -241,6 +241,77 @@ object SnapshotSource {
 
     override def pruneColumns(requiredSchema: StructType): Unit =
       required = requiredSchema
+
+    // ------------- LIMIT / TOP-N FILE PRUNING (manifest row counts) -----
+    // Spark only offers these when NOTHING sits between the Limit (or
+    // Sort+Limit) and the scan — and every filter of ours stays residual
+    // as a post-scan Filter node, so a filtered query never reaches here.
+    // That makes file-level pruning sound: any `n` rows satisfy LIMIT n,
+    // so planning keeps files only until their manifest row counts cover
+    // the limit (a 100 TB table's `LIMIT 10` preview reads ONE file). Both
+    // are PARTIAL pushdowns (isPartiallyPushed stays true): Spark still
+    // applies the exact limit / re-sorts above the pruned scan.
+    private var limitRows: Option[Int] = None
+    private var topN: Option[(Boolean, Int)] = None // (ascending, k)
+
+    override def pushLimit(n: Int): Boolean = { limitRows = Some(n); true }
+
+    // both parent traits default this true; Scala requires the diamond be
+    // resolved explicitly — and partial IS the contract: Spark re-applies
+    // the exact limit / re-sorts above the file-pruned scan
+    override def isPartiallyPushed(): Boolean = true
+
+    /**
+     * ORDER BY statsCol LIMIT k: the per-file [lo, hi] bounds admit a
+     * sound cutoff — sort files by `hi` ascending and take them until
+     * their row counts reach k; every row in the taken files is ≤ H (the
+     * last taken `hi`), so ≥ k rows rank at or below H and any file with
+     * `lo` > H cannot contribute to the top k (mirrored via `lo`
+     * descending for DESC). Accepted ONLY when the sort column is the
+     * table's stats column AND its schema field is NON-NULLABLE — with
+     * possible nulls the manifest can't bound how many of a file's rows
+     * participate in the value order (nulls sort first or last wholesale),
+     * so nullable columns honestly decline the pushdown. Entries without
+     * bounds (pre-stats files) keep the scan un-pruned rather than
+     * guessing.
+     */
+    override def pushTopN(orders: Array[SortOrder], n: Int): Boolean = {
+      import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
+      orders match {
+        case Array(o) =>
+          val onStats = o.expression() match {
+            case r: NamedReference =>
+              r.fieldNames.length == 1 && statsCol.contains(r.fieldNames.head)
+            case _ => false
+          }
+          val nonNullableLong = statsCol.exists(c =>
+            schema.fields.exists(f => f.name == c && !f.nullable && f.dataType == LongType))
+          if (onStats && nonNullableLong) {
+            topN = Some((o.direction == SortDirection.ASCENDING, n)); true
+          } else false
+        case _ => false
+      }
+    }
+
+    /** Keep files (in manifest order) until their rows cover `n`. */
+    private def limitPrune(entries: Seq[SnapshotTable.FileEntry], n: Int)
+        : Seq[SnapshotTable.FileEntry] = {
+      var cum = 0L
+      entries.takeWhile { e => val need = cum < n; cum += e.rows; need }
+    }
+
+    private def topNPrune(entries: Seq[SnapshotTable.FileEntry], asc: Boolean, k: Int)
+        : Seq[SnapshotTable.FileEntry] =
+      if (entries.exists(e => e.lo.isEmpty || e.hi.isEmpty)) entries
+      else if (asc) {
+        val taken = limitPrune(entries.sortBy(_.hi.get), k)
+        if (taken.isEmpty) taken
+        else { val h = taken.last.hi.get; entries.filter(_.lo.get <= h) }
+      } else {
+        val taken = limitPrune(entries.sortBy(e => -e.lo.get), k)
+        if (taken.isEmpty) taken
+        else { val l = taken.last.lo.get; entries.filter(_.hi.get >= l) }
+      }
 
     // ------------- METADATA-ONLY AGGREGATES (Iceberg's metadata count) --
     // COUNT(*), MIN(statsCol), MAX(statsCol) — optionally GROUP BY part —
@@ -340,12 +411,19 @@ object SnapshotSource {
         session.sessionState.conf.getConf(
           org.apache.spark.sql.internal.SQLConf.FILES_MAX_PARTITION_BYTES))
       require(target > 0, s"maxsplitbytes must be positive, got $target")
-      val scan = new SnapScan(ordered, table, parts, range, version, target,
-        (entries.map(_.bytes).sum, entries.map(_.rows).sum),
+      val filePrune: Seq[SnapshotTable.FileEntry] => Seq[SnapshotTable.FileEntry] =
+        (topN, limitRows) match {
+          case (Some((asc, k)), _) => topNPrune(_, asc, k)
+          case (None, Some(n)) => limitPrune(_, n)
+          case _ => identity
+        }
+      val pruned = filePrune(entries)
+      val scan = new SnapScan(ordered, table, parts, range, version, target, filePrune,
+        (pruned.map(_.bytes).sum, pruned.map(_.rows).sum),
         if (Option(props.get("spj")).exists(_.toBoolean))
-          entries.iterator.map(_.part).toSet.size
+          pruned.iterator.map(_.part).toSet.size
         else -1,
-        readerConf(session, ordered),
+        readerConf(session, ordered, statsCol, range),
         Option(props.get("startingversion")).map(_.toInt).getOrElse(0),
         Option(props.get("maxversionspertrigger")).map(_.toInt))
       register(scan)
@@ -398,9 +476,22 @@ object SnapshotSource {
   /** The per-task hadoop conf the split-based vectorized reader needs:
     * the session conf plus the requested (physical) schema and the five
     * SQLConf booleans `ParquetToSparkSchemaConverter` dereferences. Built
-    * ONCE at plan time on the driver, shipped via SerializableWritable. */
-  private def readerConf(session: SparkSession,
-      out: StructType): org.apache.spark.SerializableWritable[org.apache.hadoop.conf.Configuration] = {
+    * ONCE at plan time on the driver, shipped via SerializableWritable.
+    *
+    * When the scan carries a stats-column RANGE, it is also planted as a
+    * parquet `FilterPredicate`: the reader's `HadoopReadOptions` picks it
+    * up (`withRecordFilter(getFilter(conf))`) and ParquetFileReader drops
+    * whole ROW GROUPS whose footer min/max miss the range — pruning one
+    * level below the manifests' file granularity, at the executor, with
+    * no extra I/O (the footer is already open). A compacted 1 GB file
+    * whose row groups band the stats column then decodes only the
+    * matching groups. Rows are only ever DROPPED, never added, and every
+    * pushed filter stays residual above the scan, so over-delivery and
+    * under-stats files (a pre-evolution file missing the column is
+    * all-null and correctly matches no range) both stay exact. */
+  private def readerConf(session: SparkSession, out: StructType,
+      statsCol: Option[String] = None, range: Option[(Long, Long)] = None)
+      : org.apache.spark.SerializableWritable[org.apache.hadoop.conf.Configuration] = {
     import org.apache.spark.sql.internal.SQLConf
     val conf = session.sessionState.newHadoopConf()
     val physical = StructType(out.fields.filterNot(f => f.name == "part" || f.name == "_file"))
@@ -413,6 +504,25 @@ object SnapshotSource {
         SQLConf.CASE_SENSITIVE, SQLConf.LEGACY_PARQUET_NANOS_AS_LONG,
         SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED)
       .foreach(e => conf.setBoolean(e.key, sql.getConf(e)))
+    for {
+      c <- statsCol
+      (lo, hi) <- range
+      // the stats column is a data column (LongType, enforced at init);
+      // only plant the predicate when the scan actually reads it — parquet
+      // rejects a record filter referencing a column outside the
+      // requested projection
+      if physical.fields.exists(f => f.name == c && f.dataType == LongType)
+    } {
+      import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
+      val col = FilterApi.longColumn(c)
+      val preds = Seq(
+        if (lo != Long.MinValue) Some(FilterApi.gtEq(col, java.lang.Long.valueOf(lo))) else None,
+        if (hi != Long.MaxValue) Some(FilterApi.ltEq(col, java.lang.Long.valueOf(hi))) else None
+      ).flatten
+      if (preds.nonEmpty)
+        org.apache.parquet.hadoop.ParquetInputFormat.setFilterPredicate(
+          conf, preds.reduce[FilterPredicate](FilterApi.and))
+    }
     new org.apache.spark.SerializableWritable(conf)
   }
 
@@ -802,11 +912,17 @@ object SnapshotSource {
   /** Planned-slice observability for the DPP spec (tests run serially). */
   private[graft] object ScanProbe {
     @volatile var lastPlannedSlices: Int = -1
+    /** Rows the vectorized readers actually DELIVERED (post row-group
+      * filtering) — meaningful in local mode where executors share the
+      * JVM; the row-group-skip spec resets and reads it around one query. */
+    val rowsDelivered = new java.util.concurrent.atomic.LongAdder()
   }
 
   private final class SnapScan(out: StructType, table: SnapshotTable,
       parts0: Option[Set[Long]], range: Option[(Long, Long)], version: Int,
-      target: Long, stats: (Long, Long), nParts: Int,
+      target: Long,
+      filePrune: Seq[SnapshotTable.FileEntry] => Seq[SnapshotTable.FileEntry],
+      stats: (Long, Long), nParts: Int,
       conf: org.apache.spark.SerializableWritable[org.apache.hadoop.conf.Configuration],
       startVersion: Int = 0, maxVersions: Option[Int] = None)
       extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering
@@ -854,7 +970,9 @@ object SnapshotSource {
     @volatile private[sources] var plannedParts: Set[Long] = Set.empty
 
     override def planInputPartitions(): Array[InputPartition] = {
-      val entries = table.pruneFiles(parts, range, version)
+      // limit/top-N file pruning composes AFTER runtime narrowing: both
+      // rules only shrink the file set, in either order soundly
+      val entries = filePrune(table.pruneFiles(parts, range, version))
       plannedParts = entries.map(_.part).toSet
       val slices = sliceEntries(entries, target)
       ScanProbe.lastPlannedSlices = slices.size
@@ -1034,7 +1152,11 @@ object SnapshotSource {
         reader.enableReturningBatches()
       } catch { case e: Throwable => reader.close(); closed = true; throw e }
       new PartitionReader[ColumnarBatch] {
-        override def next(): Boolean = reader.nextBatch()
+        override def next(): Boolean = {
+          val has = reader.nextBatch()
+          if (has) ScanProbe.rowsDelivered.add(reader.resultBatch().numRows().toLong)
+          has
+        }
         override def get(): ColumnarBatch = reader.resultBatch()
         override def close(): Unit = if (!closed) reader.close()
       }

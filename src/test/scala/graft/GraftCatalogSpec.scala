@@ -286,6 +286,33 @@ class GraftCatalogSpec extends SparkSpec {
     intercept[Exception](spark.sql("CALL cat.system.nope(tbl => 'geo.mnt')"))
   }
 
+  test("CALL system.restore commits an old snapshot's content as a new version, metadata-only") {
+    warehouse
+    spark.sql("CREATE TABLE cat.geo.rst (id BIGINT, part BIGINT) PARTITIONED BY (part)")
+    spark.sql("INSERT INTO cat.geo.rst SELECT id, id % 2 AS part FROM range(10)") // v1
+    spark.sql("INSERT INTO cat.geo.rst SELECT id + 100 AS id, id % 2 AS part FROM range(10)") // v2
+    spark.sql("DELETE FROM cat.geo.rst WHERE part = 1") // v3
+    val t = new SnapshotTable(spark, s"$warehouse/geo/rst")
+    assert(t.currentVersion === 3)
+    val v1Manifests = t.manifestList(1).map(_.path).toSet
+    val r = spark.sql("CALL cat.system.restore(tbl => 'geo.rst', version => 1)").head()
+    assert((r.getInt(0), r.getInt(1)) === ((1, 4)))
+    // content == v1; history stays linear and fully travelable
+    assert(spark.sql("SELECT count(*) AS n FROM cat.geo.rst").head().getLong(0) === 10)
+    assert(spark.sql("SELECT max(id) AS m FROM cat.geo.rst").head().getLong(0) === 9)
+    assert(spark.sql("SELECT count(*) AS n FROM cat.geo.rst VERSION AS OF 2")
+      .head().getLong(0) === 20, "undone versions remain time-travelable")
+    // metadata-only: the restored version REFERENCES v1's manifests
+    assert(t.manifestList(4).map(_.path).toSet === v1Manifests)
+    assert(t.lastCommitDriverFooters === 0, "restore opens no footers")
+    // expire keeps the restored content's files live (they are v1's files)
+    spark.sql("CALL cat.system.expire(tbl => 'geo.rst', keep_last => 1, grace_ms => 0)")
+    assert(spark.sql("SELECT count(*) AS n FROM cat.geo.rst").head().getLong(0) === 10)
+    // an expired target declines with a clear error, no dangling commit
+    intercept[Exception](spark.sql("CALL cat.system.restore(tbl => 'geo.rst', version => 2)"))
+    assert(t.currentVersion === 4)
+  }
+
   test("catalog guards: bad names, wrong partitioning, duplicate create") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS cat.guard")

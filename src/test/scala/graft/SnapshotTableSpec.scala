@@ -580,6 +580,34 @@ class SnapshotTableSpec extends SparkSpec {
     assert(df.filter($"part" === 0L).count() === 200000L, "virtual part column intact")
   }
 
+  test("stats range skips ROW GROUPS inside a fat file: the readers deliver only the matching bands") {
+    val root = java.nio.file.Files.createTempDirectory("snaprg").toString
+    // ONE fat file, many row groups, stats column ORDERED so each row
+    // group's footer min/max covers a narrow disjoint band
+    val hc = spark.sparkContext.hadoopConfiguration
+    val oldBlock = Option(hc.get("parquet.block.size"))
+    hc.setInt("parquet.block.size", 64 * 1024)
+    val t = new SnapshotTable(spark, root, statsCol = Some("v"))
+    try t.init(spark.range(200000L)
+      .select(col("id"), lit(0L).as("part"), col("id").as("v"))
+      .sortWithinPartitions("v").repartition(1).sortWithinPartitions("v"))
+    finally oldBlock.fold(hc.unset("parquet.block.size"))(hc.set("parquet.block.size", _))
+    assert(t.snapshot(1).size === 1, "fixture: exactly one data file")
+    val view = spark.read.format("graft.sources.SnapshotSource")
+      .option("root", root).option("statscol", "v").load()
+    val probe = graft.sources.SnapshotSource.ScanProbe.rowsDelivered
+    probe.reset()
+    assert(view.filter(col("v") >= 1000L && col("v") <= 1999L).count() === 1000L)
+    val delivered = probe.sum()
+    assert(delivered >= 1000L && delivered < 50000L,
+      s"row-group skip must deliver only the matching bands, not the whole file " +
+        s"(delivered $delivered of 200000)")
+    // control: without a range the whole file decodes
+    probe.reset()
+    assert(view.filter(col("id") % 2 === 0).count() === 100000L)
+    assert(probe.sum() === 200000L, "residual-only filters decode every row group")
+  }
+
   test("ScalaCheck property: DSv2 pushdown matches ground truth row-for-row on random part/range predicates") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
@@ -819,6 +847,47 @@ class SnapshotTableSpec extends SparkSpec {
     }
   }
 
+  test("SPJ superset join keys (part, cell) + grouped distinct agg: zero exchange end to end") {
+    // the q_snap_spj catalog shape: join keys are a SUPERSET of the
+    // partition key, allowed under requireAllClusterKeysForCoPartition=false
+    // (Iceberg documents the same toggle); the final GROUP BY part and the
+    // count(DISTINCT cell) expansion must ALSO ride the key-grouped scans
+    val rootF = java.nio.file.Files.createTempDirectory("spjsupf").toString
+    val rootD = java.nio.file.Files.createTempDirectory("spjsupd").toString
+    val base = (0L until 4000L).map(i => (i, i % 40, i % 8)).toDF("id", "cell", "part")
+    new SnapshotTable(spark, rootF).init(base.repartition(4))
+    new SnapshotTable(spark, rootD).init(
+      base.groupBy("part", "cell").agg(org.apache.spark.sql.functions.count("*").as("n")))
+    def reg(root: String, name: String): Unit =
+      spark.read.format("graft.sources.SnapshotSource").option("root", root)
+        .option("spj", "true").load().createOrReplaceTempView(name)
+    reg(rootF, "spj_sup_f"); reg(rootD, "spj_sup_d")
+    val sql = """SELECT a.part AS part, count(*) AS npts, count(DISTINCT a.cell) AS ncells
+                 FROM spj_sup_f a JOIN spj_sup_d b ON a.part = b.part AND a.cell = b.cell
+                 WHERE b.n >= 2 GROUP BY a.part"""
+    val conf = spark.conf
+    val broadcastWas = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val requireAllWas = conf.get("spark.sql.requireAllClusterKeysForCoPartition")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    try {
+      val df = spark.sql(sql)
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      // ground truth straight off the local seq
+      val byCell = base.collect().map(r => (r.getLong(2), r.getLong(1)))
+        .groupBy(identity).map { case (k, v) => (k, v.length.toLong) }
+      val dense = byCell.filter(_._2 >= 2)
+      val want = dense.toSeq.groupBy(_._1._1).map { case (p, cs) =>
+        (p, cs.map(_._2).sum, cs.map(_._1._2).distinct.length.toLong) }.toSeq.sortBy(_._1)
+      assert(got.toSeq === want, "superset-key SPJ parity")
+      assert(!df.queryExecution.executedPlan.toString.contains("Exchange"),
+        s"superset-key SPJ must plan no exchange; got:\n${df.queryExecution.executedPlan.toString.take(1200)}")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", broadcastWas)
+      conf.set("spark.sql.requireAllClusterKeysForCoPartition", requireAllWas)
+    }
+  }
+
   test("runtime filtering (DPP): a join against a filtered dim prunes the snapshot scan at execution time") {
     val root = java.nio.file.Files.createTempDirectory("snapdpp").toString
     val t = new SnapshotTable(spark, root)
@@ -841,6 +910,60 @@ class SnapshotTableSpec extends SparkSpec {
     val planned = graft.sources.SnapshotSource.ScanProbe.lastPlannedSlices
     assert(planned > 0 && planned < totalFiles,
       s"runtime filter must narrow planning to one partition's files ($planned of $totalFiles)")
+  }
+
+  test("LIMIT pushdown plans only the files whose row counts cover the limit") {
+    val root = java.nio.file.Files.createTempDirectory("snaplim").toString
+    val t = new SnapshotTable(spark, root)
+    t.init((0L until 3200L).map(i => (i, i, i % 8)).toDF("id", "v", "part").repartition(4))
+    val totalFiles = t.snapshot(1).size
+    assert(totalFiles > 8, "fixture: several files per partition")
+    val view = spark.read.format("graft.sources.SnapshotSource").option("root", root).load()
+    assert(view.limit(5).collect().length === 5)
+    assert(graft.sources.SnapshotSource.ScanProbe.lastPlannedSlices === 1,
+      "LIMIT 5 must plan exactly one file (each file holds ~100 rows)")
+    // control: the unlimited read keeps every slice
+    assert(view.count() === 3200L) // count() pushes to metadata, no slices planned
+    view.collect()
+    assert(graft.sources.SnapshotSource.ScanProbe.lastPlannedSlices === totalFiles)
+  }
+
+  test("ORDER BY statscol LIMIT k prunes files via manifest bounds; nullable column declines") {
+    import org.apache.spark.sql.functions.{col, when}
+    val root = java.nio.file.Files.createTempDirectory("snaptopn").toString
+    val t = new SnapshotTable(spark, root, statsCol = Some("v"))
+    // v correlates with part (i / 400): each part's 4 files span only that
+    // part's 400-value band, so per-file bounds separate top-k candidates
+    t.init((0L until 3200L).map(i => (i, i, i / 400)).toDF("id", "v", "part").repartition(4))
+    val totalFiles = t.snapshot(1).size
+    val view = spark.read.format("graft.sources.SnapshotSource")
+      .option("root", root).option("statscol", "v").load()
+    assert(view.orderBy(col("v")).limit(7).collect().map(_.getLong(1)).toSeq
+      === (0L until 7L), "ascending top-k parity")
+    val ascPlanned = graft.sources.SnapshotSource.ScanProbe.lastPlannedSlices
+    assert(ascPlanned > 0 && ascPlanned <= totalFiles / 4,
+      s"asc top-7 must read only the low band's files ($ascPlanned of $totalFiles)")
+    assert(view.orderBy(col("v").desc).limit(7).collect().map(_.getLong(1)).toSeq
+      === (3199L until 3192L by -1), "descending top-k parity")
+    val descPlanned = graft.sources.SnapshotSource.ScanProbe.lastPlannedSlices
+    assert(descPlanned > 0 && descPlanned <= totalFiles / 4,
+      s"desc top-7 must read only the high band's files ($descPlanned of $totalFiles)")
+    // a NULLABLE stats column declines the pushdown (the manifest cannot
+    // bound how many rows participate in the value order): same answer,
+    // every file planned
+    val rootN = java.nio.file.Files.createTempDirectory("snaptopnn").toString
+    val tn = new SnapshotTable(spark, rootN, statsCol = Some("v"))
+    val nullable = (0L until 3200L).map(i => (i, i, i / 400)).toDF("id", "v0", "part")
+      .withColumn("v", when(col("id") >= 0, col("v0"))).drop("v0")
+      .select("id", "v", "part")
+    assert(nullable.schema("v").nullable, "fixture: v must be nullable")
+    tn.init(nullable)
+    val viewN = spark.read.format("graft.sources.SnapshotSource")
+      .option("root", rootN).option("statscol", "v").load()
+    assert(viewN.orderBy(col("v")).limit(7).collect().map(_.getLong(1)).toSeq
+      === (0L until 7L))
+    assert(graft.sources.SnapshotSource.ScanProbe.lastPlannedSlices === tn.snapshot(1).size,
+      "nullable stats column must decline top-k pruning")
   }
 
   test("COUNT(*)/MIN/MAX answer from MANIFESTS alone: they survive the data files being renamed away") {
