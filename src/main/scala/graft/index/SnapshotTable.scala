@@ -115,7 +115,7 @@ class SnapshotTable(spark: SparkSession, root: String,
 
   private val fileRe =
     ("""\{"path":"([^"]+)","part":(-?\d+),"rows":(\d+),"bytes":(\d+)""" +
-     """(?:,"lo":(-?\d+),"hi":(-?\d+))?\}""").r
+     """(?:,"lo":(-?\d+),"hi":(-?\d+))?(?:,"nulls":(\d+))?\}""").r
 
   /** Stream one manifest's file entries (line-at-a-time; the whole page is
     * never held as a single string). */
@@ -125,7 +125,8 @@ class SnapshotTable(spark: SparkSession, root: String,
       val entries = s.iterator().asScala.flatMap(line =>
         fileRe.findFirstMatchIn(line).map(m =>
           FileEntry(m.group(1), m.group(2).toLong, m.group(3).toLong, m.group(4).toLong,
-            Option(m.group(5)).map(_.toLong), Option(m.group(6)).map(_.toLong)))).toSeq
+            Option(m.group(5)).map(_.toLong), Option(m.group(6)).map(_.toLong),
+            Option(m.group(7)).map(_.toLong)))).toSeq
       driverEntryCounter.set(driverEntryCounter.get() + entries.size)
       entries
     } finally s.close()
@@ -201,7 +202,8 @@ class SnapshotTable(spark: SparkSession, root: String,
       case (Some(l), Some(h)) => s""","lo":$l,"hi":$h"""
       case _ => ""
     }
-    s"""{"path":"${f.path}","part":${f.part},"rows":${f.rows},"bytes":${f.bytes}$stats}"""
+    val nulls = f.nulls.fold("")(n => s""","nulls":$n""")
+    s"""{"path":"${f.path}","part":${f.part},"rows":${f.rows},"bytes":${f.bytes}$stats$nulls}"""
   }
 
   /** The exact data-file set of snapshot v (diagnostic/test API — this one
@@ -1088,12 +1090,16 @@ object SnapshotTable {
 
   /** One data file in a snapshot. `lo`/`hi` are the min/max of the table's
     * stats column in this file (Iceberg's per-file column bounds), present
-    * when the table tracks one. `bytes` is the file's on-disk size (drives
-    * [[SnapshotTable.compact]]'s byte-target bin-packing). Companion-level
-    * (no outer pointer) so the distributed footer harvest can return
-    * entries straight from executor tasks. */
+    * when the table tracks one; `nulls` is the stats column's NULL count
+    * (Iceberg's null_value_counts — exact when present, None when the
+    * footer didn't record it), which lets ORDER-BY-limit file pruning
+    * reason about where null rows rank even on nullable columns. `bytes`
+    * is the file's on-disk size (drives [[SnapshotTable.compact]]'s
+    * byte-target bin-packing). Companion-level (no outer pointer) so the
+    * distributed footer harvest can return entries straight from executor
+    * tasks. */
   final case class FileEntry(path: String, part: Long, rows: Long, bytes: Long,
-      lo: Option[Long] = None, hi: Option[Long] = None)
+      lo: Option[Long] = None, hi: Option[Long] = None, nulls: Option[Long] = None)
 
   /** One manifest in a snapshot's manifest list: the path of the JSONL
     * page plus the bounds that let a read prune it unopened. */
@@ -1141,9 +1147,21 @@ object SnapshotTable {
     val inputFile = HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(f), conf)
     val bytes = inputFile.getLength
     val r = ParquetFileReader.open(inputFile)
-    val (rows, lo, hi) = try {
+    val (rows, lo, hi, nulls) = try {
       val blocks = r.getFooter.getBlocks.asScala.toSeq
       val nRows = blocks.map(_.getRowCount).sum
+      // per-block NULL counts of the stats column (Iceberg's
+      // null_value_counts): exact when every block recorded one, else
+      // unknown — TopN pruning declines on unknown rather than guessing
+      val nullCounts: Option[Long] = statsCol.flatMap { c =>
+        val perBlock = blocks.map(b =>
+          b.getColumns.asScala.find(_.getPath.toDotString == c).map(_.getStatistics) match {
+            case Some(s) if s != null && s.isNumNullsSet => Some(s.getNumNulls)
+            case _ => None
+          })
+        if (perBlock.nonEmpty && perBlock.forall(_.isDefined)) Some(perBlock.flatten.sum)
+        else None
+      }
       // Per-block bound, CONSERVATIVE: Some(Some(bounds)) = usable numeric
       // stats; Some(None) = provably ALL-NULL chunk (contributes no value,
       // safely ignorable — SQL min/max skips nulls the same way); None =
@@ -1170,10 +1188,10 @@ object SnapshotTable {
       val bounds =
         if (statsCol.isEmpty || perBlock.exists(_.isEmpty)) Seq.empty
         else perBlock.flatten.flatten
-      if (bounds.isEmpty) (nRows, None, None)
-      else (nRows, Some(bounds.map(_._1).min), Some(bounds.map(_._2).max))
+      if (bounds.isEmpty) (nRows, None, None, nullCounts)
+      else (nRows, Some(bounds.map(_._1).min), Some(bounds.map(_._2).max), nullCounts)
     } finally r.close()
-    FileEntry(f, part, rows, bytes, lo, hi)
+    FileEntry(f, part, rows, bytes, lo, hi, nulls)
   }
 
   private def statsMetaPath(root: String): Path = Paths.get(s"$root/stats.json")

@@ -252,7 +252,7 @@ object SnapshotSource {
     // are PARTIAL pushdowns (isPartiallyPushed stays true): Spark still
     // applies the exact limit / re-sorts above the pruned scan.
     private var limitRows: Option[Int] = None
-    private var topN: Option[(Boolean, Int)] = None // (ascending, k)
+    private var topN: Option[(Boolean, Boolean, Int)] = None // (asc, nullsFirst, k)
 
     override def pushLimit(n: Int): Boolean = { limitRows = Some(n); true }
 
@@ -262,21 +262,23 @@ object SnapshotSource {
     override def isPartiallyPushed(): Boolean = true
 
     /**
-     * ORDER BY statsCol LIMIT k: the per-file [lo, hi] bounds admit a
-     * sound cutoff — sort files by `hi` ascending and take them until
-     * their row counts reach k; every row in the taken files is ≤ H (the
-     * last taken `hi`), so ≥ k rows rank at or below H and any file with
-     * `lo` > H cannot contribute to the top k (mirrored via `lo`
-     * descending for DESC). Accepted ONLY when the sort column is the
-     * table's stats column AND its schema field is NON-NULLABLE — with
-     * possible nulls the manifest can't bound how many of a file's rows
-     * participate in the value order (nulls sort first or last wholesale),
-     * so nullable columns honestly decline the pushdown. Entries without
-     * bounds (pre-stats files) keep the scan un-pruned rather than
-     * guessing.
+     * ORDER BY statsCol LIMIT k: the per-file [lo, hi] bounds plus the
+     * per-file NULL counts admit a sound cutoff. All of a file's non-null
+     * rows sit in [lo, hi] and its `nulls` rows sort wholesale first or
+     * last (the query's null ordering), so: subtract the null population
+     * from k (nulls-first) or demand k non-nulls exist (nulls-last), then
+     * walk bounded files by reachable extreme — `hi` ascending for ASC —
+     * accumulating NON-NULL rows until they cover what's needed; every
+     * accumulated row is ≤ H (the last taken `hi`), so the needed-th
+     * smallest non-null is ≤ H and files with `lo` > H cannot contribute
+     * (mirrored via `lo` descending for DESC). Null-carrying files are
+     * kept whenever nulls participate. Entries missing bounds or null
+     * counts (pre-stats manifests) keep the scan un-pruned rather than
+     * guessing — the pushdown itself stays accepted; pruning is what
+     * declines.
      */
     override def pushTopN(orders: Array[SortOrder], n: Int): Boolean = {
-      import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
+      import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection}
       orders match {
         case Array(o) =>
           val onStats = o.expression() match {
@@ -284,10 +286,12 @@ object SnapshotSource {
               r.fieldNames.length == 1 && statsCol.contains(r.fieldNames.head)
             case _ => false
           }
-          val nonNullableLong = statsCol.exists(c =>
-            schema.fields.exists(f => f.name == c && !f.nullable && f.dataType == LongType))
-          if (onStats && nonNullableLong) {
-            topN = Some((o.direction == SortDirection.ASCENDING, n)); true
+          val statsIsLong = statsCol.exists(c =>
+            schema.fields.exists(f => f.name == c && f.dataType == LongType))
+          if (onStats && statsIsLong) {
+            topN = Some((o.direction == SortDirection.ASCENDING,
+              o.nullOrdering() == NullOrdering.NULLS_FIRST, n))
+            true
           } else false
         case _ => false
       }
@@ -300,18 +304,49 @@ object SnapshotSource {
       entries.takeWhile { e => val need = cum < n; cum += e.rows; need }
     }
 
-    private def topNPrune(entries: Seq[SnapshotTable.FileEntry], asc: Boolean, k: Int)
-        : Seq[SnapshotTable.FileEntry] =
-      if (entries.exists(e => e.lo.isEmpty || e.hi.isEmpty)) entries
-      else if (asc) {
-        val taken = limitPrune(entries.sortBy(_.hi.get), k)
-        if (taken.isEmpty) taken
-        else { val h = taken.last.hi.get; entries.filter(_.lo.get <= h) }
-      } else {
-        val taken = limitPrune(entries.sortBy(e => -e.lo.get), k)
-        if (taken.isEmpty) taken
-        else { val l = taken.last.lo.get; entries.filter(_.hi.get >= l) }
+    private def topNPrune(entries: Seq[SnapshotTable.FileEntry],
+        asc: Boolean, nullsFirst: Boolean, k: Int): Seq[SnapshotTable.FileEntry] = {
+      val nonNullable = statsCol.exists(c =>
+        schema.fields.exists(f => f.name == c && !f.nullable))
+      // exact null count per file, or None = unknown (declines pruning)
+      def nullsOf(e: SnapshotTable.FileEntry): Option[Long] =
+        e.nulls.orElse(if (nonNullable) Some(0L) else None)
+      val info = entries.map(e => (e, nullsOf(e)))
+      val usable = info.forall { case (e, n) =>
+        n.isDefined && (n.get == e.rows || (e.lo.isDefined && e.hi.isDefined)) }
+      if (!usable) return entries
+      val withN = info.map { case (e, n) => (e, n.get) }
+      val totalNull = withN.map(_._2).sum
+      val totalNonNull = withN.map { case (e, n) => e.rows - n }.sum
+      val bounded = withN.filter { case (e, n) => n < e.rows } // these have bounds
+      val sorted =
+        if (asc) bounded.sortBy { case (e, _) => e.hi.get }
+        else bounded.sortBy { case (e, _) => -e.lo.get }
+      // H (asc) / L (desc) such that >= `needed` non-null rows rank at or
+      // inside it; None = every bounded file is needed
+      def cutoff(needed: Long): Option[Long] = {
+        var cum = 0L
+        sorted.iterator.map { case (e, n) =>
+          cum += e.rows - n
+          (if (asc) e.hi.get else e.lo.get, cum)
+        }.collectFirst { case (bound, c) if c >= needed => bound }
       }
+      def inCut(bound: Long)(e: SnapshotTable.FileEntry): Boolean =
+        if (asc) e.lo.exists(_ <= bound) else e.hi.exists(_ >= bound)
+      if (nullsFirst) {
+        if (totalNull >= k) withN.collect { case (e, n) if n > 0 => e }
+        else cutoff(k - totalNull) match {
+          case None => entries
+          case Some(b) => withN.collect { case (e, n) if n > 0 || inCut(b)(e) => e }
+        }
+      } else {
+        if (totalNonNull < k) entries // nulls fill the tail: everything participates
+        else cutoff(k) match {
+          case None => withN.collect { case (e, n) if n < e.rows => e } // all-null files can't rank
+          case Some(b) => withN.collect { case (e, n) if n < e.rows && inCut(b)(e) => e }
+        }
+      }
+    }
 
     // ------------- METADATA-ONLY AGGREGATES (Iceberg's metadata count) --
     // COUNT(*), MIN(statsCol), MAX(statsCol) — optionally GROUP BY part —
@@ -413,7 +448,7 @@ object SnapshotSource {
       require(target > 0, s"maxsplitbytes must be positive, got $target")
       val filePrune: Seq[SnapshotTable.FileEntry] => Seq[SnapshotTable.FileEntry] =
         (topN, limitRows) match {
-          case (Some((asc, k)), _) => topNPrune(_, asc, k)
+          case (Some((asc, nf, k)), _) => topNPrune(_, asc, nf, k)
           case (None, Some(n)) => limitPrune(_, n)
           case _ => identity
         }
@@ -839,6 +874,7 @@ object SnapshotSource {
       var lo = Long.MaxValue
       var hi = Long.MinValue
       var bounded = false
+      var nulls = 0L
     }
     private val open = scala.collection.mutable.Map.empty[Long, PartFile]
     private val done = scala.collection.mutable.ListBuffer.empty[SnapshotTable.FileEntry]
@@ -848,7 +884,8 @@ object SnapshotSource {
       val hp = new org.apache.hadoop.fs.Path(f.path)
       val bytes = hp.getFileSystem(conf).getFileStatus(hp).getLen
       SnapshotTable.FileEntry(f.path, f.part, f.rows, bytes,
-        if (f.bounded) Some(f.lo) else None, if (f.bounded) Some(f.hi) else None)
+        if (f.bounded) Some(f.lo) else None, if (f.bounded) Some(f.hi) else None,
+        if (statsIdx >= 0) Some(f.nulls) else None)
     }
 
     override def write(row: InternalRow): Unit = {
@@ -857,9 +894,12 @@ object SnapshotSource {
       val f = open.getOrElseUpdate(p, new PartFile(p))
       f.writer.write(row)
       f.rows += 1
-      if (statsIdx >= 0 && !row.isNullAt(statsIdx)) {
-        val v = row.getLong(statsIdx)
-        f.lo = math.min(f.lo, v); f.hi = math.max(f.hi, v); f.bounded = true
+      if (statsIdx >= 0) {
+        if (row.isNullAt(statsIdx)) f.nulls += 1
+        else {
+          val v = row.getLong(statsIdx)
+          f.lo = math.min(f.lo, v); f.hi = math.max(f.hi, v); f.bounded = true
+        }
       }
       // roll at the byte target; getDataSize (written + buffered) is
       // checked every 1024 rows — it walks the column writers, so a

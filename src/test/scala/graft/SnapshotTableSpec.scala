@@ -928,7 +928,7 @@ class SnapshotTableSpec extends SparkSpec {
     assert(graft.sources.SnapshotSource.ScanProbe.lastPlannedSlices === totalFiles)
   }
 
-  test("ORDER BY statscol LIMIT k prunes files via manifest bounds; nullable column declines") {
+  test("ORDER BY statscol LIMIT k prunes files via manifest bounds; null counts cover nullable columns") {
     import org.apache.spark.sql.functions.{col, when}
     val root = java.nio.file.Files.createTempDirectory("snaptopn").toString
     val t = new SnapshotTable(spark, root, statsCol = Some("v"))
@@ -948,22 +948,44 @@ class SnapshotTableSpec extends SparkSpec {
     val descPlanned = graft.sources.SnapshotSource.ScanProbe.lastPlannedSlices
     assert(descPlanned > 0 && descPlanned <= totalFiles / 4,
       s"desc top-7 must read only the high band's files ($descPlanned of $totalFiles)")
-    // a NULLABLE stats column declines the pushdown (the manifest cannot
-    // bound how many rows participate in the value order): same answer,
-    // every file planned
+    // a NULLABLE stats column still prunes: the manifests' per-file null
+    // counts say exactly where null rows rank (all 100 nulls live in the
+    // id < 100 band = part 0's files)
     val rootN = java.nio.file.Files.createTempDirectory("snaptopnn").toString
     val tn = new SnapshotTable(spark, rootN, statsCol = Some("v"))
     val nullable = (0L until 3200L).map(i => (i, i, i / 400)).toDF("id", "v0", "part")
-      .withColumn("v", when(col("id") >= 0, col("v0"))).drop("v0")
+      .withColumn("v", when(col("id") >= 100L, col("v0"))).drop("v0")
       .select("id", "v", "part")
     assert(nullable.schema("v").nullable, "fixture: v must be nullable")
     tn.init(nullable)
+    val totalN = tn.snapshot(1).size
+    assert(tn.snapshot(1).forall(_.nulls.isDefined), "footer harvest records null counts")
+    assert(tn.snapshot(1).map(_.nulls.get).sum === 100L)
     val viewN = spark.read.format("graft.sources.SnapshotSource")
       .option("root", rootN).option("statscol", "v").load()
-    assert(viewN.orderBy(col("v")).limit(7).collect().map(_.getLong(1)).toSeq
-      === (0L until 7L))
-    assert(graft.sources.SnapshotSource.ScanProbe.lastPlannedSlices === tn.snapshot(1).size,
-      "nullable stats column must decline top-k pruning")
+    // asc default = NULLS FIRST: top-7 are null rows -> only null-carrying
+    // files (part 0's) plan
+    assert(viewN.orderBy(col("v")).limit(7).collect().forall(_.isNullAt(1)))
+    val nfPlanned = graft.sources.SnapshotSource.ScanProbe.lastPlannedSlices
+    assert(nfPlanned > 0 && nfPlanned <= totalN / 4,
+      s"nulls-first top-7 must plan only null-carrying files ($nfPlanned of $totalN)")
+    // asc NULLS LAST: top-7 non-nulls are v=100..106 -> the low band only
+    assert(viewN.orderBy(col("v").asc_nulls_last).limit(7).collect()
+      .map(_.getLong(1)).toSeq === (100L until 107L))
+    val nlPlanned = graft.sources.SnapshotSource.ScanProbe.lastPlannedSlices
+    assert(nlPlanned > 0 && nlPlanned <= totalN / 4,
+      s"nulls-last top-7 must prune to the low band ($nlPlanned of $totalN)")
+    // desc default = NULLS LAST: the high band only
+    assert(viewN.orderBy(col("v").desc).limit(7).collect()
+      .map(_.getLong(1)).toSeq === (3199L until 3192L by -1))
+    val dPlanned = graft.sources.SnapshotSource.ScanProbe.lastPlannedSlices
+    assert(dPlanned > 0 && dPlanned <= totalN / 4,
+      s"desc top-7 must prune to the high band ($dPlanned of $totalN)")
+    // k larger than the non-null population under NULLS LAST: nulls fill
+    // the tail, so NOTHING may be pruned
+    assert(viewN.orderBy(col("v").desc).limit(3150).count() === 3150L)
+    assert(graft.sources.SnapshotSource.ScanProbe.lastPlannedSlices === totalN,
+      "k beyond the non-null population must keep every file")
   }
 
   test("COUNT(*)/MIN/MAX answer from MANIFESTS alone: they survive the data files being renamed away") {
