@@ -183,7 +183,8 @@ object SnapshotSource {
 
   private final class SnapScanBuilder(schema: StructType,
       props: java.util.Map[String, String],
-      register: SnapScan => Unit = _ => ())
+      register: SnapScan => Unit = _ => (),
+      rewriteScan: Boolean = false)
       extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
       with SupportsPushDownAggregates with SupportsPushDownLimit with SupportsPushDownTopN {
 
@@ -452,13 +453,31 @@ object SnapshotSource {
           case (None, Some(n)) => limitPrune(_, n)
           case _ => identity
         }
-      val pruned = filePrune(entries)
-      val scan = new SnapScan(ordered, table, parts, range, version, target, filePrune,
+      // GROUP EXPANSION for COW rewrite scans (caught by the armed DML
+      // model check): Spark's group-based planning pushes the command's
+      // CONDITION into this scan, but our replace group is the PARTITION,
+      // not the file — file-pruning a matched partition by stats range
+      // would read only its matching files and then REPLACE the whole
+      // partition without the pruned files' rows (silent data loss; for
+      // Iceberg the pushdown is safe only because its group IS the file).
+      // So a rewrite scan uses the pushed range solely to find CANDIDATE
+      // partitions, then reads them WHOLE: no stats range at plan time, no
+      // row-group predicate in the reader, partition set narrowed instead.
+      val (scanParts, scanRange) =
+        if (rewriteScan && range.isDefined) (Some(entries.map(_.part).toSet), None)
+        else (parts, range)
+      val pruned =
+        if (rewriteScan && range.isDefined)
+          table.pruneFiles(scanParts, None, version)
+        else filePrune(entries)
+      val scan = new SnapScan(ordered, table, scanParts, scanRange, version, target,
+        if (rewriteScan) identity else filePrune,
+        if (rewriteScan) None else statsCol,
         (pruned.map(_.bytes).sum, pruned.map(_.rows).sum),
         if (Option(props.get("spj")).exists(_.toBoolean))
           pruned.iterator.map(_.part).toSet.size
         else -1,
-        readerConf(session, ordered, statsCol, range),
+        readerConf(session, ordered, statsCol, if (rewriteScan) None else range),
         Option(props.get("startingversion")).map(_.toInt).getOrElse(0),
         Option(props.get("maxversionspertrigger")).map(_.toInt))
       register(scan)
@@ -718,7 +737,7 @@ object SnapshotSource {
       Array(Expressions.column("_file"))
 
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-      new SnapScanBuilder(schema, props, s => configured = s)
+      new SnapScanBuilder(schema, props, s => configured = s, rewriteScan = true)
 
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = new WriteBuilder {
       override def build(): Write = new Write with RequiresDistributionAndOrdering {
@@ -962,6 +981,7 @@ object SnapshotSource {
       parts0: Option[Set[Long]], range: Option[(Long, Long)], version: Int,
       target: Long,
       filePrune: Seq[SnapshotTable.FileEntry] => Seq[SnapshotTable.FileEntry],
+      runtimeStatsCol: Option[String],
       stats: (Long, Long), nParts: Int,
       conf: org.apache.spark.SerializableWritable[org.apache.hadoop.conf.Configuration],
       startVersion: Int = 0, maxVersions: Option[Int] = None)
@@ -970,6 +990,9 @@ object SnapshotSource {
 
     /** Partition set, possibly NARROWED at runtime by [[filter]]. */
     @volatile private var parts: Option[Set[Long]] = parts0
+    /** Stats range, possibly NARROWED at runtime by [[filter]] to the
+      * envelope of a join's key values. */
+    @volatile private var rangeNow: Option[(Long, Long)] = range
 
     override def readSchema(): StructType = out
     override def toBatch: Batch = this
@@ -985,12 +1008,22 @@ object SnapshotSource {
      * the intersection, so the join reads only the dim-selected region of
      * a 100 TB table even when the predicate wasn't known at plan time.
      */
-    override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-      // only offer `part` when the scan OUTPUTS it — PartitionPruning
-      // resolves the refs against the scan's output and throws otherwise
-      // (a column-pruned scan that drops part can't be runtime-filtered)
-      if (out.fieldNames.contains("part")) Array(Expressions.column("part"))
-      else Array.empty
+    override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+      // only offer columns the scan OUTPUTS — PartitionPruning resolves
+      // the refs against the scan's output and throws otherwise (a
+      // column-pruned scan that drops part can't be runtime-filtered).
+      // The STATS column is offered too (read scans only): a join on it
+      // delivers its key values at execution and [[filter]] narrows the
+      // file set to the values' [min, max] envelope — time-correlated
+      // joins ("events of these sessions") then read only the matching
+      // bands of an event-ordered table. NEVER offered for a COW rewrite
+      // scan: the runtime group filter there carries the MATCHED rows'
+      // values, and pruning survivor files inside a matched partition
+      // would make the partition-replacing write drop their rows.
+      val cols = Seq("part").filter(out.fieldNames.contains) ++
+        runtimeStatsCol.filter(out.fieldNames.contains)
+      cols.map(Expressions.column).toArray
+    }
 
     override def filter(filters: Array[Filter]): Unit = filters.foreach {
       case In("part", vs) =>
@@ -998,6 +1031,17 @@ object SnapshotSource {
         parts = Some(parts.fold(ps)(_.intersect(ps)))
       case EqualTo("part", v: Long) =>
         parts = Some(parts.fold(Set(v))(_.intersect(Set(v))))
+      case In(c, vs) if runtimeStatsCol.contains(c) =>
+        val longs = vs.collect { case l: Long => l; case i: Int => i.toLong }
+        // a non-long or empty value set narrows nothing (conservative)
+        if (longs.nonEmpty && longs.length == vs.length) {
+          val (lo, hi) = (longs.min, longs.max)
+          rangeNow = Some(rangeNow.fold((lo, hi)) { case (l0, h0) =>
+            (math.max(l0, lo), math.min(h0, hi)) })
+        }
+      case EqualTo(c, v: Long) if runtimeStatsCol.contains(c) =>
+        rangeNow = Some(rangeNow.fold((v, v)) { case (l0, h0) =>
+          (math.max(l0, v), math.min(h0, v)) })
       case _ => ()
     }
 
@@ -1012,7 +1056,7 @@ object SnapshotSource {
     override def planInputPartitions(): Array[InputPartition] = {
       // limit/top-N file pruning composes AFTER runtime narrowing: both
       // rules only shrink the file set, in either order soundly
-      val entries = filePrune(table.pruneFiles(parts, range, version))
+      val entries = filePrune(table.pruneFiles(parts, rangeNow, version))
       plannedParts = entries.map(_.part).toSet
       val slices = sliceEntries(entries, target)
       ScanProbe.lastPlannedSlices = slices.size

@@ -151,7 +151,13 @@ class GraftCatalogSpec extends SparkSpec {
 
   test("model check: a seeded mixed DML sequence matches an in-memory model") {
     warehouse
-    spark.sql("CREATE TABLE cat.geo.fz (id BIGINT, v BIGINT, part BIGINT) PARTITIONED BY (part)")
+    // statscol = id ARMS every stats-pruning path against the DML fuzz:
+    // banded UPDATE conditions and MERGE group-filter subqueries must
+    // never range- or envelope-prune survivor files out of a COW rewrite
+    // (the rewrite scan declines stats runtime filtering by design) — a
+    // regression there diverges from the model within a step or two
+    spark.sql("CREATE TABLE cat.geo.fz (id BIGINT, v BIGINT, part BIGINT) " +
+      "PARTITIONED BY (part) TBLPROPERTIES ('statscol'='id')")
     // model: id -> v (part = id % 5, derived — identity partitioning)
     val model = scala.collection.mutable.Map.empty[Long, Long]
     def pt(id: Long) = id % 5

@@ -988,6 +988,31 @@ class SnapshotTableSpec extends SparkSpec {
       "k beyond the non-null population must keep every file")
   }
 
+  test("runtime RANGE filtering: a join on the stats column narrows the scan to the keys' envelope") {
+    val root = java.nio.file.Files.createTempDirectory("snaprrf").toString
+    val t = new SnapshotTable(spark, root, statsCol = Some("v"))
+    // event-ordered layout: range-repartitioned on v, so per-file bounds
+    // band the stats column tightly
+    t.init((0L until 8000L).map(i => (i, i % 4, i)).toDF("id", "part", "v")
+      .repartitionByRange(16, $"v"))
+    val totalFiles = t.snapshot(1).size
+    assert(totalFiles > 16, "fixture: several files with narrow v bands")
+    spark.read.format("graft.sources.SnapshotSource")
+      .option("root", root).option("statscol", "v").load()
+      .createOrReplaceTempView("snap_rrf")
+    // the dim's v values are only known at execution (the tag filter) and
+    // cluster in ONE band [300, 399]; non-local so the selective predicate
+    // survives optimization (the DPP-test gotcha)
+    spark.range(0L, 8000L).select($"id".as("v"), ($"id" / 100).cast("long").as("tag"))
+      .createOrReplaceTempView("snap_rrf_dim")
+    val joined = spark.sql(
+      "SELECT f.id FROM snap_rrf f JOIN snap_rrf_dim d ON f.v = d.v WHERE d.tag = 3")
+    assert(joined.count() === 100L)
+    val planned = graft.sources.SnapshotSource.ScanProbe.lastPlannedSlices
+    assert(planned > 0 && planned <= totalFiles / 4,
+      s"runtime range filter must narrow planning to the joined band ($planned of $totalFiles)")
+  }
+
   test("COUNT(*)/MIN/MAX answer from MANIFESTS alone: they survive the data files being renamed away") {
     val root = java.nio.file.Files.createTempDirectory("snapagg").toString
     val t = new SnapshotTable(spark, root, statsCol = Some("id"))
