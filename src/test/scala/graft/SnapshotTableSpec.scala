@@ -888,6 +888,52 @@ class SnapshotTableSpec extends SparkSpec {
     }
   }
 
+  test("partially-clustered SPJ: a skewed partition joins slice-parallel with zero exchange") {
+    // the skew escape hatch INSIDE storage-partitioned joins
+    // (spark.sql.sources.v2.bucketing.partiallyClusteredDistribution):
+    // without it the hot partition is ONE task per key; with it each byte
+    // slice of the hot partition becomes its own task, joined against the
+    // replicated small side — still no exchange on the fact. (Tradeoff,
+    // measured: the join output is no longer fully key-grouped, so a
+    // downstream GROUP BY part re-shuffles — pick per query shape.)
+    val rootA = java.nio.file.Files.createTempDirectory("spjska").toString
+    val rootB = java.nio.file.Files.createTempDirectory("spjskb").toString
+    val fact = ((0L until 8000L).map(i => (i, 0L)) ++
+      (0L until 700L).map(i => (8000L + i, 1L + i % 7))).toDF("id", "part")
+    new SnapshotTable(spark, rootA).init(fact.repartition(8))
+    new SnapshotTable(spark, rootB).init(
+      fact.groupBy("part").agg(org.apache.spark.sql.functions.count("*").as("n")))
+    def reg(root: String, name: String): Unit =
+      spark.read.format("graft.sources.SnapshotSource").option("root", root)
+        .option("spj", "true").option("maxsplitbytes", "8192").load()
+        .createOrReplaceTempView(name)
+    reg(rootA, "spj_sk_a"); reg(rootB, "spj_sk_b")
+    val sql = "SELECT a.id, b.n FROM spj_sk_a a JOIN spj_sk_b b ON a.part = b.part"
+    val conf = spark.conf
+    val broadcastWas = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val pcdKey = "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled"
+    val pcdWas = conf.get(pcdKey)
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      conf.set(pcdKey, "false")
+      val off = spark.sql(sql)
+      val offRows = off.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      assert(off.rdd.getNumPartitions === 8, "grouped SPJ: one task per key")
+      assert(!off.queryExecution.executedPlan.toString.contains("Exchange"))
+      conf.set(pcdKey, "true")
+      val on = spark.sql(sql)
+      val onRows = on.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      assert(onRows.toSeq === offRows.toSeq, "partially-clustered parity")
+      assert(on.rdd.getNumPartitions > 8,
+        s"the hot partition must split into slice tasks (got ${on.rdd.getNumPartitions})")
+      assert(!on.queryExecution.executedPlan.toString.contains("Exchange"),
+        "partially-clustered join must still plan no exchange")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", broadcastWas)
+      conf.set(pcdKey, pcdWas)
+    }
+  }
+
   test("runtime filtering (DPP): a join against a filtered dim prunes the snapshot scan at execution time") {
     val root = java.nio.file.Files.createTempDirectory("snapdpp").toString
     val t = new SnapshotTable(spark, root)
