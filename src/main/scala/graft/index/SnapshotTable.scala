@@ -1830,6 +1830,56 @@ object SnapshotQueries {
   }
 
   /**
+   * POINT FETCH through the oracle gate (the S5 `findBB(bb, osmId, typ)`
+   * single-object lookup re-expressed over the snapshot index,
+   * `OsmStorageService.scala:149-174`): `part = routing cell AND pid IN
+   * (…)` — the part equality prunes manifests to one partition at plan
+   * time, and the pid IN-list rides to the parquet readers as a point
+   * predicate ([[graft.sources.SnapshotSource]]'s pointEq), so only the
+   * row groups whose stats/dictionaries can hold those pids decode. The
+   * probe pids are taken deterministically (smallest 8 pids of the 3rd
+   * router partition) so the DuckDB oracle re-derives the same set.
+   */
+  def snapPoint(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.cell.{CellFunctions, CellIndex}
+    graft.gen.GeoWorld.registerUdfs(spark)
+    val root = freshRoot("snap-point", sfDir)
+    val t = new SnapshotTable(spark, root)
+    t.init(graft.gen.GeoWorld.points(spark, sfDir)
+      .select(col("pid"),
+        CellFunctions.zcell(col("lon"), col("lat"), lit(CellIndex.RES_MID)).as("cell"))
+      .withColumn("part", CellFunctions.zcellParent(
+        col("cell"), lit(CellIndex.RES_MID), lit(2))))
+    spark.read.format("graft.sources.SnapshotSource").option("root", root).load()
+      .createOrReplaceTempView("snap_point")
+    // deterministic probe: the 3rd-smallest part value, its 8 smallest pids
+    val probePart = spark.table("snap_point").select(col("part")).distinct()
+      .orderBy(col("part")).collect().map(_.getLong(0)).drop(2).head
+    val pids = spark.table("snap_point").filter(col("part") === probePart)
+      .orderBy(col("pid")).limit(8).collect().map(_.getLong(0))
+    spark.sql(
+      s"""SELECT pid, cell FROM snap_point
+         |WHERE part = $probePart AND pid IN (${pids.mkString(", ")})""".stripMargin)
+  }
+
+  val snapPointSql: String = {
+    import graft.cell.{CellIndex, CellSql}
+    graft.query.GeoQueries.withWorld(
+      s"""snapidx AS (
+         |  SELECT pid, ${CellSql.encode("lon", "lat", CellIndex.RES_MID)} AS cell,
+         |         ${CellSql.parent(CellSql.encode("lon", "lat", CellIndex.RES_MID), CellIndex.RES_MID, 2)} AS part
+         |  FROM pts
+         |),
+         |probe_part AS (
+         |  SELECT part FROM (SELECT DISTINCT part FROM snapidx ORDER BY part LIMIT 3)
+         |  ORDER BY part DESC LIMIT 1
+         |)""".stripMargin) +
+      """SELECT pid, cell FROM snapidx
+        |WHERE part = (SELECT part FROM probe_part)
+        |ORDER BY pid LIMIT 8""".stripMargin
+  }
+
+  /**
    * The CATALOG lifecycle through the oracle gate
    * ([[graft.sources.GraftCatalog]]): CREATE TABLE via SQL DDL, INSERT
    * INTO from the derived point table, then the same bbox fetch — table

@@ -208,10 +208,25 @@ object SnapshotSource {
       case _ => None
     }
 
+    /** Long data columns of the table (not virtual `part`) — candidates
+      * for point-lookup predicates handed to the parquet reader. */
+    private def longDataCol(c: String): Boolean =
+      c != "part" && schema.fields.exists(f => f.name == c && f.dataType == LongType)
+
+    /** Point-lookup predicates (EqualTo / small In on ANY long data
+      * column) collected for executor-side parquet filtering: no manifest
+      * has bounds for non-stats columns, so these prune nothing at
+      * planning — but the reader's FilterPredicate lets parquet drop row
+      * groups via column stats, dictionaries, and bloom filters. The S5
+      * point fetch (`cell = x AND id = y`) then decodes only the row
+      * groups that can hold the id, even inside a fat compacted cell. */
+    private var pointEq: Seq[(String, Seq[Long])] = Seq.empty
+
     override def pushFilters(filters: Array[Filter]): Array[Filter] = {
       var lo = Long.MinValue
       var hi = Long.MaxValue
       val used = Array.newBuilder[Filter]
+      val eqs = Seq.newBuilder[(String, Seq[Long])]
       filters.foreach {
         case f @ EqualTo("part", v) if longOf(v).isDefined =>
           val p = longOf(v).get
@@ -229,9 +244,15 @@ object SnapshotSource {
           hi = math.min(hi, longOf(v).get); used += f
         case f @ EqualTo(c, v) if statsCol.contains(c) && longOf(v).isDefined =>
           lo = math.max(lo, longOf(v).get); hi = math.min(hi, longOf(v).get); used += f
+        case f @ EqualTo(c, v) if longDataCol(c) && longOf(v).isDefined =>
+          eqs += ((c, Seq(longOf(v).get))); used += f
+        case f @ In(c, vs) if longDataCol(c) && vs.nonEmpty && vs.length <= 64 &&
+            vs.forall(longOf(_).isDefined) =>
+          eqs += ((c, vs.flatMap(longOf).toSeq)); used += f
         case _ => ()
       }
       if (lo != Long.MinValue || hi != Long.MaxValue) range = Some((lo, hi))
+      pointEq = eqs.result()
       pushed = used.result()
       // every filter stays a residual: bounds pruning skips FILES, the
       // engine still evaluates exact row predicates (parquet's contract)
@@ -477,7 +498,9 @@ object SnapshotSource {
         if (Option(props.get("spj")).exists(_.toBoolean))
           pruned.iterator.map(_.part).toSet.size
         else -1,
-        readerConf(session, ordered, statsCol, if (rewriteScan) None else range),
+        readerConf(session, ordered, statsCol,
+          if (rewriteScan) None else range,
+          if (rewriteScan) Seq.empty else pointEq),
         Option(props.get("startingversion")).map(_.toInt).getOrElse(0),
         Option(props.get("maxversionspertrigger")).map(_.toInt))
       register(scan)
@@ -544,9 +567,11 @@ object SnapshotSource {
     * under-stats files (a pre-evolution file missing the column is
     * all-null and correctly matches no range) both stay exact. */
   private def readerConf(session: SparkSession, out: StructType,
-      statsCol: Option[String] = None, range: Option[(Long, Long)] = None)
+      statsCol: Option[String] = None, range: Option[(Long, Long)] = None,
+      pointEq: Seq[(String, Seq[Long])] = Seq.empty)
       : org.apache.spark.SerializableWritable[org.apache.hadoop.conf.Configuration] = {
     import org.apache.spark.sql.internal.SQLConf
+    import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
     val conf = session.sessionState.newHadoopConf()
     val physical = StructType(out.fields.filterNot(f => f.name == "part" || f.name == "_file"))
     conf.set("parquet.read.support.class",
@@ -558,25 +583,32 @@ object SnapshotSource {
         SQLConf.CASE_SENSITIVE, SQLConf.LEGACY_PARQUET_NANOS_AS_LONG,
         SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED)
       .foreach(e => conf.setBoolean(e.key, sql.getConf(e)))
-    for {
+    // predicates only reference columns the scan actually reads — parquet
+    // rejects a record filter referencing a column outside the projection
+    def readable(c: String): Boolean =
+      physical.fields.exists(f => f.name == c && f.dataType == LongType)
+    val rangePred: Option[FilterPredicate] = for {
       c <- statsCol
       (lo, hi) <- range
-      // the stats column is a data column (LongType, enforced at init);
-      // only plant the predicate when the scan actually reads it — parquet
-      // rejects a record filter referencing a column outside the
-      // requested projection
-      if physical.fields.exists(f => f.name == c && f.dataType == LongType)
-    } {
-      import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
-      val col = FilterApi.longColumn(c)
-      val preds = Seq(
-        if (lo != Long.MinValue) Some(FilterApi.gtEq(col, java.lang.Long.valueOf(lo))) else None,
-        if (hi != Long.MaxValue) Some(FilterApi.ltEq(col, java.lang.Long.valueOf(hi))) else None
-      ).flatten
-      if (preds.nonEmpty)
-        org.apache.parquet.hadoop.ParquetInputFormat.setFilterPredicate(
-          conf, preds.reduce[FilterPredicate](FilterApi.and))
+      if readable(c)
+      preds = Seq(
+        if (lo != Long.MinValue) Some(FilterApi.gtEq(FilterApi.longColumn(c),
+          java.lang.Long.valueOf(lo))) else None,
+        if (hi != Long.MaxValue) Some(FilterApi.ltEq(FilterApi.longColumn(c),
+          java.lang.Long.valueOf(hi))) else None).flatten
+      if preds.nonEmpty
+    } yield preds.reduce[FilterPredicate](FilterApi.and)
+    // point lookups (EqualTo / small In) on any long data column: parquet
+    // skips row groups via stats, dictionary pages, and bloom filters
+    val eqPreds: Seq[FilterPredicate] = pointEq.collect {
+      case (c, vs) if readable(c) && vs.nonEmpty =>
+        vs.map(v => FilterApi.eq(FilterApi.longColumn(c),
+          java.lang.Long.valueOf(v)): FilterPredicate).reduce(FilterApi.or)
     }
+    val all = rangePred.toSeq ++ eqPreds
+    if (all.nonEmpty)
+      org.apache.parquet.hadoop.ParquetInputFormat.setFilterPredicate(
+        conf, all.reduce(FilterApi.and))
     new org.apache.spark.SerializableWritable(conf)
   }
 

@@ -608,6 +608,35 @@ class SnapshotTableSpec extends SparkSpec {
     assert(probe.sum() === 200000L, "residual-only filters decode every row group")
   }
 
+  test("point-lookup EqualTo/In on a non-stats long column skips row groups executor-side") {
+    val root = java.nio.file.Files.createTempDirectory("snappt").toString
+    val hc = spark.sparkContext.hadoopConfiguration
+    val oldBlock = Option(hc.get("parquet.block.size"))
+    hc.setInt("parquet.block.size", 64 * 1024)
+    val t = new SnapshotTable(spark, root) // NO stats column: id is not manifest-tracked
+    try t.init(spark.range(200000L)
+      .select(col("id"), lit(0L).as("part"), (col("id") % 97).as("v"))
+      .repartition(1).sortWithinPartitions("id"))
+    finally oldBlock.fold(hc.unset("parquet.block.size"))(hc.set("parquet.block.size", _))
+    assert(t.snapshot(1).size === 1, "fixture: one fat multi-row-group file")
+    val view = spark.read.format("graft.sources.SnapshotSource").option("root", root).load()
+    val probe = graft.sources.SnapshotSource.ScanProbe.rowsDelivered
+    probe.reset()
+    assert(view.filter(col("id") === 123456L).collect().map(_.getLong(0)).toSeq === Seq(123456L))
+    val eqDelivered = probe.sum()
+    assert(eqDelivered < 50000L,
+      s"EqualTo(id) must decode only the matching row group's band ($eqDelivered of 200000)")
+    probe.reset()
+    assert(view.filter(col("id").isin(5L, 199999L)).count() === 2L)
+    val inDelivered = probe.sum()
+    assert(inDelivered < 100000L,
+      s"In(id) must decode only the matching bands ($inDelivered of 200000)")
+    // a predicate on a low-cardinality unsorted column can't skip (every
+    // row group holds every v) — parity is what matters
+    probe.reset()
+    assert(view.filter(col("v") === 0L).count() === (0L until 200000L).count(_ % 97 == 0))
+  }
+
   test("ScalaCheck property: DSv2 pushdown matches ground truth row-for-row on random part/range predicates") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
