@@ -211,6 +211,8 @@ object SparkEntry {
     "q_snap_topn" -> ((s, d) => graft.index.SnapshotQueries.snapTopN(s, d)),
     // S5 point fetch: part-pruned manifests + pid IN riding to the readers
     "q_snap_point" -> ((s, d) => graft.index.SnapshotQueries.snapPoint(s, d)),
+    // merge-on-read equality delete: SQL DELETE commits delete files, zero rewrites
+    "q_snap_mor" -> ((s, d) => graft.index.SnapshotQueries.morDelete(s, d)),
     // tag whitelist (T10/T11) + distinct stats (G7 exact twin)
     "q_tag_whitelist" -> ((s, d) => graft.index.TagOps.tagWhitelist(s, d)),
     "q_cell_distinct" -> ((s, d) => graft.index.TagOps.distinctTagsByCell(s, d)),
@@ -326,6 +328,7 @@ object SparkEntry {
     "q_snap_spj" -> graft.index.SnapshotQueries.spjJoinSql,
     "q_snap_topn" -> graft.index.SnapshotQueries.snapTopNSql,
     "q_snap_point" -> graft.index.SnapshotQueries.snapPointSql,
+    "q_snap_mor" -> graft.index.SnapshotQueries.morDeleteSql,
     "q_snap_insert" -> graft.index.SnapshotQueries.sqlInsertUpsertSql,
     "q_snap_dpp" -> graft.index.SnapshotQueries.bboxDimFetchSql,
     "q_snap_count" -> graft.index.SnapshotQueries.snapMetaAggSql,

@@ -115,7 +115,8 @@ class SnapshotTable(spark: SparkSession, root: String,
 
   private val fileRe =
     ("""\{"path":"([^"]+)","part":(-?\d+),"rows":(\d+),"bytes":(\d+)""" +
-     """(?:,"lo":(-?\d+),"hi":(-?\d+))?(?:,"nulls":(\d+))?\}""").r
+     """(?:,"lo":(-?\d+),"hi":(-?\d+))?(?:,"nulls":(\d+))?""" +
+     """(?:,"kind":"(x)")?(?:,"seq":(\d+))?\}""").r
 
   /** Stream one manifest's file entries (line-at-a-time; the whole page is
     * never held as a single string). */
@@ -126,7 +127,9 @@ class SnapshotTable(spark: SparkSession, root: String,
         fileRe.findFirstMatchIn(line).map(m =>
           FileEntry(m.group(1), m.group(2).toLong, m.group(3).toLong, m.group(4).toLong,
             Option(m.group(5)).map(_.toLong), Option(m.group(6)).map(_.toLong),
-            Option(m.group(7)).map(_.toLong)))).toSeq
+            Option(m.group(7)).map(_.toLong),
+            if (m.group(8) == null) "d" else "x",
+            Option(m.group(9)).fold(0)(_.toInt)))).toSeq
       driverEntryCounter.set(driverEntryCounter.get() + entries.size)
       entries
     } finally s.close()
@@ -172,9 +175,13 @@ class SnapshotTable(spark: SparkSession, root: String,
     * match-all page bounds, and mixing them in would disable stats pruning
     * for every bounded file sharing their page. */
   private def writeManifests(entries: Seq[FileEntry]): Seq[ManifestMeta] = {
+    // delete entries get their OWN pages (full-range part bounds would
+    // otherwise disable partition pruning for data files sharing a page)
+    val (deletes, data) = entries.partition(_.isDelete)
     val (unbounded, bounded) =
-      entries.partition(f => statsColumn.isDefined && (f.lo.isEmpty || f.hi.isEmpty))
-    writeManifestPages(bounded) ++ writeManifestPages(unbounded)
+      data.partition(f => statsColumn.isDefined && (f.lo.isEmpty || f.hi.isEmpty))
+    writeManifestPages(bounded) ++ writeManifestPages(unbounded) ++
+      writeManifestPages(deletes)
   }
 
   private def writeManifestPages(entries: Seq[FileEntry]): Seq[ManifestMeta] =
@@ -193,8 +200,13 @@ class SnapshotTable(spark: SparkSession, root: String,
         if (page.forall(f => f.lo.isDefined && f.hi.isDefined))
           (Some(page.flatMap(_.lo).min), Some(page.flatMap(_.hi).max))
         else (None, None)
-      ManifestMeta(p, page.map(_.part).min, page.map(_.part).max,
-        page.size, page.map(_.rows).sum, lo, hi)
+      // DELETE pages advertise the FULL part range: a partition- or
+      // range-pruned read must still open them (a GLOBAL delete's sentinel
+      // part would otherwise fail the metas' partition-intersection test)
+      val (pLo, pHi) =
+        if (page.exists(_.isDelete)) (Long.MinValue, Long.MaxValue)
+        else (page.map(_.part).min, page.map(_.part).max)
+      ManifestMeta(p, pLo, pHi, page.size, page.map(_.rows).sum, lo, hi)
     }.toSeq
 
   private def fileJson(f: FileEntry): String = {
@@ -203,7 +215,9 @@ class SnapshotTable(spark: SparkSession, root: String,
       case _ => ""
     }
     val nulls = f.nulls.fold("")(n => s""","nulls":$n""")
-    s"""{"path":"${f.path}","part":${f.part},"rows":${f.rows},"bytes":${f.bytes}$stats$nulls}"""
+    val kind = if (f.isDelete) s""","kind":"x"""" else ""
+    val seq = if (f.seq > 0) s""","seq":${f.seq}""" else ""
+    s"""{"path":"${f.path}","part":${f.part},"rows":${f.rows},"bytes":${f.bytes}$stats$nulls$kind$seq}"""
   }
 
   /** The exact data-file set of snapshot v (diagnostic/test API — this one
@@ -238,7 +252,8 @@ class SnapshotTable(spark: SparkSession, root: String,
     val schema = StructType(Seq(
       StructField("path", StringType), StructField("part", LongType),
       StructField("rows", LongType), StructField("bytes", LongType),
-      StructField("lo", LongType), StructField("hi", LongType)))
+      StructField("lo", LongType), StructField("hi", LongType),
+      StructField("kind", StringType), StructField("seq", LongType)))
     if (manifestPaths.isEmpty) spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], schema)
     else spark.read.schema(schema).json(manifestPaths: _*)
@@ -259,7 +274,9 @@ class SnapshotTable(spark: SparkSession, root: String,
       val dir = attemptDir(v)
       cached.withColumn("_part", col("part"))
         .write.partitionBy("part").parquet(dir)
-      statsEntries(dir)
+      // stamp the entries with the commit SEQUENCE (the attempt's version):
+      // equality deletes apply only to data files with a strictly smaller seq
+      statsEntries(dir).map(_.copy(seq = v))
     } finally cached.unpersist()
   }
 
@@ -475,9 +492,11 @@ class SnapshotTable(spark: SparkSession, root: String,
         deleteAll(Option(pages).getOrElse(Seq.empty))
         committed = cur
       } else {
-        if (pages == null) pages = writeManifests(entries)
-        // (manifest list to commit, pages built against THIS base version —
-        // stale on a lost race, deleted before the retry rebuilds them)
+        // pages carry the entries' SEQUENCE stamp (= the version being
+        // attempted), so a lost race rebuilds them against the refreshed
+        // head — an entry stamped below its true commit version would
+        // wrongly fall under a concurrent equality delete
+        if (pages == null) pages = writeManifests(entries.map(_.copy(seq = cur + 1)))
         val (all, perBase) = mode match {
           case SnapshotTable.WriteAppend => (manifestList(cur) ++ pages, Seq.empty)
           case SnapshotTable.WriteTruncate => (pages, Seq.empty)
@@ -490,8 +509,10 @@ class SnapshotTable(spark: SparkSession, root: String,
         catch {
           case e: java.nio.file.FileAlreadyExistsException =>
             perBase.foreach(m => Files.deleteIfExists(Paths.get(m.path)))
+            pages.foreach(m => Files.deleteIfExists(Paths.get(m.path)))
+            pages = null
             races += 1
-            if (races > maxRaces) { deleteAll(pages); throw e }
+            if (races > maxRaces) { deleteAll(Seq.empty); throw e }
         }
       }
     }
@@ -548,8 +569,7 @@ class SnapshotTable(spark: SparkSession, root: String,
       val touched = cachedDelta.select("part").distinct().collect().map(_.getLong(0)).toSet
       val (carried, touchedFiles, filteredPages) = splitParent(cur, touched)
       val merged = if (touchedFiles.nonEmpty) {
-        val base = readPhysical(touchedFiles.map(_.path))
-          .withColumn("part", col("_part")).drop("_part")
+        val base = touchedBase(touchedFiles, touched, cur)
         base.join(cachedDelta.select(("part" +: keyCols).map(col): _*),
             "part" +: keyCols, "left_anti")
           .unionByName(cachedDelta)
@@ -596,18 +616,19 @@ class SnapshotTable(spark: SparkSession, root: String,
     require(cur > 0 || Files.exists(schemaPath),
       "create/init the snapshot table before SQL writes")
     val next = cur + 1
+    val stamped = entries.map(_.copy(seq = next))
     mode match {
       case SnapshotTable.WriteAppend =>
-        val nm = writeManifests(entries)
-        commitOrCleanup(next, cur, manifestList(cur) ++ nm, entries, nm)
+        val nm = writeManifests(stamped)
+        commitOrCleanup(next, cur, manifestList(cur) ++ nm, stamped, nm)
       case SnapshotTable.WriteDynamicOverwrite =>
-        val touched = entries.map(_.part).toSet
+        val touched = stamped.map(_.part).toSet
         val (carried, _, filteredPages) = splitParent(cur, touched)
-        val nm = writeManifests(entries)
-        commitOrCleanup(next, cur, carried ++ nm, entries, nm ++ filteredPages)
+        val nm = writeManifests(stamped)
+        commitOrCleanup(next, cur, carried ++ nm, stamped, nm ++ filteredPages)
       case SnapshotTable.WriteTruncate =>
-        val nm = writeManifests(entries)
-        commitOrCleanup(next, cur, nm, entries, nm)
+        val nm = writeManifests(stamped)
+        commitOrCleanup(next, cur, nm, stamped, nm)
     }
     next
   }
@@ -629,9 +650,10 @@ class SnapshotTable(spark: SparkSession, root: String,
     if (entries.isEmpty && touched.isEmpty) basedOn
     else {
       val next = basedOn + 1
+      val stamped = entries.map(_.copy(seq = next))
       val (carried, _, filteredPages) = splitParent(basedOn, touched)
-      val nm = writeManifests(entries)
-      commitOrCleanup(next, basedOn, carried ++ nm, entries, nm ++ filteredPages)
+      val nm = writeManifests(stamped)
+      commitOrCleanup(next, basedOn, carried ++ nm, stamped, nm ++ filteredPages)
       next
     }
   }
@@ -643,7 +665,16 @@ class SnapshotTable(spark: SparkSession, root: String,
    * entries are filtered the same way. Returns the covering file entries.
    */
   def pruneFiles(parts: Option[Set[Long]], range: Option[(Long, Long)],
-      version: Int = -1): Seq[FileEntry] = {
+      version: Int = -1): Seq[FileEntry] = pruneFilesSplit(parts, range, version)._1
+
+  /**
+   * Like [[pruneFiles]] but returns `(data files, equality-delete files)`
+   * separately: delete files are kept for every covering partition (or
+   * GLOBAL scope) and never range-filtered — a pruned read must still see
+   * the deletes that apply to its files ([[SnapshotTable.deleteApplies]]).
+   */
+  def pruneFilesSplit(parts: Option[Set[Long]], range: Option[(Long, Long)],
+      version: Int = -1): (Seq[FileEntry], Seq[FileEntry]) = {
     val v = if (version < 0) currentVersion else version
     val metas0 = manifestList(v)
     val metas1 = parts.fold(metas0)(ps =>
@@ -651,10 +682,14 @@ class SnapshotTable(spark: SparkSession, root: String,
     val covering = range.fold(metas1) { case (lo, hi) =>
       metas1.filter(m => m.lo.forall(_ <= hi) && m.hi.forall(_ >= lo)) }
     openedManifests.set(covering.map(_.path))
-    val files0 = covering.flatMap(m => readManifest(m.path))
+    val (del0, files0) = covering.flatMap(m => readManifest(m.path))
+      .partition(_.isDelete)
+    val deletes = parts.fold(del0)(ps =>
+      del0.filter(f => f.part == SnapshotTable.MOR_GLOBAL || ps(f.part)))
     val files1 = parts.fold(files0)(ps => files0.filter(f => ps(f.part)))
-    range.fold(files1) { case (lo, hi) =>
+    val data = range.fold(files1) { case (lo, hi) =>
       files1.filter(f => f.lo.forall(_ <= hi) && f.hi.forall(_ >= lo)) }
+    (data, deletes)
   }
 
   /** The table's persisted read-order schema (written at init, evolved by
@@ -716,9 +751,71 @@ class SnapshotTable(spark: SparkSession, root: String,
       cur.fields.filterNot(_.name == name)))
   }
 
+  // ---- merge-on-read equality deletes (Iceberg v2's delete files) ----
+
+  /** The single long IDENTITY column MOR equality deletes key on,
+    * persisted at the first [[deleteKeysMor]] (mor.json). */
+  def morKey: Option[String] = {
+    val p = Paths.get(s"$root/mor.json")
+    if (!Files.exists(p)) None
+    else """"key":"([^"]+)"""".r.findFirstMatchIn(Files.readString(p)).map(_.group(1))
+  }
+
+  /**
+   * MERGE-ON-READ equality DELETE (Iceberg v2 delete files — the
+   * write-heavy alternative to the COW [[delete]]): instead of rewriting
+   * the touched partitions, commit small DELETE FILES holding just the
+   * deleted keys. Write cost is O(keys) + O(#manifests), independent of
+   * the partitions' data size; readers apply the deletes (an anti-join /
+   * per-task key-set filter), and [[compact]] or any COW rewrite of a
+   * partition folds them in, restoring delete-free reads. `keys` must
+   * carry `keyCol` and may carry `part` (partition-scoped delete files —
+   * pruned reads load only their partitions' keys); without `part` the
+   * delete is GLOBAL (applies everywhere — Iceberg's unpartitioned
+   * spec). A key re-inserted AFTER the delete survives it
+   * ([[SnapshotTable.deleteApplies]]'s sequence rule).
+   */
+  def deleteKeysMor(keys: DataFrame, keyCol: String): Int = recordingCommit {
+    val cur = currentVersion
+    require(cur > 0, "init() before deleteKeysMor()")
+    require(tableSchema.fields.exists(f =>
+        f.name == keyCol && f.dataType == org.apache.spark.sql.types.LongType),
+      s"MOR key '$keyCol' must be a LONG data column of the table")
+    require(keys.columns.contains(keyCol), s"keys must carry '$keyCol'")
+    morKey.foreach(k => require(k == keyCol,
+      s"table's MOR key is '$k'; equality deletes must keep keying on it"))
+    if (morKey.isEmpty)
+      Files.writeString(Paths.get(s"$root/mor.json"), s"""{"key":"$keyCol"}""")
+    val next = cur + 1
+    val scoped =
+      if (keys.columns.contains("part")) keys.select(col(keyCol), col("part"))
+      else keys.select(col(keyCol), lit(SnapshotTable.MOR_GLOBAL).as("part"))
+    val files = writeVersionDir(scoped, next).map(_.copy(kind = "x"))
+    val pages = writeManifests(files)
+    commitOrCleanup(next, cur, manifestList(cur) ++ pages, files, pages)
+    next
+  }
+
+  /** The delete-key rows `(key, part, seq)` of the given delete entries —
+    * the small side every MOR read anti-joins against. */
+  private def deleteKeysDf(deletes: Seq[FileEntry]): DataFrame = {
+    val key = morKey.getOrElse(sys.error("delete files present but no mor.json"))
+    val bySeq = deletes.groupBy(_.seq).toSeq
+    bySeq.map { case (seq, es) =>
+      spark.read.schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(key,
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("_part",
+            org.apache.spark.sql.types.LongType))))
+        .option("recursiveFileLookup", "true").parquet(es.map(_.path): _*)
+        .select(col(key).as("__dk"), col("_part").as("__dpart"),
+          lit(seq).as("__dseq"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Time-travel read of snapshot v (default: current). */
   def read(version: Int = -1): DataFrame =
-    readFiles(pruneFiles(None, None, version))
+    readFiles(pruneFilesSplit(None, None, version))
 
   /**
    * MANIFEST-level partition pruning (Iceberg's partition filter): only
@@ -729,7 +826,7 @@ class SnapshotTable(spark: SparkSession, root: String,
    * region's covering manifests and files, not the world's.
    */
   def readParts(parts: Set[Long], version: Int = -1): DataFrame =
-    readFiles(pruneFiles(Some(parts), None, version))
+    readFiles(pruneFilesSplit(Some(parts), None, version))
 
   /**
    * MANIFEST-level range pruning over the stats column (Iceberg's column
@@ -741,10 +838,14 @@ class SnapshotTable(spark: SparkSession, root: String,
    */
   def readRange(loBound: Long, hiBound: Long, version: Int = -1): DataFrame = {
     require(statsColumn.isDefined, "readRange needs a stats column")
-    readFiles(pruneFiles(None, Some((loBound, hiBound)), version))
+    readFiles(pruneFilesSplit(None, Some((loBound, hiBound)), version))
   }
 
-  private def readFiles(files: Seq[FileEntry]): DataFrame =
+  private def readFiles(pruned: (Seq[FileEntry], Seq[FileEntry])): DataFrame = {
+    val (files, deletes0) = pruned
+    // only the deletes that can APPLY to some covering data file matter
+    val deletes = deletes0.filter(d => files.exists(f =>
+      SnapshotTable.deleteApplies(d, f)))
     if (files.isEmpty) {
       // schema-only: built from the persisted schema — an empty
       // selection, an empty historical version, even a fully-deleted table
@@ -757,8 +858,47 @@ class SnapshotTable(spark: SparkSession, root: String,
       // one simply never have it requested. recursiveFileLookup disables
       // partition-dir discovery so the physical `_part` column is the one
       // source of the partition value regardless of attempt-dir layout.
-      readPhysical(files.map(_.path))
-        .withColumn("part", col("_part")).drop("_part")
+      applyDeletesOn(readPhysical(files.map(_.path))
+        .withColumn("part", col("_part")).drop("_part"),
+        files, deletes, partCol = "part")
+    }
+  }
+
+  /** [[applyDeletesOn]] over a PHYSICAL frame (still carrying `_part`) —
+    * the rewrite paths' variant. */
+  private def applyDeletesPhysical(base: DataFrame, files: Seq[FileEntry],
+      deletes: Seq[FileEntry]): DataFrame =
+    applyDeletesOn(base, files,
+      deletes.filter(d => files.exists(f => SnapshotTable.deleteApplies(d, f))),
+      partCol = "_part")
+
+  /**
+   * MERGE-ON-READ application: anti-join `base` against the delete keys
+   * under the sequence rule. Each row's file seq rides a filename→seq map
+   * (file names are unique: part-task-uuid), so keys re-inserted AFTER
+   * the delete (data seq > delete seq) survive. Delete sides are small —
+   * Catalyst broadcasts them. `deletes` must already be filtered to the
+   * applicable set; empty = no-op.
+   */
+  private def applyDeletesOn(base: DataFrame, files: Seq[FileEntry],
+      deletes: Seq[FileEntry], partCol: String): DataFrame =
+    if (deletes.isEmpty) base
+    else {
+      val key = morKey.getOrElse(sys.error("delete files present but no mor.json"))
+      val seqByName = files.map(f =>
+        (f.path.substring(f.path.lastIndexOf('/') + 1), f.seq.toLong)).toMap
+      val seqMap = org.apache.spark.sql.functions.typedLit(seqByName)
+      val withSeq = base.withColumn("__seq",
+        org.apache.spark.sql.functions.element_at(seqMap,
+          regexp_extract(org.apache.spark.sql.functions.input_file_name(),
+            "[^/]+$", 0)))
+      withSeq.join(deleteKeysDf(deletes),
+          withSeq(key) === col("__dk") &&
+            (col("__dpart") === lit(SnapshotTable.MOR_GLOBAL) ||
+              col("__dpart") === withSeq(partCol)) &&
+          col("__dseq") > col("__seq"),
+          "left_anti")
+        .drop("__seq")
     }
 
   /** Read data files under the CURRENT schema's physical form (`part` →
@@ -771,6 +911,22 @@ class SnapshotTable(spark: SparkSession, root: String,
       if (f.name == "part") f.copy(name = "_part") else f))
     spark.read.schema(physical).option("recursiveFileLookup", "true")
       .parquet(paths: _*)
+  }
+
+  /** The CURRENT rows of a rewrite's touched partitions: the touched
+    * entries minus their delete entries, with every APPLICABLE equality
+    * delete (scoped ones travel in `touchedFiles`; GLOBAL ones live in
+    * carried pages of the parent snapshot) applied — so any COW rewrite
+    * FOLDS the merge-on-read deletes in, and the rewritten files (seq =
+    * the new version) leave them inert. */
+  private def touchedBase(touchedFiles: Seq[FileEntry], touched: Set[Long],
+      parent: Int): DataFrame = {
+    val (dels, data) = touchedFiles.partition(_.isDelete)
+    val global =
+      if (morKey.isEmpty) Seq.empty
+      else pruneFilesSplit(Some(touched), None, parent)._2
+        .filter(_.part == SnapshotTable.MOR_GLOBAL)
+    readFiles((data, dels ++ global))
   }
 
   /**
@@ -792,8 +948,7 @@ class SnapshotTable(spark: SparkSession, root: String,
       val touched = cachedKeys.select("part").distinct().collect().map(_.getLong(0)).toSet
       val (carried, touchedFiles, filteredPages) = splitParent(cur, touched)
       val (newFiles, newManifests) = if (touchedFiles.nonEmpty) {
-        val base = readPhysical(touchedFiles.map(_.path))
-          .withColumn("part", col("_part")).drop("_part")
+        val base = touchedBase(touchedFiles, touched, cur)
         val nf = writeVersionDir(base.join(cachedKeys.select(("part" +: keyCols).map(col): _*),
           "part" +: keyCols, "left_anti"), next)
         (nf, writeManifests(nf))
@@ -828,7 +983,10 @@ class SnapshotTable(spark: SparkSession, root: String,
         .groupBy(_.part).view.mapValues(_.map(_.path).toSet).toMap
     val a = filesByPart(from, toPaths)
     val b = filesByPart(to, fromPaths)
-    Some((a.keySet ++ b.keySet).filter(p => a.get(p) != b.get(p)))
+    val changed = (a.keySet ++ b.keySet).filter(p => a.get(p) != b.get(p))
+    // a GLOBAL equality delete changes the CURRENT rows of every
+    // partition: the feed must re-emit the whole table, not the sentinel
+    if (changed.contains(SnapshotTable.MOR_GLOBAL)) None else Some(changed)
   }
 
   /**
@@ -933,6 +1091,10 @@ class SnapshotTable(spark: SparkSession, root: String,
     // (a split can compress worse than the sorted original) from
     // re-compacting a fresh layout forever
     val plan: Map[Long, Int] = filesMeta(cur)
+      // scoped delete files count toward their partition's fragmentation
+      // (rewriting folds them in); the GLOBAL delete pseudo-partition is
+      // never itself compacted — its files are keys, not data
+      .filter(col("part") =!= lit(SnapshotTable.MOR_GLOBAL))
       .groupBy("part")
       .agg(sum("bytes").as("partBytes"), count(lit(1)).as("nfiles"),
         max("bytes").as("maxBytes"))
@@ -963,9 +1125,17 @@ class SnapshotTable(spark: SparkSession, root: String,
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutorService(pool)
       try {
+        // global equality deletes applying to any rewritten partition are
+        // folded in here (rewritten files' seq = next leaves them inert)
+        val globalDels =
+          if (morKey.isEmpty) Seq.empty[FileEntry]
+          else pruneFilesSplit(Some(plan.keySet), None, cur)._2
+            .filter(_.part == SnapshotTable.MOR_GLOBAL)
         val jobs = plan.toSeq.sortBy(_._1).map { case (p, want) =>
           scala.concurrent.Future {
-            val base = readPhysical(byPartTouched(p).map(_.path))
+            val (delsP, dataP) = byPartTouched(p).partition(_.isDelete)
+            val base = applyDeletesPhysical(readPhysical(dataP.map(_.path)),
+              dataP, delsP ++ globalDels)
             val sliced = statsColumn match {
               case Some(c) if want > 1 => base.repartitionByRange(want, col(c))
               case Some(c) => base.coalesce(1).sortWithinPartitions(col(c))
@@ -987,7 +1157,7 @@ class SnapshotTable(spark: SparkSession, root: String,
                 "orphaned and will be collected by expire()", e)
         }
       } finally pool.shutdown()
-      val newFiles = statsEntries(dir)
+      val newFiles = statsEntries(dir).map(_.copy(seq = next))
       val newManifests = writeManifests(newFiles)
       commitOrCleanup(next, cur, carried ++ newManifests, newFiles,
         newManifests ++ filteredPages)
@@ -1099,7 +1269,22 @@ object SnapshotTable {
     * distributed footer harvest can return entries straight from executor
     * tasks. */
   final case class FileEntry(path: String, part: Long, rows: Long, bytes: Long,
-      lo: Option[Long] = None, hi: Option[Long] = None, nulls: Option[Long] = None)
+      lo: Option[Long] = None, hi: Option[Long] = None, nulls: Option[Long] = None,
+      kind: String = "d", seq: Int = 0) {
+    def isDelete: Boolean = kind == "x"
+  }
+
+  /** Partition value of a GLOBAL (partition-unscoped) equality-delete
+    * file — applies to every partition (Iceberg's unpartitioned delete
+    * spec). */
+  final val MOR_GLOBAL: Long = Long.MinValue
+
+  /** Does delete entry `del` apply to rows of data entry `data`? Same
+    * partition (or global), and the delete was committed STRICTLY AFTER
+    * the data file was added (Iceberg's sequence-number rule — a key
+    * re-inserted after the delete survives it). */
+  def deleteApplies(del: FileEntry, data: FileEntry): Boolean =
+    (del.part == MOR_GLOBAL || del.part == data.part) && del.seq > data.seq
 
   /** One manifest in a snapshot's manifest list: the path of the JSONL
     * page plus the bounds that let a read prune it unopened. */
@@ -1877,6 +2062,46 @@ object SnapshotQueries {
       """SELECT pid, cell FROM snapidx
         |WHERE part = (SELECT part FROM probe_part)
         |ORDER BY pid LIMIT 8""".stripMargin
+  }
+
+  /**
+   * MERGE-ON-READ DELETE through the oracle gate (Iceberg v2 delete
+   * files, `delete.mode=merge-on-read`): the point index commits once,
+   * then ONE SQL `DELETE … WHERE pid IN (…)` retracts the 100 smallest
+   * pids by committing a GLOBAL equality-delete file — zero data files
+   * rewritten (spec-pinned), O(keys) write cost at any table size. The
+   * subsequent read serves through the delete-applying row path; the
+   * DuckDB oracle recomputes the survivors with the same deterministic
+   * key set. The probe-key fetch itself rides the TopN pushdown (the
+   * table is still delete-free at that point).
+   */
+  def morDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.cell.{CellFunctions, CellIndex}
+    graft.gen.GeoWorld.registerUdfs(spark)
+    val root = freshRoot("snap-mor", sfDir)
+    val t = new SnapshotTable(spark, root, statsCol = Some("pid"))
+    t.init(graft.gen.GeoWorld.points(spark, sfDir)
+      .select(col("pid"),
+        CellFunctions.zcell(col("lon"), col("lat"), lit(CellIndex.RES_MID)).as("cell"))
+      .withColumn("part", CellFunctions.zcellParent(
+        col("cell"), lit(CellIndex.RES_MID), lit(2)))
+      .repartitionByRange(32, col("pid")))
+    spark.read.format("graft.sources.SnapshotSource").option("root", root)
+      .option("statscol", "pid")
+      .option("delete.mode", "merge-on-read").option("morkey", "pid").load()
+      .createOrReplaceTempView("snap_mor")
+    val pids = spark.table("snap_mor").select(col("pid"))
+      .orderBy(col("pid")).limit(100).collect().map(_.getLong(0))
+    spark.sql(s"DELETE FROM snap_mor WHERE pid IN (${pids.mkString(", ")})")
+    spark.table("snap_mor").select(col("pid"), col("cell"))
+  }
+
+  val morDeleteSql: String = {
+    import graft.cell.{CellIndex, CellSql}
+    graft.query.GeoQueries.withWorld() +
+      s"""SELECT pid, ${CellSql.encode("lon", "lat", CellIndex.RES_MID)} AS cell
+         |FROM pts
+         |WHERE pid NOT IN (SELECT pid FROM pts ORDER BY pid LIMIT 100)""".stripMargin
   }
 
   /**

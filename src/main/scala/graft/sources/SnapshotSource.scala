@@ -133,8 +133,41 @@ object SnapshotSource {
     // silent partial delete — row-level deletes go through the COW
     // SnapshotTable.delete() API, exactly like Iceberg splits metadata
     // deletes from copy-on-write ones.
+    // With `delete.mode=merge-on-read` (Iceberg's write knob) a key-only
+    // DELETE (`morkey = x` / `morkey IN (…)`, optionally ANDed with part
+    // predicates) commits DELETE FILES instead of rewriting: O(keys)
+    // write cost on a table of any size. A part predicate scopes them to
+    // partitions (false positives are harmless — equality deletes no-op
+    // where the key is absent); without one the delete is GLOBAL.
+    private def morMode: Boolean =
+      Option(props.get("delete.mode")).exists(_.equalsIgnoreCase("merge-on-read"))
+    private def morKeyName: Option[String] =
+      Option(props.get("morkey")).orElse(tableFor(props).morKey)
+    private def morKeysOf(filters: Array[Filter]): Option[(Seq[Long], Option[Set[Long]])] =
+      morKeyName.flatMap { key =>
+        def longOf(v: Any): Option[Long] = v match {
+          case l: Long => Some(l); case i: Int => Some(i.toLong); case _ => None
+        }
+        val real = filters.filterNot(_.isInstanceOf[AlwaysTrue])
+        val keys = Seq.newBuilder[Long]
+        var sawKeys = false
+        var parts: Option[Set[Long]] = None
+        val ok = real.forall {
+          case EqualTo(`key`, v) if longOf(v).isDefined =>
+            keys += longOf(v).get; sawKeys = true; true
+          case In(`key`, vs) if vs.nonEmpty && vs.forall(longOf(_).isDefined) =>
+            keys ++= vs.flatMap(longOf); sawKeys = true; true
+          case EqualTo("part", v) if longOf(v).isDefined =>
+            parts = Some(parts.getOrElse(Set.empty) + longOf(v).get); true
+          case In("part", vs) if vs.forall(longOf(_).isDefined) =>
+            parts = Some(parts.getOrElse(Set.empty) ++ vs.flatMap(longOf)); true
+          case _ => false
+        }
+        if (ok && sawKeys) Some((keys.result(), parts)) else None
+      }
+
     override def canDeleteWhere(filters: Array[Filter]): Boolean =
-      deletePartsOf(filters).isDefined
+      deletePartsOf(filters).isDefined || (morMode && morKeysOf(filters).isDefined)
     override def deleteWhere(filters: Array[Filter]): Unit = {
       val t = tableFor(props)
       // CAS against the CURRENT version at execution (same rule as the
@@ -144,9 +177,23 @@ object SnapshotSource {
       deletePartsOf(filters) match {
         case Some(None) => t.truncateAll(basedOn)
         case Some(Some(ps)) => t.deleteParts(ps, basedOn)
-        case None => throw new UnsupportedOperationException(
-          s"graft snapshot DELETE supports partition predicates on `part` only; got " +
-            filters.mkString(", "))
+        case None => (if (morMode) morKeysOf(filters) else None) match {
+          case Some((keys, partsOpt)) =>
+            val session = SparkSession.active
+            import session.implicits._
+            val key = morKeyName.get
+            val df = partsOpt match {
+              case None => keys.toDF(key)
+              case Some(ps) => // scope to partitions: every (key, part) pair
+                keys.flatMap(k => ps.map(p => (k, p))).toDF(key, "part")
+            }
+            t.deleteKeysMor(df, key)
+            ()
+          case None => throw new UnsupportedOperationException(
+            s"graft snapshot DELETE supports partition predicates on `part` " +
+              "(metadata delete) or, under delete.mode=merge-on-read, " +
+              s"equality predicates on the MOR key; got ${filters.mkString(", ")}")
+        }
       }
       ()
     }
@@ -409,6 +456,11 @@ object SnapshotSource {
       for {
         g <- grouped
         ks <- if (kinds.nonEmpty && kinds.forall(_.isDefined)) Some(kinds.flatten) else None
+        // manifest counts/bounds IGNORE merge-on-read deletes — with any
+        // delete file covering the scan, the metadata answer would count
+        // deleted rows, so the pushdown declines and the real (delete-
+        // applying) scan answers
+        if table.pruneFilesSplit(parts, range, version)._2.isEmpty
         // Min/Max demand bounds on EVERY covering entry (cheap: manifests)
         if !ks.exists(k => k == "min" || k == "max") ||
           table.pruneFiles(parts, range, version).forall(e => e.lo.isDefined && e.hi.isDefined)
@@ -426,7 +478,7 @@ object SnapshotSource {
     }
 
     override def build(): Scan = {
-      val entries = table.pruneFiles(parts, range, version)
+      val (entries, delEntries) = table.pruneFilesSplit(parts, range, version)
       aggPlan match {
         case Some((grouped, kinds)) =>
           def aggValues(es: Seq[SnapshotTable.FileEntry]): Seq[Any] = kinds.map {
@@ -450,7 +502,14 @@ object SnapshotSource {
       // the query's order above the scan. The virtual columns (`part`,
       // metadata `_file`) trail the data columns — they are attached as
       // partition values, which the vectorized reader appends at the end.
-      val names = required.fieldNames.toSet
+      // On a MOR table the key column is FORCED into the read set (the
+      // per-row delete filter needs it; pruneColumns is advisory — the
+      // scan may return a superset and Spark projects). Unconditional on
+      // mor.json, not on current deletes: a change-feed stream planned
+      // before the first MOR delete must still be able to filter later
+      // batches.
+      val morKey = table.morKey
+      val names = required.fieldNames.toSet ++ morKey
       val ordered = StructType(schema.fields.filter(f => names.contains(f.name)) ++
         (if (names.contains("_file"))
           Seq(StructField("_file", org.apache.spark.sql.types.StringType, nullable = false))
@@ -468,8 +527,12 @@ object SnapshotSource {
         session.sessionState.conf.getConf(
           org.apache.spark.sql.internal.SQLConf.FILES_MAX_PARTITION_BYTES))
       require(target > 0, s"maxsplitbytes must be positive, got $target")
+      // limit/top-N prune by MANIFEST row counts, which OVERCOUNT when
+      // equality deletes apply — pruning could then under-plan and return
+      // fewer than `limit` existing rows, so deletes decline it
       val filePrune: Seq[SnapshotTable.FileEntry] => Seq[SnapshotTable.FileEntry] =
         (topN, limitRows) match {
+          case _ if delEntries.nonEmpty => identity
           case (Some((asc, nf, k)), _) => topNPrune(_, asc, nf, k)
           case (None, Some(n)) => limitPrune(_, n)
           case _ => identity
@@ -494,6 +557,7 @@ object SnapshotSource {
       val scan = new SnapScan(ordered, table, scanParts, scanRange, version, target,
         if (rewriteScan) identity else filePrune,
         if (rewriteScan) None else statsCol,
+        morKey.map(ordered.fieldIndex).getOrElse(-1),
         (pruned.map(_.bytes).sum, pruned.map(_.rows).sum),
         if (Option(props.get("spj")).exists(_.toBoolean))
           pruned.iterator.map(_.part).toSet.size
@@ -537,16 +601,28 @@ object SnapshotSource {
   }
 
   /** Byte-slice a pruned file set (≤ `target` bytes per input partition —
-    * see the slicing notes in [[SnapScanBuilder.build]]). */
+    * see the slicing notes in [[SnapScanBuilder.build]]). Each slice also
+    * carries the equality-delete files APPLICABLE to its data file
+    * ([[SnapshotTable.deleteApplies]] — the sequence rule resolves at
+    * planning, per entry), plus the MOR key's column index so the reader
+    * can row-filter. */
   private def sliceEntries(entries: Seq[SnapshotTable.FileEntry],
-      target: Long): Seq[SnapInputPartition] =
+      target: Long, dels: Seq[SnapshotTable.FileEntry] = Seq.empty,
+      morKeyIdx: Int = -1): Seq[SnapInputPartition] =
     entries.flatMap { e =>
+      val applicable =
+        if (dels.isEmpty) Nil
+        else dels.filter(SnapshotTable.deleteApplies(_, e)).map(_.path).toList
+      require(applicable.isEmpty || morKeyIdx >= 0,
+        "deletes apply but the scan schema carries no MOR key (mor.json missing?)")
       val n = math.max(1L, (e.bytes + target - 1) / target)
       val len = (e.bytes + n - 1) / n
       // ceil-of-ceil can leave a zero-length tail (bytes=9, n=4, len=3):
       // drop it rather than plan an empty task
       (0L until n).iterator
-        .map(i => SnapInputPartition(e.path, e.part, i * len, math.min(len, e.bytes - i * len)))
+        .map(i => SnapInputPartition(e.path, e.part, i * len,
+          math.min(len, e.bytes - i * len), applicable,
+          if (applicable.isEmpty) -1 else morKeyIdx))
         .filter(_.length > 0).toSeq
     }
 
@@ -992,9 +1068,12 @@ object SnapshotSource {
   // ------------------------------------------------------- DSv2 READ path
 
   /** One byte slice of one data file: `[start, start + length)` selects
-    * the row groups whose midpoint the slice covers. */
+    * the row groups whose midpoint the slice covers. `deletes` carries the
+    * applicable equality-delete files (merge-on-read) and `morKeyIdx` the
+    * key's index in the scan output; empty/-1 = plain columnar read. */
   final case class SnapInputPartition(path: String, part: Long,
-      start: Long, length: Long) extends InputPartition with HasPartitionKey {
+      start: Long, length: Long, deletes: Seq[String] = Nil,
+      morKeyIdx: Int = -1) extends InputPartition with HasPartitionKey {
     /** The slice's `part` value, exposed so Spark can KEY-GROUP slices
       * (storage-partitioned joins — see [[SnapScan.outputPartitioning]]). */
     override def partitionKey(): InternalRow = InternalRow(part)
@@ -1014,6 +1093,7 @@ object SnapshotSource {
       target: Long,
       filePrune: Seq[SnapshotTable.FileEntry] => Seq[SnapshotTable.FileEntry],
       runtimeStatsCol: Option[String],
+      morKeyIdx: Int,
       stats: (Long, Long), nParts: Int,
       conf: org.apache.spark.SerializableWritable[org.apache.hadoop.conf.Configuration],
       startVersion: Int = 0, maxVersions: Option[Int] = None)
@@ -1088,9 +1168,10 @@ object SnapshotSource {
     override def planInputPartitions(): Array[InputPartition] = {
       // limit/top-N file pruning composes AFTER runtime narrowing: both
       // rules only shrink the file set, in either order soundly
-      val entries = filePrune(table.pruneFiles(parts, rangeNow, version))
+      val (entries0, dels) = table.pruneFilesSplit(parts, rangeNow, version)
+      val entries = filePrune(entries0)
       plannedParts = entries.map(_.part).toSet
-      val slices = sliceEntries(entries, target)
+      val slices = sliceEntries(entries, target, dels, morKeyIdx)
       ScanProbe.lastPlannedSlices = slices.size
       slices.toArray
     }
@@ -1222,7 +1303,13 @@ object SnapshotSource {
         case (Some(c), Some(p)) => Some(c.intersect(p))
       }
       if (effective.exists(_.isEmpty)) return Array.empty
-      sliceEntries(table.pruneFiles(effective, range, e), target).toArray
+      // CURRENT rows of the changed partitions: equality deletes committed
+      // up to the window's end apply in the batch (same delete-aware read
+      // as the batch scan)
+      val (data, dels) = table.pruneFilesSplit(effective, range, e)
+      val keyIdx = table.morKey.filter(out.fieldNames.contains)
+        .map(out.fieldIndex).getOrElse(-1)
+      sliceEntries(data, target, dels, keyIdx).toArray
     }
 
     override def createReaderFactory(): PartitionReaderFactory =
@@ -1235,7 +1322,46 @@ object SnapshotSource {
       conf: org.apache.spark.SerializableWritable[org.apache.hadoop.conf.Configuration])
       extends PartitionReaderFactory {
 
-    override def supportColumnarReads(partition: InputPartition): Boolean = true
+    // merge-on-read slices take the ROW path: the batch would need
+    // per-row surgery anyway, and the key-set filter composes naturally
+    // with the row iterator (compaction restores columnar reads)
+    override def supportColumnarReads(partition: InputPartition): Boolean =
+      partition.asInstanceOf[SnapInputPartition].deletes.isEmpty
+
+    /** The union of the delete files' keys, loaded executor-side with the
+      * same vectorized reader (requested schema = the key column alone).
+      * Delete files are small — the set is bounded by the partition's
+      * pending delete keys, reclaimed when compaction folds them. */
+    private def deleteKeySet(paths: Seq[String], keyName: String)
+        : java.util.HashSet[java.lang.Long] = {
+      val set = new java.util.HashSet[java.lang.Long]()
+      val keySchema = StructType(Seq(StructField(keyName, LongType)))
+      paths.foreach { p =>
+        val c = new org.apache.hadoop.conf.Configuration(conf.value)
+        c.set(org.apache.spark.sql.execution.datasources.parquet
+          .ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, keySchema.json)
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val len = hp.getFileSystem(c).getFileStatus(hp).getLen
+        val r = new org.apache.spark.sql.execution.datasources.parquet
+          .VectorizedParquetRecordReader(false, 4096)
+        try {
+          r.initialize(new org.apache.hadoop.mapred.FileSplit(hp, 0, len,
+            null: Array[String]),
+            new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+              c, new org.apache.hadoop.mapreduce.TaskAttemptID()))
+          r.initBatch(new StructType(), InternalRow.empty)
+          r.enableReturningBatches()
+          while (r.nextBatch()) {
+            val it = r.resultBatch().rowIterator()
+            while (it.hasNext) {
+              val row = it.next()
+              if (!row.isNullAt(0)) { set.add(row.getLong(0)); () }
+            }
+          }
+        } finally r.close()
+      }
+      set
+    }
 
     override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] = {
       val sp = p.asInstanceOf[SnapInputPartition]
@@ -1279,17 +1405,28 @@ object SnapshotSource {
     }
 
     override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+      val sp = p.asInstanceOf[SnapInputPartition]
       val cr = createColumnarReader(p)
+      // merge-on-read: rows whose key is in the slice's delete set vanish
+      val deleted =
+        if (sp.deletes.isEmpty) null
+        else deleteKeySet(sp.deletes, out.fields(sp.morKeyIdx).name)
       new PartitionReader[InternalRow] {
         private var it: java.util.Iterator[InternalRow] = java.util.Collections.emptyIterator()
+        private var cur: InternalRow = _
         override def next(): Boolean = {
-          while (!it.hasNext) {
-            if (!cr.next()) return false
-            it = cr.get().rowIterator()
+          while (true) {
+            while (!it.hasNext) {
+              if (!cr.next()) return false
+              it = cr.get().rowIterator()
+            }
+            cur = it.next()
+            if (deleted == null || cur.isNullAt(sp.morKeyIdx) ||
+              !deleted.contains(cur.getLong(sp.morKeyIdx))) return true
           }
-          true
+          false
         }
-        override def get(): InternalRow = it.next()
+        override def get(): InternalRow = cur
         override def close(): Unit = cr.close()
       }
     }

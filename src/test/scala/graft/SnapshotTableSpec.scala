@@ -987,6 +987,93 @@ class SnapshotTableSpec extends SparkSpec {
       s"runtime filter must narrow planning to one partition's files ($planned of $totalFiles)")
   }
 
+  test("merge-on-read equality deletes: O(delta) commit, reads apply, rewrites fold in") {
+    val root = java.nio.file.Files.createTempDirectory("snapmor").toString
+    val t = new SnapshotTable(spark, root)
+    t.init((0L until 1000L).map(i => (i, i % 4, i * 2)).toDF("id", "part", "v")
+      .repartition(4))
+    val v1files = t.snapshot(1).map(_.path).toSet
+    // scoped MOR delete: ids % 10 == 0, keys carry their partition
+    t.deleteKeysMor((0L until 1000L by 10L).map(i => (i, i % 4)).toDF("id", "part"), "id")
+    assert(t.currentVersion === 2)
+    // O(delta): every data file carried BY REFERENCE, delete files added
+    assert(t.snapshot(2).filterNot(_.isDelete).map(_.path).toSet === v1files)
+    assert(t.snapshot(2).count(_.isDelete) > 0)
+    assert(t.lastCommitDriverFooters === 0, "MOR delete commit opens no driver footers")
+    // reads apply the deletes; pruned reads load only their partitions' keys
+    assert(t.read().count() === 900L)
+    assert(t.read().filter($"id" % 10 === 0).count() === 0L)
+    assert(t.readParts(Set(0L)).count() === 200L) // 250 - (ids % 20 == 0)
+    assert(t.read(1).count() === 1000L, "time travel predates the delete")
+    // a COW upsert on part 0 FOLDS its deletes and re-inserts id 0
+    t.upsert(Seq((0L, 0L, 999L)).toDF("id", "part", "v"), Seq("id"))
+    assert(t.read().count() === 901L)
+    assert(t.read().filter($"id" === 0L).count() === 1L,
+      "a key re-inserted after the delete survives it (sequence rule)")
+    assert(t.snapshot(3).filter(_.isDelete).forall(_.part != 0L),
+      "the rewritten partition's scoped delete entries are dropped")
+    // GLOBAL delete (keys without part): applies across partitions
+    t.deleteKeysMor(Seq(21L).toDF("id"), "id")
+    assert(t.changedParts(3, 4).isEmpty,
+      "a global delete changes every partition's current rows: the change feed must re-emit all")
+    assert(t.read().count() === 900L)
+    assert(t.read().filter($"id" === 21L).count() === 0L)
+    // compact folds scoped deletes everywhere; parity holds
+    t.compact()
+    assert(t.read().count() === 900L)
+    assert(t.snapshot(t.currentVersion).filter(_.isDelete)
+      .forall(_.part == SnapshotTable.MOR_GLOBAL),
+      "only the (inert) global delete entry remains after compaction")
+    // the global delete is inert on post-compaction files: re-insert 21
+    t.upsert(Seq((21L, 1L, 555L)).toDF("id", "part", "v"), Seq("id"))
+    assert(t.read().filter($"id" === 21L).count() === 1L)
+    assert(t.read().count() === 901L)
+  }
+
+  test("MOR through DSv2: delete.mode=merge-on-read routes SQL DELETE to delete files; scans apply them") {
+    val root = java.nio.file.Files.createTempDirectory("snapmorsql").toString
+    val t = new SnapshotTable(spark, root)
+    t.init((0L until 1000L).map(i => (i, i % 4, i * 2)).toDF("id", "part", "v")
+      .repartition(4))
+    val v1files = t.snapshot(1).filterNot(_.isDelete).map(_.path).toSet
+    spark.read.format("graft.sources.SnapshotSource").option("root", root)
+      .option("delete.mode", "merge-on-read").option("morkey", "id").load()
+      .createOrReplaceTempView("snap_morsql")
+    // GLOBAL key delete through plain SQL: no part predicate
+    spark.sql("DELETE FROM snap_morsql WHERE id IN (3, 5, 7)")
+    // SCOPED key delete: part predicate narrows the delete files
+    spark.sql("DELETE FROM snap_morsql WHERE part = 2 AND id IN (6, 10)")
+    assert(t.currentVersion === 3)
+    assert(t.snapshot(3).filterNot(_.isDelete).map(_.path).toSet === v1files,
+      "MOR DELETE must rewrite no data file")
+    assert(t.snapshot(3).count(_.isDelete) > 0)
+    // the scan applies the deletes (row-path readers on delete-carrying slices)
+    assert(spark.sql("SELECT count(*) AS n FROM snap_morsql WHERE id IN (3, 5, 6, 7, 10)")
+      .head.getLong(0) === 0L)
+    assert(spark.table("snap_morsql").count() === 995L)
+    // a projection that DROPS the key still filters (key force-read)
+    assert(spark.sql("SELECT sum(v) AS s FROM snap_morsql").head.getLong(0) ===
+      (0L until 1000L).filterNot(Set(3L, 5L, 6L, 7L, 10L)).map(_ * 2).sum)
+    // metadata COUNT(*) must DECLINE under deletes (it would overcount)
+    assert(spark.sql("SELECT COUNT(*) FROM snap_morsql").head.getLong(0) === 995L)
+    // LIMIT file pruning must decline too (manifest rows overcount)
+    assert(spark.table("snap_morsql").limit(998).count() === 995L)
+    // partition-aligned DELETE still takes the metadata path under MOR mode
+    spark.sql("DELETE FROM snap_morsql WHERE part = 3")
+    assert(t.currentVersion === 4)
+    assert(t.lastCommitDriverFooters === 0)
+    // part 3 held 250 rows of which ids 3 and 7 were already MOR-deleted
+    assert(spark.table("snap_morsql").count() === 995L - 248L)
+    // compact folds the scoped deletes; reads stay columnar-parity
+    t.compact()
+    assert(spark.table("snap_morsql").count() === 747L)
+    assert(spark.sql("SELECT count(*) AS n FROM snap_morsql WHERE id = 5").head.getLong(0) === 0L)
+    // expire keeps the still-referenced (inert) global delete file alive
+    // and sweeps the folded ones; parity holds after the GC
+    t.expire(keepLast = 1, orphanGraceMs = 0L)
+    assert(spark.table("snap_morsql").count() === 747L)
+  }
+
   test("LIMIT pushdown plans only the files whose row counts cover the limit") {
     val root = java.nio.file.Files.createTempDirectory("snaplim").toString
     val t = new SnapshotTable(spark, root)
