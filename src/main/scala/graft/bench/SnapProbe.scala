@@ -95,6 +95,27 @@ object SnapProbe {
     println(f"SNAPPROBE_TOPN files=$totalFiles limit50: $limPlanned slices ${limSecs}%.3fs; " +
       f"topn50: $topPlanned slices ${topSecs}%.3fs; " +
       f"unpushable sort: $fullPlanned slices ${fullSecs}%.3fs")
+
+    // MERGE-ON-READ vs COPY-ON-WRITE (round 7): the same single-partition
+    // upsert, as an O(delta) MOR commit (append + delete-of-keys, no base
+    // read) vs the COW rewrite measured above; then the delete-applying
+    // read's cost and the post-compaction (folded) read
+    val rootM = java.nio.file.Files.createTempDirectory("snapprobe-mor").toString
+    val tm = new graft.index.SnapshotTable(spark, rootM, statsCol = Some("cell"))
+    tm.init(base.drop("ver"))
+    val morDelta = base.drop("ver").filter(col("part") === onePart)
+    val (_, morSecs) = timed(tm.upsertMor(morDelta, "pid"))
+    val (morCnt, morReadSecs) = timed(
+      spark.read.format("graft.sources.SnapshotSource").option("root", rootM)
+        .load().count())
+    val (_, foldSecs) = timed(tm.compact())
+    val (_, cleanReadSecs) = timed(
+      spark.read.format("graft.sources.SnapshotSource").option("root", rootM)
+        .load().count())
+    println(f"SNAPPROBE_MOR upsert1part(rows=$deltaRows)=${morSecs}%.2fs " +
+      f"(vs COW ${upSecs}%.2fs) rows=$morCnt morRead=${morReadSecs}%.2fs " +
+      f"compactFold=${foldSecs}%.2fs cleanRead=${cleanReadSecs}%.2fs " +
+      f"driverFooters=${tm.lastCommitDriverFooters}")
     spark.stop()
   }
 }

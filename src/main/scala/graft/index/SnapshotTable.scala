@@ -796,6 +796,42 @@ class SnapshotTable(spark: SparkSession, root: String,
     next
   }
 
+  /**
+   * MERGE-ON-READ UPSERT — the O(delta) MERGE: ONE commit appends the
+   * delta's data files AND an equality-delete file of the delta's keys,
+   * both stamped with the same sequence. The strict sequence rule
+   * (`del.seq > data.seq`) makes the delete retire every OLDER row of
+   * those keys while leaving the delta's own rows untouched — no base
+   * partition is read or rewritten, so a hot-key streaming ingest costs
+   * O(delta) regardless of table size (the COW [[upsert]] rewrites whole
+   * partitions; compaction later folds the accumulated deletes). `delta`
+   * must carry `part` (identity partitioning, like [[upsert]]) — the
+   * delete keys inherit the delta rows' partitions, so pruned reads stay
+   * partition-local.
+   */
+  def upsertMor(delta: DataFrame, keyCol: String): Int = recordingCommit {
+    val cur = currentVersion
+    require(cur > 0, "init() before upsertMor()")
+    require(tableSchema.fields.exists(f =>
+        f.name == keyCol && f.dataType == org.apache.spark.sql.types.LongType),
+      s"MOR key '$keyCol' must be a LONG data column of the table")
+    morKey.foreach(k => require(k == keyCol,
+      s"table's MOR key is '$k'; equality deletes must keep keying on it"))
+    if (morKey.isEmpty)
+      Files.writeString(Paths.get(s"$root/mor.json"), s"""{"key":"$keyCol"}""")
+    val next = cur + 1
+    val cachedDelta = delta.persist() // data write + key write share one eval
+    try {
+      val dataFiles = writeVersionDir(cachedDelta, next)
+      val delFiles = writeVersionDir(cachedDelta.select(col(keyCol), col("part")), next)
+        .map(_.copy(kind = "x"))
+      val pages = writeManifests(dataFiles ++ delFiles)
+      commitOrCleanup(next, cur, manifestList(cur) ++ pages,
+        dataFiles ++ delFiles, pages)
+      next
+    } finally cachedDelta.unpersist()
+  }
+
   /** The delete-key rows `(key, part, seq)` of the given delete entries —
     * the small side every MOR read anti-joins against. */
   private def deleteKeysDf(deletes: Seq[FileEntry]): DataFrame = {

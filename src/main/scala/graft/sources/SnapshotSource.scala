@@ -1177,7 +1177,10 @@ object SnapshotSource {
     }
 
     override def createReaderFactory(): PartitionReaderFactory =
-      new SnapReaderFactory(out, conf)
+      // row-based whenever any covering delete exists (runtime narrowing
+      // only SHRINKS the file set, so deletes never appear after this)
+      new SnapReaderFactory(out, conf,
+        rowBasedOnly = table.pruneFilesSplit(parts, rangeNow, version)._2.nonEmpty)
 
     /**
      * CHANGE FEED (incremental partition refresh — Iceberg's incremental
@@ -1313,20 +1316,24 @@ object SnapshotSource {
     }
 
     override def createReaderFactory(): PartitionReaderFactory =
-      new SnapReaderFactory(out, conf)
+      // a MOR table's stream stays row-based outright: later batches may
+      // acquire deletes after the factory is built
+      new SnapReaderFactory(out, conf, rowBasedOnly = table.morKey.isDefined)
     override def commit(end: Offset): Unit = ()
     override def stop(): Unit = ()
   }
 
   private final class SnapReaderFactory(out: StructType,
-      conf: org.apache.spark.SerializableWritable[org.apache.hadoop.conf.Configuration])
+      conf: org.apache.spark.SerializableWritable[org.apache.hadoop.conf.Configuration],
+      rowBasedOnly: Boolean = false)
       extends PartitionReaderFactory {
 
-    // merge-on-read slices take the ROW path: the batch would need
-    // per-row surgery anyway, and the key-set filter composes naturally
-    // with the row iterator (compaction restores columnar reads)
-    override def supportColumnarReads(partition: InputPartition): Boolean =
-      partition.asInstanceOf[SnapInputPartition].deletes.isEmpty
+    // merge-on-read scans take the ROW path: the batches need per-row
+    // surgery anyway, the key-set filter composes naturally with the row
+    // iterator, and Spark requires ALL of a scan's partitions to agree on
+    // columnar support ("Cannot mix row-based and columnar") — so the
+    // SCAN decides, not the slice (compaction restores columnar reads)
+    override def supportColumnarReads(partition: InputPartition): Boolean = !rowBasedOnly
 
     /** The union of the delete files' keys, loaded executor-side with the
       * same vectorized reader (requested schema = the key column alone).

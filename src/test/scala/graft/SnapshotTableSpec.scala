@@ -1030,6 +1030,42 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.read().count() === 901L)
   }
 
+  test("MOR upsert: one commit appends delta + delete-of-keys; old rows retire, the delta survives") {
+    val root = java.nio.file.Files.createTempDirectory("snapmorup").toString
+    val t = new SnapshotTable(spark, root)
+    t.init((0L until 1000L).map(i => (i, i % 4, i * 2)).toDF("id", "part", "v")
+      .repartition(4))
+    val v1files = t.snapshot(1).map(_.path).toSet
+    // O(delta) MERGE: update ids 100..109, insert 5000 — ONE commit, no rewrite
+    t.upsertMor(((100L until 110L).map(i => (i, i % 4, 9999L)) :+ ((5000L, 0L, 1L)))
+      .toDF("id", "part", "v"), "id")
+    assert(t.currentVersion === 2)
+    assert(v1files.subsetOf(t.snapshot(2).map(_.path).toSet),
+      "MOR upsert must carry every base file by reference")
+    assert(t.lastCommitDriverFooters === 0)
+    val r2 = t.read()
+    assert(r2.count() === 1001L)
+    assert(r2.filter($"id" === 100L).select("v").head.getLong(0) === 9999L)
+    assert(r2.filter($"id" === 5000L).count() === 1L)
+    // stacked MOR upserts: the LATEST generation wins (strict seq rule
+    // retires both the base row and the previous delta's)
+    t.upsertMor(Seq((100L, 0L, 1111L)).toDF("id", "part", "v"), "id")
+    val r3 = t.read()
+    assert(r3.count() === 1001L)
+    assert(r3.filter($"id" === 100L).select("v").collect().map(_.getLong(0)).toSeq
+      === Seq(1111L))
+    // the DSv2 scan agrees row-for-row
+    spark.read.format("graft.sources.SnapshotSource").option("root", root).load()
+      .createOrReplaceTempView("snap_morup")
+    assert(spark.table("snap_morup").count() === 1001L)
+    assert(spark.sql("SELECT v FROM snap_morup WHERE id = 100").head.getLong(0) === 1111L)
+    // compaction folds every scoped delete; parity holds, columnar again
+    t.compact()
+    assert(t.snapshot(t.currentVersion).count(_.isDelete) === 0)
+    assert(spark.table("snap_morup").count() === 1001L)
+    assert(spark.sql("SELECT v FROM snap_morup WHERE id = 100").head.getLong(0) === 1111L)
+  }
+
   test("MOR through DSv2: delete.mode=merge-on-read routes SQL DELETE to delete files; scans apply them") {
     val root = java.nio.file.Files.createTempDirectory("snapmorsql").toString
     val t = new SnapshotTable(spark, root)
