@@ -778,14 +778,8 @@ class SnapshotTable(spark: SparkSession, root: String,
   def deleteKeysMor(keys: DataFrame, keyCol: String): Int = recordingCommit {
     val cur = currentVersion
     require(cur > 0, "init() before deleteKeysMor()")
-    require(tableSchema.fields.exists(f =>
-        f.name == keyCol && f.dataType == org.apache.spark.sql.types.LongType),
-      s"MOR key '$keyCol' must be a LONG data column of the table")
     require(keys.columns.contains(keyCol), s"keys must carry '$keyCol'")
-    morKey.foreach(k => require(k == keyCol,
-      s"table's MOR key is '$k'; equality deletes must keep keying on it"))
-    if (morKey.isEmpty)
-      Files.writeString(Paths.get(s"$root/mor.json"), s"""{"key":"$keyCol"}""")
+    ensureMorKey(keyCol)
     val next = cur + 1
     val scoped =
       if (keys.columns.contains("part")) keys.select(col(keyCol), col("part"))
@@ -812,13 +806,7 @@ class SnapshotTable(spark: SparkSession, root: String,
   def upsertMor(delta: DataFrame, keyCol: String): Int = recordingCommit {
     val cur = currentVersion
     require(cur > 0, "init() before upsertMor()")
-    require(tableSchema.fields.exists(f =>
-        f.name == keyCol && f.dataType == org.apache.spark.sql.types.LongType),
-      s"MOR key '$keyCol' must be a LONG data column of the table")
-    morKey.foreach(k => require(k == keyCol,
-      s"table's MOR key is '$k'; equality deletes must keep keying on it"))
-    if (morKey.isEmpty)
-      Files.writeString(Paths.get(s"$root/mor.json"), s"""{"key":"$keyCol"}""")
+    ensureMorKey(keyCol)
     val next = cur + 1
     val cachedDelta = delta.persist() // data write + key write share one eval
     try {
@@ -830,6 +818,21 @@ class SnapshotTable(spark: SparkSession, root: String,
         dataFiles ++ delFiles, pages)
       next
     } finally cachedDelta.unpersist()
+  }
+
+  /** Persist (or validate against) the table's MOR key — every path that
+    * commits equality-delete files must agree on one identity column. */
+  private[graft] def ensureMorKey(keyCol: String): Unit = {
+    require(tableSchema.fields.exists(f =>
+        f.name == keyCol && f.dataType == org.apache.spark.sql.types.LongType),
+      s"MOR key '$keyCol' must be a LONG data column of the table")
+    morKey match {
+      case Some(k) => require(k == keyCol,
+        s"table's MOR key is '$k'; equality deletes must keep keying on it")
+      case None =>
+        Files.writeString(Paths.get(s"$root/mor.json"), s"""{"key":"$keyCol"}""")
+        ()
+    }
   }
 
   /** The delete-key rows `(key, part, seq)` of the given delete entries —
@@ -1447,6 +1450,29 @@ object SnapshotTable {
     * schema and stats metadata only — the catalog's `CREATE TABLE`. The
     * first write (SQL INSERT, streaming epoch, or programmatic
     * [[SnapshotTable.init]]-free commit) becomes version 1. */
+  /** TBLPROPERTIES the catalog PERSISTS with the table (read back into
+    * every load's option map, under per-operation options): engine knobs
+    * that describe the table itself, not one read/write. */
+  private[graft] val PERSISTED_PROPS: Seq[String] =
+    Seq("delete.mode", "morkey", "targetfilebytes", "maxsplitbytes", "spj")
+
+  private def tablePropsPath(root: String): Path = Paths.get(s"$root/props.json")
+
+  private[graft] def writeTableProps(root: String, props: Map[String, String]): Unit =
+    if (props.nonEmpty) {
+      Files.writeString(tablePropsPath(root),
+        props.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":"$v"""" }
+          .mkString("{", ",", "}"))
+      ()
+    }
+
+  private[graft] def readTableProps(root: String): Map[String, String] = {
+    val p = tablePropsPath(root)
+    if (!Files.exists(p)) Map.empty
+    else """"([^"]+)":"([^"]*)"""".r.findAllMatchIn(Files.readString(p))
+      .map(m => m.group(1) -> m.group(2)).toMap
+  }
+
   def createEmpty(spark: SparkSession, root: String,
       schema: org.apache.spark.sql.types.StructType,
       statsCol: Option[String]): SnapshotTable = {

@@ -79,6 +79,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
 
   private def propsFor(root: String, version: Option[String]): java.util.Map[String, String] = {
     val m = new java.util.HashMap[String, String]()
+    // persisted TBLPROPERTIES first: per-operation options and the
+    // identity keys below override them (explicit beats ambient)
+    SnapshotTable.readTableProps(root).foreach { case (k, v) => m.put(k, v) }
     m.put("root", root)
     version.foreach(m.put("version", _))
     m
@@ -137,6 +140,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       "snapshot tables are PARTITIONED BY (part) — other partitionings are not supported")
     SnapshotTable.createEmpty(SparkSession.active, root, schema,
       Option(properties.get("statscol")))
+    SnapshotTable.writeTableProps(root,
+      SnapshotTable.PERSISTED_PROPS.flatMap(k =>
+        Option(properties.get(k)).map(k -> _)).toMap)
     loadTable(ident)
   }
 

@@ -85,17 +85,39 @@ object SnapshotSource {
         override def comment(): String = "data file path of the row (from the manifest entry)"
       })
 
-    /** SQL UPDATE / MERGE INTO / non-partition-aligned DELETE, as
-      * group-based COPY-ON-WRITE at partition granularity — see
-      * [[SnapRowLevelOperation]]. Partition-aligned DELETEs never get
-      * here: Spark's metadata-only optimization claims them through
+    /** SQL UPDATE / MERGE INTO / non-partition-aligned DELETE. Default:
+      * group-based COPY-ON-WRITE at partition granularity
+      * ([[SnapRowLevelOperation]]). Under `delete.mode=merge-on-read`
+      * with a known MOR key: DELTA-based ([[SnapDeltaOperation]],
+      * Spark's `SupportsDelta`) — the statement commits only the changed
+      * rows as data files plus delete files of the retired keys, O(delta)
+      * at any table size. Partition-aligned DELETEs never get here:
+      * Spark's metadata-only optimization claims them through
       * [[SupportsDelete.canDeleteWhere]] first. */
     override def newRowLevelOperationBuilder(
         info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
-        : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-      () => new SnapRowLevelOperation(info.command(), schema, props)
+        : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+      val mor = Option(props.get("delete.mode")).exists(_.equalsIgnoreCase("merge-on-read"))
+      val key = Option(props.get("morkey")).orElse(tableFor(props).morKey)
+      (mor, key) match {
+        case (true, Some(k)) => () => new SnapDeltaOperation(info.command(), schema, props, k)
+        case _ => () => new SnapRowLevelOperation(info.command(), schema, props)
+      }
+    }
     override def name(): String = s"graft-snapshot(${props.get("root")})"
-    override def schema(): StructType = schema
+    /** Under MOR mode the row-identity columns report NON-NULLABLE (a
+      * Spark requirement for delta row-level operations — Iceberg's
+      * identifier fields carry the same constraint): `part` is non-null
+      * by the write contract already; a MOR table's key must be too (a
+      * null key has no equality-delete identity; the delta writer
+      * enforces it). Plain tables keep their declared nullability. */
+    override def schema(): StructType = {
+      val mor = Option(props.get("delete.mode")).exists(_.equalsIgnoreCase("merge-on-read"))
+      val key = Option(props.get("morkey"))
+      if (!mor) schema
+      else StructType(schema.fields.map(f =>
+        if (f.name == "part" || key.contains(f.name)) f.copy(nullable = false) else f))
+    }
     // identity partitioning on `part` (the table's physical layout): with
     // it declared, INSERT OVERWRITE under partitionOverwriteMode=dynamic
     // plans OverwritePartitionsDynamic instead of a whole-table truncate
@@ -857,6 +879,138 @@ object SnapshotSource {
           new SnapReplaceGroupsWrite(info.schema(), props, () => configured)
       }
     }
+  }
+
+  /**
+   * DELTA-based row-level operation (Spark's `SupportsDelta` — Iceberg's
+   * merge-on-read write mode): instead of replacing whole groups, the
+   * statement's output is a stream of per-row operations. Row identity is
+   * `(morKey, part)`; updates arrive as delete + reinsert
+   * (`representUpdateAsDeleteAndInsert`), so the writers only ever append
+   * NEW ROWS (data files) and RETIRED KEYS (equality-delete files) — one
+   * commit, both stamped with the same sequence, exactly the
+   * [[SnapshotTable.upsertMor]] shape. A MERGE that touches 10 keys of a
+   * 100 TB table writes kilobytes. The scan is the ordinary pruned read
+   * scan: with no group replacement there is nothing a condition pushdown
+   * could under-read (the COW group-expansion hazard does not exist
+   * here).
+   */
+  private final class SnapDeltaOperation(
+      cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
+      schema: StructType, props: java.util.Map[String, String], key: String)
+      extends org.apache.spark.sql.connector.write.SupportsDelta {
+
+    override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+    override def description(): String = s"graft-snapshot MOR delta $cmd"
+    override def rowId(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+      Array(Expressions.column(key), Expressions.column("part"))
+    override def representUpdateAsDeleteAndInsert(): Boolean = true
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      // row-id attributes must be non-nullable: `part` already is by the
+      // write contract, and a MOR table's key column is too (a null key
+      // has no equality-delete identity — the writer enforces it)
+      new SnapScanBuilder(StructType(schema.fields.map(f =>
+        if (f.name == key || f.name == "part") f.copy(nullable = false) else f)), props)
+    override def newWriteBuilder(info: LogicalWriteInfo)
+        : org.apache.spark.sql.connector.write.DeltaWriteBuilder =
+      new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
+        override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
+          new SnapDeltaWrite(info.schema(), props, key)
+      }
+  }
+
+  private final class SnapDeltaWrite(schema: StructType,
+      props: java.util.Map[String, String], key: String)
+      extends org.apache.spark.sql.connector.write.DeltaWrite {
+    override def description(): String = "graft-snapshot MOR delta write"
+    override def toBatch: org.apache.spark.sql.connector.write.DeltaBatchWrite =
+      new SnapDeltaBatchWrite(schema, props, key)
+  }
+
+  private final class SnapDeltaBatchWrite(schema: StructType,
+      props: java.util.Map[String, String], key: String)
+      extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
+
+    private val table = tableFor(props)
+    table.morKey.foreach(k => require(k == key,
+      s"table's MOR key is '$k'; delta writes must keep keying on it"))
+    private val basedOn = table.currentVersion
+    private val dir = table.provisionAttemptDir()
+
+    override def createBatchWriterFactory(info: PhysicalWriteInfo)
+        : org.apache.spark.sql.connector.write.DeltaWriterFactory = {
+      val session = SparkSession.active
+      val (partIdx, statsIdx, targetBytes, conf) = writerSetup(schema, table, props)
+      val delSchema = StructType(Seq(
+        StructField(key, LongType, nullable = false),
+        StructField("part", LongType, nullable = false)))
+      SnapDeltaWriterFactory(dir, partIdx, statsIdx, targetBytes, conf,
+        writerConf(session, StructType(delSchema.fields.map(f =>
+          if (f.name == "part") f.copy(name = "_part") else f))))
+    }
+
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      val entries = messages.toSeq.collect { case m: SnapCommitMessage => m.entries }.flatten
+      if (entries.nonEmpty) {
+        table.ensureMorKey(key)
+        table.commitFiles(entries, SnapshotTable.WriteAppend, basedOn)
+      }
+      ()
+    }
+
+    override def abort(messages: Array[WriterCommitMessage]): Unit = {
+      messages.toSeq.collect { case m: SnapCommitMessage => m.entries }.flatten
+        .foreach(e => java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(e.path)))
+      ()
+    }
+  }
+
+  private final case class SnapDeltaWriterFactory(dir: String, partIdx: Int,
+      statsIdx: Int, targetBytes: Long,
+      dataConf: org.apache.spark.SerializableWritable[org.apache.hadoop.conf.Configuration],
+      delConf: org.apache.spark.SerializableWritable[org.apache.hadoop.conf.Configuration])
+      extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
+    override def createWriter(partitionId: Int, taskId: Long)
+        : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
+      new SnapDeltaWriter(dir, partIdx, statsIdx, targetBytes,
+        new org.apache.hadoop.conf.Configuration(dataConf.value),
+        new org.apache.hadoop.conf.Configuration(delConf.value), partitionId, taskId)
+  }
+
+  /** Two writer families share one attempt dir: full rows (data files)
+    * and `(key, part)` rows (equality-delete files, marked kind=x in the
+    * commit message). Updates arrive pre-split as delete + reinsert. */
+  private final class SnapDeltaWriter(dir: String, partIdx: Int, statsIdx: Int,
+      targetBytes: Long, dataConf: org.apache.hadoop.conf.Configuration,
+      delConf: org.apache.hadoop.conf.Configuration, partitionId: Int, taskId: Long)
+      extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
+
+    private val dataW = new SnapDataWriter(dir, partIdx, statsIdx, targetBytes,
+      dataConf, partitionId, taskId)
+    // delete rows are (key, part): part sits at index 1, no stats column
+    private val delW = new SnapDataWriter(dir, 1, -1, targetBytes,
+      delConf, partitionId, taskId)
+
+    override def insert(row: InternalRow): Unit = dataW.write(row)
+    override def delete(meta: InternalRow, id: InternalRow): Unit = {
+      // id = rowId projection (key, part), declared in SnapDeltaOperation
+      require(!id.isNullAt(0),
+        "MOR row identity: the key column must be non-null to delete by equality")
+      delW.write(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](id.getLong(0), id.getLong(1))))
+    }
+    override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit = {
+      delete(meta, id); insert(row)
+    }
+
+    override def commit(): WriterCommitMessage = {
+      val data = dataW.commit().asInstanceOf[SnapCommitMessage].entries
+      val dels = delW.commit().asInstanceOf[SnapCommitMessage].entries
+        .map(_.copy(kind = "x"))
+      SnapCommitMessage(data ++ dels)
+    }
+    override def abort(): Unit = { dataW.abort(); delW.abort() }
+    override def close(): Unit = { dataW.close(); delW.close() }
   }
 
   private final class SnapReplaceGroupsWrite(schema: StructType,

@@ -1066,6 +1066,55 @@ class SnapshotTableSpec extends SparkSpec {
     assert(spark.sql("SELECT v FROM snap_morup WHERE id = 100").head.getLong(0) === 1111L)
   }
 
+  test("delta row-level ops: SQL UPDATE/MERGE under merge-on-read commit only the changed rows") {
+    val wh = java.nio.file.Files.createTempDirectory("snapdeltawh").toString
+    spark.conf.set("spark.sql.catalog.dcat", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.dcat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS dcat.geo")
+    // delete.mode/morkey are PERSISTED TBLPROPERTIES: every load sees them
+    spark.sql("CREATE TABLE dcat.geo.dl (id BIGINT, v BIGINT, part BIGINT) " +
+      "PARTITIONED BY (part) " +
+      "TBLPROPERTIES ('delete.mode'='merge-on-read', 'morkey'='id')")
+    spark.sql("INSERT INTO dcat.geo.dl SELECT id, id * 2 AS v, id % 4 AS part FROM range(1000)")
+    val t = new SnapshotTable(spark, s"$wh/geo/dl")
+    val v1files = t.snapshot(1).map(_.path).toSet
+    // UPDATE a band: only the changed rows' files + their retired keys commit
+    spark.sql("UPDATE dcat.geo.dl SET v = v + 10000 WHERE id >= 100 AND id < 110")
+    assert(t.currentVersion === 2)
+    assert(v1files.subsetOf(t.snapshot(2).map(_.path).toSet),
+      "delta UPDATE must carry every base file by reference")
+    val added = t.snapshot(2).filterNot(e => v1files(e.path))
+    assert(added.exists(_.isDelete) && added.exists(!_.isDelete))
+    assert(added.filterNot(_.isDelete).map(_.rows).sum === 10L,
+      "the delta carries exactly the updated rows")
+    assert(spark.sql("SELECT sum(v) AS s FROM dcat.geo.dl WHERE id >= 100 AND id < 110")
+      .head.getLong(0) === (100L until 110L).map(_ * 2 + 10000).sum)
+    assert(spark.table("dcat.geo.dl").count() === 1000L)
+    // three-clause MERGE, all delta: delete id%6, update rest of matches, insert twins
+    ((100L until 130L).map(i => (i, i % 4)) ++ Seq((5000L, 0L), (5001L, 1L)))
+      .toDF("id", "part").createOrReplaceTempView("snap_delta_src")
+    spark.sql(
+      """MERGE INTO dcat.geo.dl t USING snap_delta_src s
+        |ON t.id = s.id AND t.part = s.part
+        |WHEN MATCHED AND s.id % 6 = 0 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET v = -1
+        |WHEN NOT MATCHED THEN INSERT (id, v, part) VALUES (s.id, 0, s.part)""".stripMargin)
+    assert(t.currentVersion === 3)
+    assert(v1files.subsetOf(t.snapshot(3).map(_.path).toSet),
+      "delta MERGE must carry every base file by reference")
+    val merged = spark.table("dcat.geo.dl")
+    val deleted = (100L until 130L).filter(_ % 6 == 0)
+    assert(merged.count() === 1000L - deleted.size + 2)
+    assert(merged.filter($"id".isin(deleted: _*)).count() === 0L)
+    assert(merged.filter($"v" === -1L).count() === 30L - deleted.size)
+    assert(merged.filter($"id" >= 5000L).count() === 2L)
+    // compaction folds the accumulated delete generations; parity holds
+    t.compact()
+    assert(t.snapshot(t.currentVersion).count(_.isDelete) === 0)
+    assert(spark.table("dcat.geo.dl").count() === 1000L - deleted.size + 2)
+    assert(spark.sql("SELECT v FROM dcat.geo.dl WHERE id = 101").head.getLong(0) === -1L)
+  }
+
   test("MOR through DSv2: delete.mode=merge-on-read routes SQL DELETE to delete files; scans apply them") {
     val root = java.nio.file.Files.createTempDirectory("snapmorsql").toString
     val t = new SnapshotTable(spark, root)
