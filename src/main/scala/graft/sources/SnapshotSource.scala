@@ -940,13 +940,20 @@ object SnapshotSource {
     override def createBatchWriterFactory(info: PhysicalWriteInfo)
         : org.apache.spark.sql.connector.write.DeltaWriterFactory = {
       val session = SparkSession.active
-      val (partIdx, statsIdx, targetBytes, conf) = writerSetup(schema, table, props)
       val delSchema = StructType(Seq(
         StructField(key, LongType, nullable = false),
         StructField("part", LongType, nullable = false)))
-      SnapDeltaWriterFactory(dir, partIdx, statsIdx, targetBytes, conf,
-        writerConf(session, StructType(delSchema.fields.map(f =>
-          if (f.name == "part") f.copy(name = "_part") else f))))
+      val delConf = writerConf(session, StructType(delSchema.fields.map(f =>
+        if (f.name == "part") f.copy(name = "_part") else f)))
+      // a pure DELETE's delta plan carries NO data columns (empty row
+      // schema) — the insert side is never exercised, so wire it to the
+      // delete writer's shape as an inert placeholder
+      if (schema.fieldNames.contains("part")) {
+        val (partIdx, statsIdx, targetBytes, conf) = writerSetup(schema, table, props)
+        SnapDeltaWriterFactory(dir, partIdx, statsIdx, targetBytes, conf, delConf)
+      } else
+        SnapDeltaWriterFactory(dir, 1, -1, SnapshotSource.DEFAULT_TARGET_FILE_BYTES,
+          delConf, delConf)
     }
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {

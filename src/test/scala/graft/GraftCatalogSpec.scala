@@ -207,6 +207,63 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) AS n FROM cat.geo.fz VERSION AS OF 1").head().getLong(0) === 50)
   }
 
+  test("model check under merge-on-read: the same DML fuzz through the DELTA path, compacting as it goes") {
+    warehouse
+    // same 30-step seeded sequence as the COW model check, but every
+    // row-level statement takes the SupportsDelta merge-on-read path
+    // (kilobyte commits), with a compaction folding the delete generations
+    // every 10 steps — state must match the in-memory model at EVERY step
+    spark.sql("CREATE TABLE cat.geo.fzmor (id BIGINT, v BIGINT, part BIGINT) " +
+      "PARTITIONED BY (part) " +
+      "TBLPROPERTIES ('delete.mode'='merge-on-read', 'morkey'='id')")
+    val model = scala.collection.mutable.Map.empty[Long, Long]
+    def pt(id: Long) = id % 5
+    val rnd = new scala.util.Random(20260818L)
+    spark.sql("INSERT INTO cat.geo.fzmor SELECT id, id AS v, id % 5 AS part FROM range(50)")
+    (0L until 50L).foreach(i => model(i) = i)
+    val t = new SnapshotTable(spark, s"$warehouse/geo/fzmor")
+    def check(tag: String): Unit = {
+      val got = spark.sql("SELECT id, v, part FROM cat.geo.fzmor").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+      val want = model.map { case (id, v) => id -> ((v, pt(id))) }.toMap
+      assert(got === want, s"diverged after $tag")
+    }
+    for (step <- 0 until 30) {
+      rnd.nextInt(4) match {
+        case 0 =>
+          val id = 1000L + step
+          val v = rnd.nextInt(100).toLong
+          spark.sql(s"INSERT INTO cat.geo.fzmor VALUES ($id, $v, ${pt(id)})")
+          model(id) = v
+        case 1 =>
+          val lo = rnd.nextInt(50).toLong
+          spark.sql(s"UPDATE cat.geo.fzmor SET v = v + 7 WHERE id >= $lo AND id < ${lo + 9}")
+          model.keys.filter(id => id >= lo && id < lo + 9).foreach(id => model(id) += 7)
+        case 2 =>
+          val m = rnd.nextInt(6) + 2
+          val r = rnd.nextInt(m)
+          spark.sql(s"DELETE FROM cat.geo.fzmor WHERE id % $m = $r AND id < 50")
+          model.keys.filter(id => id % m == r && id < 50).toSeq.foreach(model.remove)
+        case _ =>
+          val base = rnd.nextInt(60).toLong
+          val ids = (base until base + 5L)
+          ids.map(i => (i, i * 2, pt(i))).toDF("id", "v", "part")
+            .createOrReplaceTempView("fzmor_src")
+          spark.sql(
+            """MERGE INTO cat.geo.fzmor t USING fzmor_src s ON t.id = s.id AND t.part = s.part
+              |WHEN MATCHED THEN UPDATE SET v = s.v
+              |WHEN NOT MATCHED THEN INSERT (id, v, part) VALUES (s.id, s.v, s.part)""".stripMargin)
+          ids.foreach(i => model(i) = i * 2)
+      }
+      check(s"step $step")
+      if (step % 10 == 9) { t.compact(); check(s"compact after step $step") }
+    }
+    check("final")
+    assert(t.currentVersion >= 30)
+    assert(spark.sql("SELECT count(*) AS n FROM cat.geo.fzmor VERSION AS OF 1")
+      .head().getLong(0) === 50)
+  }
+
   test("TIMESTAMP AS OF resolves to the latest version committed at or before the instant") {
     warehouse
     spark.sql("CREATE TABLE cat.geo.tt (id BIGINT, part BIGINT) PARTITIONED BY (part)")
