@@ -30,4 +30,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++ sys.env.get("GRAFT_JFR").map(f =>
+  s"-XX:StartFlightRecording=filename=$f,settings=profile,maxsize=256m").toSeq

@@ -158,7 +158,15 @@ object GeoWorld {
 
   def areas(spark: SparkSession, sfDir: String): DataFrame = {
     purgeStoppedSessions()
-    areasCache.computeIfAbsent((spark, sfDir), _ => areasUncached(spark, sfDir).persist())
+    // right-size the cached dim: the 8-level union inherits one window
+    // shuffle's worth of partitions PER BRANCH (8 x shuffle.partitions,
+    // mostly empty — 227 cached partitions measured at 32 cores), so every
+    // downstream scan of the dim paid 227 task launches. One core-count-
+    // sized repartition at cache build collapses that fixed cost; the dim
+    // is 4730 rows, so partition count is about task-launch overhead, not
+    // data placement.
+    areasCache.computeIfAbsent((spark, sfDir), _ => areasUncached(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism).persist())
   }
 
   /** (n_nationkey, n_regionkey, idx) — each nation's vertical slot within

@@ -268,16 +268,29 @@ class SnapshotTable(spark: SparkSession, root: String,
     * [[expire]]'s orphan sweep eventually collects it). The part value
     * rides both the directory AND the `_part` data column. */
   private def writeVersionDir(df: DataFrame, v: Int): Seq[FileEntry] = {
-    val cached = df.persist() // isEmpty probe + write + stats share one eval
-    try {
-      if (cached.isEmpty) return Seq.empty // a fully-deleted partition writes nothing
-      val dir = attemptDir(v)
-      cached.withColumn("_part", col("part"))
-        .write.partitionBy("part").parquet(dir)
-      // stamp the entries with the commit SEQUENCE (the attempt's version):
-      // equality deletes apply only to data files with a strictly smaller seq
-      statsEntries(dir).map(_.copy(seq = v))
-    } finally cached.unpersist()
+    val dir = attemptDir(v)
+    // ONE shuffle clusters each `part` into one task before the write — the
+    // DSv2 write path's requiredDistribution (Iceberg's hash distribution
+    // mode), applied to the programmatic commits: without it an N-task
+    // input writes up to N x #parts files, each paying the parquet
+    // writer's fixed setup cost, and AQE right-sizes the post-shuffle task
+    // count from the commit's bytes (small deltas coalesce to a couple of
+    // writers, large ones fan out). When a stats column is tracked the
+    // CALLER's layout is the clustering (range-partitioned / sorted for
+    // tight per-file lo/hi bounds — q_snap_topn's event-ordered table) and
+    // is preserved as-is.
+    // The old persist() + isEmpty probe double-materialised every commit
+    // (the columnar-cache build alone measured ~10 executor-CPU-s per
+    // 32-task commit in the r8 profile); the write is now the single
+    // evaluation and an empty input simply yields no files below.
+    val out = if (statsColumn.isEmpty) df.repartition(col("part")) else df
+    out.withColumn("_part", col("part"))
+      .write.partitionBy("part").parquet(dir)
+    // stamp the entries with the commit SEQUENCE (the attempt's version):
+    // equality deletes apply only to data files with a strictly smaller seq
+    // (an empty write leaves only _SUCCESS — no entries, and the husk dir
+    // is collected by expire()'s orphan sweep)
+    statsEntries(dir).map(_.copy(seq = v))
   }
 
   private def attemptDir(v: Int): String =
@@ -1865,10 +1878,12 @@ object SnapshotQueries {
   /** Routing resolution for the bbox-fetch snapshot index's partitions. */
   final val ROUTE_RES = 4
 
-  /** Manifest page size for the bbox index — small enough that the sf0.01
-    * table pages into several manifests, so manifest-level pruning is
-    * exercised (and spec-pinned) at test scale, not just at 100 TB. */
-  final val BBOX_MANIFEST_FILES = 16
+  /** Manifest page size for the bbox index — small enough that even the
+    * sf0.001 table (12 route-cell partitions, ONE file each now that
+    * writeVersionDir clusters by part) pages into several manifests, so
+    * manifest-level pruning is exercised (and spec-pinned) at test scale,
+    * not just at 100 TB. */
+  final val BBOX_MANIFEST_FILES = 4
 
   /**
    * The reference's S5/S6 cell fetch SERVED FROM the snapshot table: the
@@ -2328,10 +2343,9 @@ object SnapshotQueries {
       .select(col("kind"), col("id"), explode(split(col("name"), "_")).as("token"))
       .distinct()
       .withColumn("part", pmod(xxhash64(col("token")), lit(NAME_IDX_BUCKETS)))
-      // co-locate each bucket into ONE task before the partitioned write:
-      // without this every shuffle partition fans a file into every bucket
-      // dir (buckets × tasks tiny files — measured 20 s vs 3 s at sf0.1)
-      .repartition(col("part"))
+    // bucket co-location before the partitioned write (one file per bucket,
+    // not buckets × tasks) now lives in writeVersionDir itself — the
+    // stats-less table clusters by `part` on every commit
     t.init(postings)
     // ---- SEARCH (bucket-pruned) ----
     val qTokens = q.split("\\s+").toSeq

@@ -296,15 +296,32 @@ object TextOps {
   // (md5 over UTF-8, first 8 hex digits as the 32-bit hash — bit-equal to
   // conv(substr(md5,1,8),16,10) and to the DuckDB oracle).
 
+  private val HEX = "0123456789abcdef".toCharArray
+
   private def md5hex(s: String): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val sb = new StringBuilder(32)
-    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
-    sb.toString
+    // manual hex: a per-byte f"%02x" ran String.format (Formatter parse +
+    // regex) ~16x per hash and dominated every minhash query's CPU profile
+    // (measured via JFR in the r8 optimization pass)
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < d.length) {
+      val b = d(i) & 0xff
+      out(i * 2) = HEX(b >>> 4); out(i * 2 + 1) = HEX(b & 0xf)
+      i += 1
+    }
+    new String(out)
   }
 
-  private def h32Jvm(s: String): Long = java.lang.Long.parseLong(md5hex(s).substring(0, 8), 16)
+  /** First 8 hex digits of md5 as a long — the first 4 digest bytes read
+    * big-endian unsigned (bit-equal to parseLong(md5hex.substring(0,8),16),
+    * without materialising the hex string). */
+  private def h32Jvm(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
 
   /** JVM twin of [[shingles]]: split on single spaces (regex split, -1
     * limit — Spark `split` semantics), 3-word windows, whole text if <3. */

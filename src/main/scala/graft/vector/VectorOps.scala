@@ -46,15 +46,55 @@ object VectorOps {
   /** Pseudo-random hyperplane coefficient (i-th dim of plane p of table t),
     * pure integer arithmetic so the oracle can recompute it:
     * ((t*997 + p*131 + i*31) % 17) - 8. */
-  @inline private def planeCoefExpr(t: Int, p: Int, i: Column): Column =
-    ((lit(t * 997 + p * 131) + i * 31) % 17 - 8).cast("double")
+  @inline private def planeCoef(t: Int, p: Int, i: Int): Int =
+    ((t * 997 + p * 131 + i * 31) % 17) - 8
 
+  /** Spark's higher-order functions (transform/zip_with/aggregate) are
+    * CodegenFallback — interpreted per element, with a lambda-variable
+    * binding and boxing per step; they dominated every q_embed_* CPU
+    * profile (r8 optimization round, guide §"expressions and codegen").
+    * Unrolling them into 64-term codegen expression chains backfired —
+    * janino compile time on the driver dwarfed the saved executor CPU —
+    * so the kernels are compact JVM UDFs instead (the same trade TextOps
+    * made for the minhash signature): a tight primitive loop with the
+    * IDENTICAL left-fold summation order (`aggregate` folds
+    * ((0.0 + x0) + x1) + …, exactly what `acc += x*y` in i-order emits),
+    * so every produced double is bit-equal to the old HOF result. */
   private def emb(c: Column): Column = transform(c, x => x.cast("double"))
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  private val dotJvm = udf((a: Seq[Double], b: Seq[Double]) => {
+    var acc = 0.0
+    var i = 0
+    val n = a.length
+    while (i < n) { acc += a(i) * b(i); i += 1 }
+    acc
+  })
+
+  private def dot(a: Column, b: Column): Column = dotJvm(a, b)
+
+  /** cosine(a, b) = dot/(‖a‖·‖b‖) in ONE pass — the three accumulators
+    * each fold in i-order, so the value is bit-equal to
+    * dot(a,b)/(norm(a)*norm(b)) composed from the separate kernels. */
+  private val cosineJvm = udf((a: Seq[Double], b: Seq[Double]) => {
+    var dab = 0.0; var daa = 0.0; var dbb = 0.0
+    var i = 0
+    val n = a.length
+    while (i < n) { val x = a(i); val y = b(i); dab += x * y; daa += x * x; dbb += y * y; i += 1 }
+    dab / (math.sqrt(daa) * math.sqrt(dbb))
+  })
+
+  private def cosineOf(a: Column, b: Column): Column = cosineJvm(a, b)
 
   private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** HOF (expression) twins of the kernels for the one site that computes
+    * a dot product INSIDE a higher-order-function lambda (a UDF cannot
+    * capture lambda variables): the √K-sized super-centroid struct walk in
+    * [[prunedCandidatePairs]]. Same fold order ⇒ same doubles. */
+  private def dotHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  private def normHof(a: Column): Column = sqrt(dotHof(a, a))
 
   def vectors(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -98,7 +138,7 @@ object VectorOps {
   def cosineTopK(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
     val vs = vectors(spark, sfDir)
     val pr = probes(spark, sfDir)
-    val cosine = dot(col("v"), col("qv")) / (norm(col("v")) * norm(col("qv")))
+    val cosine = cosineOf(col("v"), col("qv"))
     topKByScore(spark, k,
       vs.crossJoin(broadcast(pr))
         .filter(col("vec_id") =!= col("qid"))
@@ -144,14 +184,36 @@ object VectorOps {
 
   // --------------------------------------------------------------- LSH ANN
 
-  /** Random-hyperplane signature bucket of table t: bit p = (v·plane) > 0. */
+  /** Random-hyperplane signature bucket of table t: bit p = (v·plane) > 0.
+    * JVM kernel restatement of the old
+    * aggregate(zip_with(v, sequence, x*coef)) per plane: each plane's dot
+    * accumulates in the same i-order (zero-coefficient terms included), so
+    * every d — and so every bucket bit — is bit-equal to the HOF result. */
+  private val bucketJvm = udf((v: Seq[Double], t: Int, planes: Int) => {
+    var bucket = 0L
+    var p = 0
+    while (p < planes) {
+      var d = 0.0
+      var i = 0
+      val n = v.length
+      while (i < n) { d += v(i) * planeCoef(t, p, i); i += 1 }
+      if (d > 0) bucket |= 1L << p
+      p += 1
+    }
+    bucket
+  })
+
   private def bucketOf(v: Column, t: Int, planes: Int): Column =
-    (0 until planes).map { p =>
-      val d = aggregate(
-        zip_with(v, sequence(lit(0), lit(DIM - 1)), (x, i) => x * planeCoefExpr(t, p, i)),
-        lit(0.0), (acc, x) => acc + x)
-      when(d > 0, lit(1L << p)).otherwise(0L)
-    }.reduce(_ + _)
+    bucketJvm(v, lit(t), lit(planes))
+
+  /** All [[N_TABLES]] (table, bucket) rows of one vector as an exploded
+    * column: a single corpus scan derives every table's bucket (the
+    * per-table formulation re-scanned the corpus once per table per join
+    * side), and a join on (t, bucket) is exactly the per-table bucket
+    * equi-join unioned — same candidate set, one exchange. */
+  private def tableBuckets(v: Column, planes: Int): Column =
+    explode(array((0 until N_TABLES).map(t =>
+      struct(lit(t).as("t"), bucketOf(v, t, planes).as("bucket"))): _*))
 
   /** Single-table 5-plane bucket (kept for the shape-diagnostic histogram). */
   private def bucket(v: Column): Column = bucketOf(v, 0, N_PLANES)
@@ -195,7 +257,7 @@ object VectorOps {
     val pr = probes(spark, sfDir)
     val p = planes.getOrElse(planesFor(rawCount(spark, sfDir)))
     val cands = lshCandidates(spark, vs, pr, p)
-    val cosine = dot(col("v"), col("qv")) / (norm(col("v")) * norm(col("qv")))
+    val cosine = cosineOf(col("v"), col("qv"))
     topKByScore(spark, k,
       cands.join(vs.select(col("vec_id"), col("v")), "vec_id")
         .join(broadcast(pr), "qid")
@@ -207,15 +269,17 @@ object VectorOps {
     * parquet count, so the sizing job reads no data pages). */
   private[graft] def lshCandidates(spark: SparkSession, vs: DataFrame, pr: DataFrame,
       planes: Int = PLANES_PER_TABLE): DataFrame = {
-    val p0 = planes
-    val perTable = (0 until N_TABLES).map { t =>
-      val v = vs.select(col("vec_id"), bucketOf(col("v"), t, p0).as("bucket"))
-      val p = pr.select(col("qid"), bucketOf(col("qv"), t, p0).as("bucket"))
-      v.join(broadcast(p), "bucket")
-        .filter(col("vec_id") =!= col("qid"))
-        .select("qid", "vec_id")
-    }
-    perTable.reduce(_ unionByName _).distinct()
+    // ONE (t, bucket) explode per side replaces the per-table join union:
+    // identical candidate set (join on (t, bucket) ≡ per-table bucket
+    // join, distinct folds the cross-table duplicates), but the corpus is
+    // scanned once instead of N_TABLES times and the plan has one join
+    val v = vs.select(col("vec_id"), tableBuckets(col("v"), planes).as("tb"))
+      .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    val p = pr.select(col("qid"), tableBuckets(col("qv"), planes).as("tb"))
+      .select(col("qid"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    v.join(broadcast(p), Seq("t", "bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select("qid", "vec_id").distinct()
   }
 
   def lshTopKSql(k: Int = 10): String = {
@@ -269,7 +333,7 @@ object VectorOps {
   private def nearestCentroids(spark: SparkSession, in: DataFrame, idCol: String,
       vCol: String, cents: DataFrame, m: Int): DataFrame = {
     import spark.implicits._
-    val cosine = dot(col(vCol), col("cv")) / (norm(col(vCol)) * norm(col("cv")))
+    val cosine = cosineOf(col(vCol), col("cv"))
     val agg = new graft.query.TopKSmallest(m).toColumn
     in.crossJoin(broadcast(cents))
       .select(col(idCol), (-cosine).as("d"), col("cid"))
@@ -318,7 +382,7 @@ object VectorOps {
     val supers = ordered.filter(col("ord") % supStride === 0)
       .select(col("cid").as("gid"), col("cv").as("sv"))
     // group membership + radii: nearest super per centroid (K × K/supStride)
-    val cosCS = dot(col("cv"), col("sv")) / (norm(col("cv")) * norm(col("sv")))
+    val cosCS = cosineOf(col("cv"), col("sv"))
     val membership = cents.crossJoin(broadcast(supers))
       .withColumn("dcs", chord(cosCS))
       .withColumn("rn", row_number().over(
@@ -331,8 +395,8 @@ object VectorOps {
       .agg(collect_list(struct(col("gid"), col("sv"), col("rad"))).as("sups"))
     val ds = transform(col("sups"), s => struct(
       s.getField("gid").as("gid"),
-      chord(dot(col("v"), s.getField("sv")) /
-        (norm(col("v")) * norm(s.getField("sv")))).as("d"),
+      chord(dotHof(col("v"), s.getField("sv")) /
+        (normHof(col("v")) * normHof(s.getField("sv")))).as("d"),
       s.getField("rad").as("rad")))
     // TOP-M bound: every group holds ≥ 1 centroid within d_g + R_g of v,
     // so the m-th smallest (d_g + R_g) bounds the m-th best centroid
@@ -363,7 +427,7 @@ object VectorOps {
       idCol: String, vCol: String, cents: DataFrame, m: Int, supStride: Int): DataFrame = {
     import spark.implicits._
     val vs = in.select(col(idCol).as("vec_id"), col(vCol).as("v"))
-    val cosine = dot(col("v"), col("cv")) / (norm(col("v")) * norm(col("cv")))
+    val cosine = cosineOf(col("v"), col("cv"))
     val agg = new graft.query.TopKSmallest(m).toColumn
     prunedCandidatePairs(spark, vs, cents, supStride, m)
       .join(broadcast(cents), "cid")
@@ -400,7 +464,7 @@ object VectorOps {
     val pr = probes(spark, sfDir)
     val cand = ivfCandidates(spark, vs, pr, centroids(spark, sfDir), nprobe,
       supStrideFor(rawCount(spark, sfDir)))
-    val cosine = dot(col("v"), col("qv")) / (norm(col("v")) * norm(col("qv")))
+    val cosine = cosineOf(col("v"), col("qv"))
     topKByScore(spark, k,
       cand.join(vs.select(col("vec_id"), col("v")), "vec_id")
         .join(broadcast(pr), "qid")
@@ -468,7 +532,7 @@ object VectorOps {
 
   /** Mean quantization error (1 − cosine to the assigned centroid). */
   def quantizerObjective(spark: SparkSession, vs: DataFrame, cents: DataFrame): Double = {
-    val cosine = dot(col("v"), col("cv")) / (norm(col("v")) * norm(col("cv")))
+    val cosine = cosineOf(col("v"), col("cv"))
     nearestCentroids(spark, vs, "vec_id", "v", cents, 1)
       .join(vs.select(col("vec_id"), col("v")), "vec_id")
       .join(broadcast(cents), "cid")
@@ -540,17 +604,17 @@ object VectorOps {
     // scale-aware default (= 8 on test corpora): size from the base-table
     // footer count × 1.1 (the injected-dup fraction) — never a corpus scan
     val planes = planesOpt.getOrElse(planesFor(rawCount(spark, sfDir) * 11L / 10L))
-    val perTable = (0 until N_TABLES).map { t =>
-      val b = c.select(col("vec_id"), bucketOf(col("v"), t, planes).as("bucket"))
-      b.select(col("bucket"), col("vec_id").as("a"))
-        .join(b.select(col("bucket"), col("vec_id").as("b")), "bucket")
-        .filter(col("a") < col("b"))
-        .select("a", "b")
-    }
-    val cand = perTable.reduce(_ unionByName _).distinct()
+    // one (t, bucket) explode + one self-join ≡ the per-table join union
+    // (see lshCandidates) — 2 corpus scans instead of 2 × N_TABLES
+    val b = c.select(col("vec_id"), tableBuckets(col("v"), planes).as("tb"))
+      .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    val cand = b.select(col("t"), col("bucket"), col("vec_id").as("a"))
+      .join(b.select(col("t"), col("bucket"), col("vec_id").as("b")), Seq("t", "bucket"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
     val va = c.select(col("vec_id").as("a"), col("v").as("va"))
     val vb = c.select(col("vec_id").as("b"), col("v").as("vb"))
-    val cosine = dot(col("va"), col("vb")) / (norm(col("va")) * norm(col("vb")))
+    val cosine = cosineOf(col("va"), col("vb"))
     cand.join(va, "a").join(vb, "b")
       .withColumn("score", round(cosine, 6))
       .filter(col("score") >= tau)

@@ -63,9 +63,12 @@ class SnapshotTableSpec extends SparkSpec {
   }
 
   test("compaction bounds per-partition file counts without changing the data") {
-    val (_, t) = freshTable()
     // a deliberately fragmented write: 8 random input partitions fan files
-    // into every part directory
+    // into every part directory. A stats-column table preserves the
+    // caller's layout as-is (writeVersionDir re-clusters by part otherwise,
+    // which would leave nothing to compact in this fixture).
+    val root = java.nio.file.Files.createTempDirectory("snapspec").toString
+    val t = new SnapshotTable(spark, root, statsCol = Some("id"))
     t.init((0L until 1000L).map(i => (i, i % 4, 1L)).toDF("id", "part", "ver").repartition(8))
     val before = t.snapshot(1).groupBy(_.part).map(_._2.size)
     assert(before.max > 1, "fixture must start fragmented")
@@ -418,7 +421,10 @@ class SnapshotTableSpec extends SparkSpec {
 
   test("maintenance planning is DISTRIBUTED: compact sees only the touched region's entries on the driver; expire none") {
     val root = java.nio.file.Files.createTempDirectory("snapdist").toString
-    val t = new SnapshotTable(spark, root, manifestTargetFiles = 4)
+    // stats-column table: writeVersionDir preserves the caller's layout
+    // (a plain table re-clusters by part, defragmenting the fixture)
+    val t = new SnapshotTable(spark, root, manifestTargetFiles = 4,
+      statsCol = Some("id"))
     // 16 one-file partitions, except partition 2 which is fragmented 4 ways
     val others = (0L until 16L).filter(_ != 2L)
       .flatMap(p => (0L until 100L).map(i => (p * 1000 + i, p, 1L)))
@@ -451,7 +457,10 @@ class SnapshotTableSpec extends SparkSpec {
   }
 
   test("partial-progress compaction: bounded runs converge over successive commits") {
-    val (_, t) = freshTable()
+    // stats-column table: preserves the fragmented 8-task input layout
+    // (a plain table's writeVersionDir re-clusters by part)
+    val root = java.nio.file.Files.createTempDirectory("snapspec").toString
+    val t = new SnapshotTable(spark, root, statsCol = Some("id"))
     // 4 partitions, all fragmented (8 input partitions fan files everywhere)
     t.init((0L until 1000L).map(i => (i, i % 4, 1L)).toDF("id", "part", "ver").repartition(8))
     assert(t.snapshot(1).groupBy(_.part).forall(_._2.size > 1), "fixture must start fragmented")
@@ -965,7 +974,8 @@ class SnapshotTableSpec extends SparkSpec {
 
   test("runtime filtering (DPP): a join against a filtered dim prunes the snapshot scan at execution time") {
     val root = java.nio.file.Files.createTempDirectory("snapdpp").toString
-    val t = new SnapshotTable(spark, root)
+    // stats-column table preserves the 4-task fan-out layout (fragmented fixture)
+    val t = new SnapshotTable(spark, root, statsCol = Some("id"))
     t.init((0L until 8000L).map(i => (i, i % 8, i)).toDF("id", "part", "v").repartition(4))
     val totalFiles = t.snapshot(1).size
     assert(totalFiles > 8, "fixture: several files per partition")
@@ -1161,7 +1171,8 @@ class SnapshotTableSpec extends SparkSpec {
 
   test("LIMIT pushdown plans only the files whose row counts cover the limit") {
     val root = java.nio.file.Files.createTempDirectory("snaplim").toString
-    val t = new SnapshotTable(spark, root)
+    // stats-column table preserves the 4-task fan-out layout (fragmented fixture)
+    val t = new SnapshotTable(spark, root, statsCol = Some("id"))
     t.init((0L until 3200L).map(i => (i, i, i % 8)).toDF("id", "v", "part").repartition(4))
     val totalFiles = t.snapshot(1).size
     assert(totalFiles > 8, "fixture: several files per partition")
