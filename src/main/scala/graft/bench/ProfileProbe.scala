@@ -54,6 +54,16 @@ object ProfileProbe {
     val only = args.toSet
     def want(n: String) = only.isEmpty || only(n)
 
+    // generic: "run:<catalogQueryName>" times the declared query end-to-end
+    args.filter(_.startsWith("run:")).map(_.stripPrefix("run:")).foreach { qn =>
+      graft.SparkEntry.queries.get(qn) match {
+        case Some(fn) =>
+          step(s"run $qn (1st)")(fn(spark, sfDir).count())
+          step(s"run $qn (2nd)")(fn(spark, sfDir).count())
+        case None => println(s"no such query: $qn")
+      }
+    }
+
     if (want("q_index_upsert")) {
       import graft.cell.{CellFunctions, CellIndex}
       graft.gen.GeoWorld.registerUdfs(spark)
@@ -104,6 +114,31 @@ object ProfileProbe {
         cached.repartition(col("part")).withColumn("_part", col("part"))
           .write.partitionBy("part").mode("overwrite").parquet(d3))
       cached.unpersist()
+    }
+
+    if (want("persistcost")) {
+      import graft.cell.{CellFunctions, CellIndex}
+      graft.gen.GeoWorld.registerUdfs(spark)
+      def base = graft.gen.GeoWorld.points(spark, sfDir)
+        .select(col("pid"),
+          CellFunctions.zcell(col("lon"), col("lat"), lit(CellIndex.RES_MID)).as("cell"))
+        .withColumn("part", CellFunctions.zcellParent(
+          col("cell"), lit(CellIndex.RES_MID), lit(2)))
+        .withColumn("ver", lit(1L))
+      step("pc: noop write (no cache)")(base.write.format("noop").mode("overwrite").save())
+      // warm the cache-build machinery once, then measure each variant twice
+      val w = base.persist(); w.count(); w.unpersist(true)
+      for (round <- 1 to 2) {
+        val c1 = base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        step(s"pc$round: MEMORY_AND_DISK build")(c1.count()); c1.unpersist(true)
+        val c2 = base.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+        step(s"pc$round: MEMORY_ONLY build")(c2.count()); c2.unpersist(true)
+        spark.conf.set("spark.sql.inMemoryColumnarStorage.compressed", "false")
+        val c3 = base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        step(s"pc$round: uncompressed columnar build")(c3.count()); c3.unpersist(true)
+        spark.conf.set("spark.sql.inMemoryColumnarStorage.compressed", "true")
+        step(s"pc$round: localCheckpoint")(base.localCheckpoint(true).count())
+      }
     }
 
     if (want("q_text_curate")) {

@@ -683,6 +683,10 @@ object GeoQueries {
   def knnBatch(spark: SparkSession, sfDir: String, probeDf: DataFrame,
       k: Int, pruneM: Double, salt: Int = KNN_SALT): DataFrame = {
     init(spark)
+    // NOTE (r8 measurement): persisting this corpus projection for the
+    // widening rounds was tried and REVERTED — columnar cache encode+decode
+    // across ~4 round reads measured costlier than the recompute
+    // (executor CPU 6 -> 11 s on the catalog query at sf0.1).
     val pts = GeoWorld.points(spark, sfDir).select(
       col("pid"), col("lon"), col("lat"),
       CellFunctions.zcell(col("lon"), col("lat"), lit(RES_COARSE)).as("cell"))

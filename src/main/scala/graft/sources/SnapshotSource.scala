@@ -113,7 +113,11 @@ object SnapshotSource {
       * enforces it). Plain tables keep their declared nullability. */
     override def schema(): StructType = {
       val mor = Option(props.get("delete.mode")).exists(_.equalsIgnoreCase("merge-on-read"))
-      val key = Option(props.get("morkey"))
+      // same resolution as newRowLevelOperationBuilder: a key known only
+      // from mor.json must report non-nullable too (round-7 ADVICE — the
+      // props-only lookup left it nullable, inconsistent with the delta
+      // operation's row-identity requirement)
+      val key = Option(props.get("morkey")).orElse(tableFor(props).morKey)
       if (!mor) schema
       else StructType(schema.fields.map(f =>
         if (f.name == "part" || key.contains(f.name)) f.copy(nullable = false) else f))
@@ -171,21 +175,30 @@ object SnapshotSource {
           case l: Long => Some(l); case i: Int => Some(i.toLong); case _ => None
         }
         val real = filters.filterNot(_.isInstanceOf[AlwaysTrue])
-        val keys = Seq.newBuilder[Long]
-        var sawKeys = false
-        var parts: Option[Set[Long]] = None
+        // the filters arrive as a CONJUNCTION, so repeated predicates on the
+        // key (or on part) must INTERSECT per-conjunct value sets — the
+        // previous builder unioned them, and `pid IN (1,2) AND pid IN (2,3)`
+        // would have deleted keys 1, 2 AND 3 (round-7 ADVICE, medium: a
+        // silent violation of the canDeleteWhere exactness contract).
+        // deletePartsOf has always intersected; this mirrors it.
+        val keySets = Seq.newBuilder[Set[Long]]
+        val partSets = Seq.newBuilder[Set[Long]]
         val ok = real.forall {
           case EqualTo(`key`, v) if longOf(v).isDefined =>
-            keys += longOf(v).get; sawKeys = true; true
+            keySets += Set(longOf(v).get); true
           case In(`key`, vs) if vs.nonEmpty && vs.forall(longOf(_).isDefined) =>
-            keys ++= vs.flatMap(longOf); sawKeys = true; true
+            keySets += vs.flatMap(longOf).toSet; true
           case EqualTo("part", v) if longOf(v).isDefined =>
-            parts = Some(parts.getOrElse(Set.empty) + longOf(v).get); true
+            partSets += Set(longOf(v).get); true
           case In("part", vs) if vs.forall(longOf(_).isDefined) =>
-            parts = Some(parts.getOrElse(Set.empty) ++ vs.flatMap(longOf)); true
+            partSets += vs.flatMap(longOf).toSet; true
           case _ => false
         }
-        if (ok && sawKeys) Some((keys.result(), parts)) else None
+        val ks = keySets.result()
+        val ps = partSets.result()
+        if (ok && ks.nonEmpty)
+          Some((ks.reduce(_ intersect _).toSeq.sorted, ps.reduceOption(_ intersect _)))
+        else None
       }
 
     override def canDeleteWhere(filters: Array[Filter]): Boolean =
@@ -479,10 +492,14 @@ object SnapshotSource {
         g <- grouped
         ks <- if (kinds.nonEmpty && kinds.forall(_.isDefined)) Some(kinds.flatten) else None
         // manifest counts/bounds IGNORE merge-on-read deletes — with any
-        // delete file covering the scan, the metadata answer would count
-        // deleted rows, so the pushdown declines and the real (delete-
-        // applying) scan answers
-        if table.pruneFilesSplit(parts, range, version)._2.isEmpty
+        // APPLICABLE delete file covering the scan, the metadata answer
+        // would count deleted rows, so the pushdown declines and the real
+        // (delete-applying) scan answers. Applicability, not presence
+        // (round-7 ADVICE): a delete made inert by compaction's fold
+        // (every covering data file's seq >= the delete's) must not keep
+        // the pushdown disabled forever.
+        if !SnapshotSource.anyDeleteApplies(
+          table.pruneFilesSplit(parts, range, version))
         // Min/Max demand bounds on EVERY covering entry (cheap: manifests)
         if !ks.exists(k => k == "min" || k == "max") ||
           table.pruneFiles(parts, range, version).forall(e => e.lo.isDefined && e.hi.isDefined)
@@ -551,10 +568,11 @@ object SnapshotSource {
       require(target > 0, s"maxsplitbytes must be positive, got $target")
       // limit/top-N prune by MANIFEST row counts, which OVERCOUNT when
       // equality deletes apply — pruning could then under-plan and return
-      // fewer than `limit` existing rows, so deletes decline it
+      // fewer than `limit` existing rows, so APPLICABLE deletes decline it
+      // (inert ones — folded by compaction — do not, round-7 ADVICE)
       val filePrune: Seq[SnapshotTable.FileEntry] => Seq[SnapshotTable.FileEntry] =
         (topN, limitRows) match {
-          case _ if delEntries.nonEmpty => identity
+          case _ if SnapshotSource.anyDeleteApplies((entries, delEntries)) => identity
           case (Some((asc, nf, k)), _) => topNPrune(_, asc, nf, k)
           case (None, Some(n)) => limitPrune(_, n)
           case _ => identity
@@ -1129,6 +1147,19 @@ object SnapshotSource {
     * `targetfilebytes` option. */
   final val DEFAULT_TARGET_FILE_BYTES: Long = 512L * 1024 * 1024
 
+  /** True iff any covering delete file can still retire a row of some
+    * covering data file ([[SnapshotTable.deleteApplies]]' part + sequence
+    * rule). The read-side gates (metadata aggregates, limit/TopN file
+    * pruning, columnar reads) key off THIS, not off delete-file presence:
+    * once compaction folds a delete (every surviving data file's seq >= the
+    * delete's), the delete is inert and must stop disabling those paths
+    * (round-7 ADVICE). */
+  private[sources] def anyDeleteApplies(
+      pruned: (Seq[SnapshotTable.FileEntry], Seq[SnapshotTable.FileEntry])): Boolean = {
+    val (files, dels) = pruned
+    dels.exists(d => files.exists(f => SnapshotTable.deleteApplies(d, f)))
+  }
+
   private final case class SnapWriterFactory(dir: String, partIdx: Int, statsIdx: Int,
       targetBytes: Long,
       conf: org.apache.spark.SerializableWritable[org.apache.hadoop.conf.Configuration])
@@ -1338,10 +1369,13 @@ object SnapshotSource {
     }
 
     override def createReaderFactory(): PartitionReaderFactory =
-      // row-based whenever any covering delete exists (runtime narrowing
-      // only SHRINKS the file set, so deletes never appear after this)
+      // row-based whenever any covering delete APPLIES to a covering file
+      // (runtime narrowing only SHRINKS the file set, so applicable deletes
+      // never appear after this; inert post-compaction deletes keep the
+      // columnar path — round-7 ADVICE)
       new SnapReaderFactory(out, conf,
-        rowBasedOnly = table.pruneFilesSplit(parts, rangeNow, version)._2.nonEmpty)
+        rowBasedOnly = SnapshotSource.anyDeleteApplies(
+          table.pruneFilesSplit(parts, rangeNow, version)))
 
     /**
      * CHANGE FEED (incremental partition refresh — Iceberg's incremental

@@ -33,7 +33,9 @@ object Hygiene {
     val train = TextOps.corpus(spark, sfDir)
       .join(bench.select("doc_id"), Seq("doc_id"), "left_anti")
     val docSh = TextOps.distinctShinglesOf(spark, train).select("doc_id", "sh")
-    val sizes = docSh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    // map-only twin of docSh.groupBy.count (== row-for-row; see
+    // TextOps.shingleCounts) — the explode was otherwise evaluated twice
+    val sizes = TextOps.shingleCounts(spark, train)
     docSh.join(broadcast(evalSh), "sh")
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
       .join(sizes, "doc_id")

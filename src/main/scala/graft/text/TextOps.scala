@@ -398,12 +398,12 @@ object TextOps {
   def minhashPairsOf(spark: SparkSession, c: DataFrame): DataFrame = {
     val cand = lshCandidates(spark, c)
     val ds = distinctShinglesOf(spark, c)
-    val sizes = ds.groupBy("doc_id").count()
+    val sizes = shingleCounts(spark, c) // map-only; == ds.groupBy.count
     cand
       .join(interCounts(cand, ds), Seq("a", "b"), "left")
       .na.fill(0L, Seq("ninter"))
-      .join(sizes.select(col("doc_id").as("a"), col("count").as("na")), "a")
-      .join(sizes.select(col("doc_id").as("b"), col("count").as("nb")), "b")
+      .join(sizes.select(col("doc_id").as("a"), col("n_sh").as("na")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("n_sh").as("nb")), "b")
       .select(col("a"), col("b"),
         round(col("ninter").cast("double") /
           (col("na") + col("nb") - col("ninter")).cast("double"), 6).as("jaccard"))
@@ -449,6 +449,18 @@ object TextOps {
     registerTextUdfs(spark)
     spreadCorpus(spark, c).select(col("doc_id"), col("lang"), col("source"),
       explode(call_function("shingle_set", col("text"))).as("sh"))
+  }
+
+  /** Per-doc distinct-shingle COUNT, map-only: `size(shingle_set(text))`
+    * equals the exploded groupBy-count row-for-row (shinglesJvm never
+    * returns an empty array — a <3-word text yields the whole text as its
+    * one shingle), so the counting side of the Jaccard/contamination
+    * queries skips a full explode + shuffle (r8 optimization: the explode
+    * was evaluated once for the join AND once just to count). */
+  private[graft] def shingleCounts(spark: SparkSession, c: DataFrame): DataFrame = {
+    registerTextUdfs(spark)
+    spreadCorpus(spark, c).select(col("doc_id"),
+      size(call_function("shingle_set", col("text"))).cast("long").as("n_sh"))
   }
 
   /** The minhash-pair derivation as composable CTEs ending in

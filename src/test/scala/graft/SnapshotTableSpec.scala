@@ -1169,6 +1169,100 @@ class SnapshotTableSpec extends SparkSpec {
     assert(spark.table("snap_morsql").count() === 747L)
   }
 
+  test("full-scan planning: page cache makes re-plans parse zero driver JSON; wide first plans parse in a Spark job") {
+    // arm 1: the immutable page cache — the SECOND plan of any scan parses
+    // nothing on the driver (round-7 `weak`: every plan re-parsed every
+    // covering entry as driver JSON)
+    val root1 = java.nio.file.Files.createTempDirectory("snapplan1").toString
+    val t1 = new SnapshotTable(spark, root1)
+    t1.init((0L until 2000L).map(i => (i, i % 16, 1L)).toDF("id", "part", "ver"))
+    val (files1, _) = t1.pruneFilesSplit(None, None)
+    assert(files1.size === 16)
+    assert(t1.lastPlanDriverParsedLines === 16, "first plan parses the pages once")
+    val (files1b, _) = t1.pruneFilesSplit(None, None)
+    assert(files1b === files1)
+    assert(t1.lastPlanDriverParsedLines === 0,
+      "a re-planned scan must parse ZERO manifest JSON on the driver")
+
+    // arm 2: a first-time WIDE scan parses its pages in a SPARK JOB — the
+    // driver receives finished entry rows, parses no JSON at all
+    val was = SnapshotTable.distributedPlanThreshold
+    SnapshotTable.distributedPlanThreshold = 4
+    try {
+      val root2 = java.nio.file.Files.createTempDirectory("snapplan2").toString
+      val t2 = new SnapshotTable(spark, root2)
+      t2.init((0L until 2000L).map(i => (i, i % 16, 1L)).toDF("id", "part", "ver"))
+      val (files2, _) = t2.pruneFilesSplit(None, None)
+      assert(files2.size === 16)
+      assert(t2.lastPlanDriverParsedLines === 0,
+        "a wide first-time scan must plan its pages distributively, not on the driver")
+      // the distributed-loaded entries drive a correct read
+      assert(t2.read().count() === 2000L)
+      // and they populated the cache: the next plan is a pure lookup
+      t2.pruneFilesSplit(None, None)
+      assert(t2.lastPlanDriverParsedLines === 0)
+    } finally SnapshotTable.distributedPlanThreshold = was
+  }
+
+  test("MOR DELETE intersects repeated conjuncts on the key and on part (canDeleteWhere exactness)") {
+    val root = java.nio.file.Files.createTempDirectory("snapmorconj").toString
+    val t = new SnapshotTable(spark, root)
+    t.init((0L until 100L).map(i => (i, i % 4, i * 2)).toDF("id", "part", "v")
+      .repartition(2))
+    spark.read.format("graft.sources.SnapshotSource").option("root", root)
+      .option("delete.mode", "merge-on-read").option("morkey", "id").load()
+      .createOrReplaceTempView("snap_morconj")
+    // conjunction on the key: id IN (1,2) AND id IN (2,3) matches ONLY id 2
+    // (the old builder UNIONED the conjuncts and deleted 1, 2 AND 3)
+    spark.sql("DELETE FROM snap_morconj WHERE id IN (1, 2) AND id IN (2, 3)")
+    val ids = spark.table("snap_morconj").select("id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(2L), "id 2 matches the conjunction and must be deleted")
+    assert(ids.contains(1L) && ids.contains(3L),
+      "ids 1 and 3 do NOT match the conjunction — deleting them is data loss")
+    // conjunction on part: part IN (0,1) AND part IN (1,2) scopes to part 1
+    // only — id 10 lives in part 2, so the scoped delete must not touch it
+    spark.sql("DELETE FROM snap_morconj WHERE id = 10 AND part IN (0, 1) AND part IN (1, 2)")
+    assert(spark.table("snap_morconj").filter($"id" === 10L).count() === 1L,
+      "part conjunction intersects to {1}; id 10 (part 2) must survive")
+    // and the correctly-scoped delete still lands
+    spark.sql("DELETE FROM snap_morconj WHERE id = 10 AND part IN (2) AND part IN (2, 3)")
+    assert(spark.table("snap_morconj").filter($"id" === 10L).count() === 0L)
+  }
+
+  test("inert (folded) equality deletes stop disabling metadata aggregates and LIMIT pruning; compact GCs them") {
+    val root = java.nio.file.Files.createTempDirectory("snapinert").toString
+    val t = new SnapshotTable(spark, root, statsCol = Some("v"))
+    t.init((0L until 1000L).map(i => (i, i % 4, i * 2)).toDF("id", "part", "v")
+      .repartition(4)) // fragmented (stats table preserves layout)
+    t.deleteKeysMor(Seq(3L, 5L).toDF("id"), "id") // GLOBAL delete, seq 2
+    val view = spark.read.format("graft.sources.SnapshotSource").option("root", root).load()
+    view.createOrReplaceTempView("snap_inert")
+    // while the delete APPLIES: metadata count declines, limit pruning off
+    assert(!spark.sql("SELECT COUNT(*) FROM snap_inert").queryExecution.executedPlan
+      .toString.contains("METADATA aggregate"), "applicable delete must decline the metadata agg")
+    assert(spark.sql("SELECT COUNT(*) FROM snap_inert").head.getLong(0) === 998L)
+    // compact rewrites every fragmented partition at a HIGHER seq — the
+    // global delete is folded into the rewrite and becomes inert
+    assert(t.compact(maxFiles = 1) === 3)
+    assert(spark.table("snap_inert").count() === 998L)
+    assert(t.snapshot(3).count(_.isDelete) >= 1, "inert global delete file(s) still referenced")
+    // inert ⇒ the gates re-open (presence-based gating kept them off forever)
+    assert(spark.sql("SELECT COUNT(*) FROM snap_inert").queryExecution.executedPlan
+      .toString.contains("METADATA aggregate"), "inert delete must re-enable the metadata agg")
+    assert(spark.sql("SELECT COUNT(*) FROM snap_inert").head.getLong(0) === 998L)
+    view.limit(5).collect()
+    assert(graft.sources.SnapshotSource.ScanProbe.lastPlannedSlices === 1,
+      "inert delete must re-enable LIMIT file pruning")
+    // fragment one partition again; the NEXT compact's conservative parent
+    // minimum-seq bound (now >= the delete's seq) GCs the inert file
+    t.upsert((0L until 50L).map(i => (i * 4, 0L, i)).toDF("id", "part", "v")
+      .repartition(2), Seq("id"))
+    assert(t.compact(maxFiles = 1) === 5)
+    assert(t.snapshot(5).count(_.isDelete) === 0,
+      "compact must drop global delete files whose seq <= the min data seq")
+    assert(spark.table("snap_inert").count() === 998L, "GC is metadata-only")
+  }
+
   test("LIMIT pushdown plans only the files whose row counts cover the limit") {
     val root = java.nio.file.Files.createTempDirectory("snaplim").toString
     // stats-column table preserves the 4-task fan-out layout (fragmented fixture)
