@@ -2377,16 +2377,16 @@ object SnapshotQueries {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graftm.idx")
     spark.sql("CREATE TABLE graftm.idx.pts (pid BIGINT, cell BIGINT, ver BIGINT, " +
       "part BIGINT) PARTITIONED BY (part)")
-    // in-query reuse: the INSERT and both delta branches scan the same
-    // points->cell projection — persist for the query's duration (the
-    // returned SELECT reads the committed table, not this plan)
+    // NOTE (r8 measurement): persisting this thrice-scanned projection was
+    // tried and REVERTED — MERGE's rewrite references the source view from
+    // several plan branches and each paid a full columnar-cache decode
+    // (executor CPU 9 -> 27 s at sf0.1 for a 0.4 s wall gain).
     val base = graft.gen.GeoWorld.points(spark, sfDir)
       .select(col("pid"),
         CellFunctions.zcell(col("lon"), col("lat"), lit(CellIndex.RES_MID)).as("cell"))
       .withColumn("part", CellFunctions.zcellParent(
         col("cell"), lit(CellIndex.RES_MID), lit(2)))
       .withColumn("ver", lit(1L))
-      .persist()
     base.createOrReplaceTempView("snap_merge_base")
     spark.sql("INSERT INTO graftm.idx.pts SELECT pid, cell, ver, part FROM snap_merge_base")
     // the delta: every pid % 3 = 0 identity (matched), plus its negative
@@ -2402,7 +2402,6 @@ object SnapshotQueries {
         |WHEN MATCHED THEN UPDATE SET ver = 2
         |WHEN NOT MATCHED THEN INSERT (pid, cell, ver, part)
         |  VALUES (s.pid, s.cell, 3, s.part)""".stripMargin)
-    base.unpersist()
     spark.sql("SELECT pid, cell, ver FROM graftm.idx.pts")
   }
 
