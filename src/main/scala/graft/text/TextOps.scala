@@ -755,13 +755,20 @@ object TextOps {
     ngramJaccardOf(spark, corpus(spark, sfDir))
 
   /** The capped informative-shingle universe: distinct (doc_id, lang,
-    * source, sh) rows whose shingle's within-group df ≤ [[NGRAM_DF_CAP]]. */
+    * source, sh) rows whose shingle's within-group df ≤ [[NGRAM_DF_CAP]].
+    * The df rides a WINDOW count over (lang, source, sh) instead of the
+    * old groupBy + join-back: one evaluation and one shuffle of the
+    * exploded shingles instead of two, identical surviving rows (the
+    * window count per key equals the groupBy count joined back), and the
+    * downstream self-join keys on the same columns the window just
+    * partitioned by (guide §2.4 — operations keyed alike share the
+    * exchange). */
   private[graft] def cappedShingles(spark: SparkSession, c: DataFrame): DataFrame = {
     val ds = distinctShinglesOf(spark, c)
-    val keep = ds.groupBy("lang", "source", "sh").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang", "source", "sh")
+    ds.withColumn("df", count(lit(1)).over(w))
       .filter(col("df") <= NGRAM_DF_CAP)
-      .select("lang", "source", "sh")
-    ds.join(keep, Seq("lang", "source", "sh"))
+      .select("doc_id", "lang", "source", "sh")
   }
 
   /** Shared-capped-shingle pair counts — the bounded self-join (≤ cap² rows
